@@ -1,0 +1,81 @@
+"""M1 end-to-end slice: transcripts → tag (mapInPandas) → extract → triples,
+gated against the plain-Python oracle goldens (SURVEY §5.2 #2/#3)."""
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ner_spark.operators.extraction import extract_mentions_bio, mentions_to_triples
+from ner_spark.operators.tagging import tag_turns, with_tokens
+from ner_spark.oracle.reference import micro_prf
+
+
+def _triples_df(spark, fixtures_small):
+    t = spark.read.parquet(f"{fixtures_small}/transcripts.parquet")
+    t = t.repartitionByRange(8, "conv_id", "turn_idx")
+    tagged = tag_turns(t)
+    m = with_tokens(tagged).withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    )
+    return mentions_to_triples(m)
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, fixtures_small):
+    # input_hint invariant: reassembling turns via the Window ordering must
+    # reproduce the fixture source byte-for-byte
+    t = spark.read.parquet(f"{fixtures_small}/transcripts.parquet")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    got = (
+        t.withColumn("rn", F.row_number().over(w))
+        .select("conv_id", "rn", "turn_idx", "text")
+        .toPandas()
+    )
+    src = pd.read_parquet(f"{fixtures_small}/transcripts.parquet").sort_values(
+        ["conv_id", "turn_idx"]
+    )
+    got = got.sort_values(["conv_id", "turn_idx"])
+    assert (got["rn"] == got["turn_idx"] + 1).all()  # contiguous, stable
+    assert list(got["text"]) == list(src["text"])
+
+
+def test_triples_match_reference_and_pr_gate(spark, fixtures_small):
+    got = _triples_df(spark, fixtures_small).toPandas()
+    want = pd.read_parquet(f"{fixtures_small}/reference_triples.parquet")
+
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].astype(got_s.dtypes.to_dict()).sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+
+    # micro P/R/F1 gate (≥0.95 required; exact parity gives 1.0)
+    def pairs_by_turn(df):
+        out = {}
+        for r in df.itertuples(index=False):
+            out.setdefault((r.conv_id, r.turn_idx), set()).add((r.pred, r.obj))
+        return out
+
+    g, w_ = pairs_by_turn(got), pairs_by_turn(want)
+    keys = sorted(set(g) | set(w_))
+    p, r, f1 = micro_prf([g.get(k, set()) for k in keys], [w_.get(k, set()) for k in keys])
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert p == 1.0 and r == 1.0
+
+
+def test_tagging_deterministic_across_parallelism(spark, fixtures_small):
+    # extraction must be row-local and order-free: different partitioning,
+    # identical triples (SURVEY §7.4 determinism across parallelism levels)
+    t = spark.read.parquet(f"{fixtures_small}/transcripts.parquet")
+    a = mentions_to_triples(
+        with_tokens(tag_turns(t.repartition(17))).withColumn(
+            "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+        )
+    ).toPandas()
+    b = mentions_to_triples(
+        with_tokens(tag_turns(t.coalesce(1))).withColumn(
+            "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+        )
+    ).toPandas()
+    key = ["conv_id", "turn_idx", "pred", "obj"]
+    assert a.sort_values(key).reset_index(drop=True)[key].equals(
+        b.sort_values(key).reset_index(drop=True)[key]
+    )
