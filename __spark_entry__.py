@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (transcripts → tag →
+extract → triples) at sf0.001. ``queries()`` exposes every implemented
+operator (SURVEY.md §2 + the training-data pipeline ops) as
+``(spark, sf_dir) -> DataFrame`` callables; ``oracle_sql()`` provides
+the DuckDB-executable ANSI-SQL equivalent for EVERY query — the kg_*
+oracles read the plain-Python reference goldens (independent
+implementation: row-wise Viterbi, per-row extraction state machine,
+union-find) instead of restating the pipeline in SQL, making them
+cross-implementation checks rather than self-fulfilling ones.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: all (subj, pred, obj) triples of the deterministic
+    sf0.001 transcripts fixture, in stable turn order."""
+    from ner_spark.entry_queries import QUERIES
+
+    # queries() callables key off the sf basename; fixture is synthesized
+    # deterministically (seeded) — no external data.
+    return QUERIES["kg_triples"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ner_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ner_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two parts:
+1. headline query latencies (KG pipeline stages + training-data ops +
+   relational core) on the full-parallelism session;
+2. scaling evidence for the N→4N rule (BASELINE.md): the SAME KG
+   tag+extract job on the SAME input at local[8] vs local[32], reporting
+   rows/sec at both and efficiency = (thr_32 / thr_8) / 4.
+   (Sandbox stand-in for 2 cluster sizes, per the driver instruction.)
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip part 2 (e.g. when iterating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _kg_triples_count(spark, fx_dir: str) -> int:
+    """The flagship job: transcripts → tag (mapInPandas Viterbi) →
+    extract → per-turn dedup → triples. Returns the triple count."""
+    from ner_spark.operators.extraction import mentions_to_triples
+    from ner_spark.pipeline import build_mentions
+
+    t = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    return mentions_to_triples(build_mentions(t)).count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf_num = float(sf_name[2:]) if sf_name.startswith("sf") else 0.1
+
+    from ner_spark.entry_queries import QUERIES
+    from ner_spark.fixtures.build import build_fixtures
+    from ner_spark.session import get_spark
+
+    fx_dir = build_fixtures(sf_name, full=False)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = int(fn())
+        timings[name] = round(time.time() - t0, 3)
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="ner_spark_bench")
+
+    # -- headline: KG pipeline --------------------------------------------
+    run("kg_tag_extract_triples", lambda: _kg_triples_count(spark, fx_dir))
+
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.extraction import extract_mentions_bio
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+    from ner_spark.pipeline import build_mentions
+
+    t = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    mentions = build_mentions(t).cache()
+    mentions.count()  # materialize once; stage timings below exclude tagging
+
+    run("kg_relations", lambda: extract_relations(mentions).count())
+
+    def _link_cc() -> int:
+        nodes, edges = link_edges(explode_mentions(mentions))
+        a = connected_components(
+            nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+        )
+        return a.count()
+
+    run("kg_link_cc", _link_cc)
+
+    # -- headline: training-data ops + relational core --------------------
+    for qname in (
+        "dedup_exact",
+        "lsh_dup_pairs",
+        "simhash_values",
+        "ann_topk",
+        "pricing_summary",
+        "top_revenue_nations",
+        "window_topk_orders",
+        "sessionize",
+        "quality_scores",
+    ):
+        run(qname, lambda q=qname: QUERIES[q](spark, sf_dir).count())
+
+    n_turns = t.count()
+    mentions.unpersist()
+    spark.stop()
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "rows": counts,
+        "kg_triples_per_sec": round(
+            counts["kg_tag_extract_triples"] / timings["kg_tag_extract_triples"], 1
+        ),
+        "kg_turns_per_sec": round(n_turns / timings["kg_tag_extract_triples"], 1),
+    }
+
+    # -- scaling evidence: same job, local[8] vs local[32] ----------------
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling = {}
+        for k in (8, 32):
+            s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
+            t0 = time.time()
+            n = _kg_triples_count(s, fx_dir)
+            dt = time.time() - t0
+            scaling[f"local{k}"] = {
+                "sec": round(dt, 3),
+                "triples_per_sec": round(n / dt, 1),
+                "turns_per_sec": round(n_turns / dt, 1),
+            }
+            s.stop()
+        thr8 = scaling["local8"]["turns_per_sec"]
+        thr32 = scaling["local32"]["turns_per_sec"]
+        scaling["efficiency_n_to_4n"] = round((thr32 / thr8) / 4.0, 3)
+        out["scaling"] = scaling
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

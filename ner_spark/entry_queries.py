@@ -1,0 +1,1079 @@
+"""Driver-facing query surface: every operator as a (Spark callable,
+DuckDB oracle SQL) pair.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``
+running the engine's DataFrame implementation; ``ORACLES[name]`` is an
+independent ANSI-SQL restatement DuckDB executes over the same parquet
+tables (pre-registered views ``region nation customer supplier part
+orders lineitem events documents embeddings``). The driver compares
+row-count + schema + order-insensitive value hash — so every float is
+rounded identically on both sides, every aggregate over doubles goes
+through exact DECIMAL arithmetic first, and every rank has a total
+order. Those conventions are part of the operator spec, not test
+hackery: they make results reproducible across engines AND across
+cluster sizes / partitionings.
+
+KG-pipeline queries (kg_*) run over the deterministic synthetic
+transcripts fixture (a pure function of seed — FIXTURES.md) and their
+oracles read the plain-Python reference goldens via ``read_parquet`` —
+an end-to-end cross-implementation check of tag→extract→relate→link→
+canonicalize against /root/reference semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ner_spark.fixtures.generator import SF_TURNS
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES_SQL_ROOT = os.path.join(REPO_ROOT, ".fixtures", "sf0.01")
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# DuckDB fragment: first 15 md5 hex digits as 60-bit BIGINT (same integer
+# as Spark conv(substring(md5(x),1,15),16,10) and kg.md5_hash60)
+def _h60(x: str) -> str:
+    return f"('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ===========================================================================
+# Relational core (scan/filter/agg/join/window/sort/limit — SURVEY §2.5/2.7)
+# ===========================================================================
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary. Aggregates run in exact DECIMAL
+    (order-independent → identical on any partitioning), cast to double
+    at the end. Single hash-agg shuffle, partial map-side combine."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_nations",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_top_revenue_nations(spark, sf_dir):
+    """Revenue by nation: fact-to-fact shuffle join (lineitem⋈orders) +
+    broadcast of the small dims (customer at this SF, nation always)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "priority_count",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_priority_count(spark, sf_dir):
+    """Predicate-pushdown demo: the date filter reaches the parquet scan
+    (PushedFilters) and only two columns are read (ReadSchema)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "window_topk_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+      FROM orders) x
+    WHERE rk <= 3
+    """,
+)
+def q_window_topk_orders(spark, sf_dir):
+    """Top-3 orders per customer — window rank with a TOTAL order
+    (price desc, key asc) so results are engine/partitioning-invariant."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@query("distinct_part_types", "SELECT DISTINCT p_type FROM part")
+def q_distinct_part_types(spark, sf_dir):
+    """A8 distinct-collection (reference data_process.ipynb cell-5)."""
+    return _t(spark, sf_dir, "part").select("p_type").distinct()
+
+
+@query(
+    "doc_length_stats",
+    """
+    SELECT count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM documents
+    """,
+)
+def q_doc_length_stats(spark, sf_dir):
+    """A9 length stats (reference data_process.ipynb cell-4): exact
+    interpolated percentiles (both engines sort-exact on integers)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 6).alias("p90_chars"),
+    )
+
+
+@query(
+    "token_freq_weights",
+    """
+    SELECT token, count(*) AS freq, round(1.0 / count(*), 6) AS weight
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def q_token_freq_weights(spark, sf_dir):
+    """A2 inverse-frequency class weights
+    (/root/reference/torch_version/data_tools.py:115-128)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("weight", F.round(F.lit(1.0) / F.col("freq"), 6))
+    )
+
+
+@query(
+    "vocab_ids",
+    """
+    SELECT token, CAST(row_number() OVER (ORDER BY token) + 3 AS INTEGER) AS id
+    FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) t
+    UNION ALL
+    SELECT * FROM (VALUES ('[PAD]', 0), ('[UNK]', 1), ('[SEP]', 2), ('[SPA]', 3)) v(token, id)
+    """,
+)
+def q_vocab_ids(spark, sf_dir):
+    """S1 vocabulary build (/root/reference/utils.py:9-20): corpus-driven
+    ids after the 4 reserved rows [PAD] [UNK] [SEP] [SPA]
+    (/root/reference/data/vocab_char.txt:1-4)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    w = Window.orderBy("token")
+    vocab = toks.select(
+        "token", (F.row_number().over(w) + 3).cast("int").alias("id")
+    )
+    reserved = spark.createDataFrame(
+        [("[PAD]", 0), ("[UNK]", 1), ("[SEP]", 2), ("[SPA]", 3)],
+        "token string, id int",
+    )
+    return vocab.unionByName(reserved)
+
+
+@query(
+    "stable_doc_order",
+    """
+    SELECT source, doc_id,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS turn_idx,
+           text
+    FROM documents
+    """,
+)
+def q_stable_doc_order(spark, sf_dir):
+    """O5 stable ordering (input_hint invariant shape): the Window
+    restatement of the reference's implicit line-number order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "source", "doc_id", F.row_number().over(w).alias("turn_idx"), "text"
+    )
+
+
+@query(
+    "region_order_counts",
+    """
+    SELECT r_name, count(*) AS n_orders
+    FROM region
+    JOIN nation   ON r_regionkey = n_regionkey
+    JOIN customer ON n_nationkey = c_nationkey
+    JOIN orders   ON c_custkey = o_custkey
+    GROUP BY r_name
+    """,
+)
+def q_region_order_counts(spark, sf_dir):
+    """Snowflake dim chain — every dim join broadcast."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "events_top_users",
+    """
+    SELECT user_id, n_events, rk FROM (
+      SELECT user_id, count(*) AS n_events,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS INTEGER) AS rk
+      FROM events GROUP BY user_id) x
+    WHERE rk <= 10
+    """,
+)
+def q_events_top_users(spark, sf_dir):
+    """Global top-k with deterministic ties (O3 sampling-limit analogue)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.select("user_id", "n_events", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 10)
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ep
+      FROM events),
+    s AS (
+      SELECT user_id, event_id, ep,
+             sum(CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ep, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ep) AS start_ep, max(ep) AS end_ep
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch restatement of a session window; epochs keep the output
+    integer-exact across engines."""
+    e = _t(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id", "event_id", ep.alias("ep"), F.lag(ep).over(w).alias("prev_ep")
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ep", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_s = F.when(
+        F.col("prev_ep").isNull() | (F.col("ep") - F.col("prev_ep") > 1800), 1
+    ).otherwise(0)
+    s = t.withColumn("session_id", F.sum(new_s).over(w2))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ep").alias("start_ep"),
+        F.max("ep").alias("end_ep"),
+    )
+
+
+@query(
+    "event_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ep, event_type,
+           count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_event_rollup(spark, sf_dir):
+    """Time-bucketed rollup; min/max on doubles are order-independent
+    (sum would not be — that variant goes through DECIMAL, see
+    pricing_summary)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_ep"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Text analysis (training-data pipeline ops)
+# ===========================================================================
+
+
+@query(
+    "tokenize_counts",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_tokenize_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex classes. Row-local."""
+    from ner_spark.functions.text import token_count_bpe, token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "quality_scores",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             string_split(lower(text), ' ') AS ltoks
+      FROM documents)
+    SELECT doc_id,
+           round(
+             0.3 * (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0
+                         WHEN length(text) >= 30 THEN 0.5 ELSE 0.0 END)
+           + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text))
+           + 0.2 * least((len(list_filter(ltoks, t2 -> list_contains(['the','a','of','and','to','in','is','that'], t2)))::DOUBLE / len(ltoks)) * 4.0, 1.0)
+           + 0.2 * (CASE WHEN (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) >= 3.0
+                          AND (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) <= 10.0
+                         THEN 1.0 ELSE 0.3 END)
+           , 6) AS quality
+    FROM t
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    """Composite quality heuristic (length band + alpha ratio + stopword
+    ratio + token-length sanity) — spec in functions/text.py."""
+    from ner_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "lang_id",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ltoks FROM documents),
+    h AS (
+      SELECT doc_id,
+        CAST(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','von','zu','ein'], x))) AS INTEGER) AS h_de,
+        CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS INTEGER) AS h_en,
+        CAST(len(list_filter(ltoks, x -> list_contains(['el','la','los','y','de','un','una','es'], x))) AS INTEGER) AS h_es,
+        CAST(len(list_filter(ltoks, x -> list_contains(['le','la','les','et','de','un','une','est'], x))) AS INTEGER) AS h_fr,
+        CAST(len(list_filter(ltoks, x -> list_contains(['的','是','了','在','和','有','我','不'], x))) AS INTEGER) AS h_zh
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM h
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Language ID by stopword-hit argmax; ties break to the
+    alphabetically-first language, no hits → 'und'."""
+    from ner_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, text,
+            CASE WHEN len(toks) < 4 THEN [text]
+                 ELSE list_transform(range(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+            END AS grams
+          FROM t)
+    SELECT doc_id, md5(text) AS content_hash,
+           CAST(list_min(list_transform(grams, x -> {_h60('x')})) AS BIGINT) AS fp_minhash
+    FROM g
+    """,
+)
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting: exact content hash + winnowing-style min
+    word-4-gram hash."""
+    from ner_spark.functions.text import content_hash, fingerprint_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        content_hash(F.col("text")).alias("content_hash"),
+        fingerprint_minhash(F.col("text")).alias("fp_minhash"),
+    )
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: content-hash groupBy, min-id survivor."""
+    from ner_spark.functions.dedup import exact_dup_groups
+
+    return exact_dup_groups(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "minhash_bands",
+    f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM t),
+    m AS (SELECT doc_id,
+            list_transform(range(0, 12),
+              i -> list_min(list_transform(sh, x -> {_h60("x || chr(1) || i::VARCHAR")})))
+            AS sig
+          FROM s)
+    SELECT doc_id, CAST(b AS INTEGER) AS band_idx,
+           b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS band_key
+    FROM m, (SELECT unnest(range(0, 4)) AS b) bands
+    """,
+)
+def q_minhash_bands(spark, sf_dir):
+    """MinHash signatures + LSH banding keys over word 3-gram shingles —
+    the blocking layer of near-dup detection, all row-local."""
+    from ner_spark.functions.dedup import doc_band_keys, doc_minhash
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = doc_minhash(d.select("doc_id", "text"))
+    return (
+        sigs.withColumn("bands", doc_band_keys(F.col("minhash")))
+        .select(
+            "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+        )
+    )
+
+
+@query(
+    "lsh_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
+    m AS (SELECT doc_id, sh,
+            list_transform(range(0, 12),
+              i -> list_min(list_transform(sh, x -> {_h60("x || chr(1) || i::VARCHAR")})))
+            AS sig
+          FROM t),
+    b AS (SELECT doc_id,
+            b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
+          FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b,
+           round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+    FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id
+    WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) >= 0.5
+    """,
+)
+def q_lsh_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs over token sets (k=1 shingles),
+    verified by exact Jaccard ≥ 0.5."""
+    from ner_spark.functions.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5, k=1)
+
+
+@query(
+    "simhash_values",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 list_transform(string_split(text, ' '), x -> {_h60('x')}) AS hs
+               FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32),
+             b -> CASE WHEN list_sum(list_transform(hs,
+                          h -> CASE WHEN (h & CAST(power(2, b) AS BIGINT)) <> 0 THEN 1 ELSE -1 END)) > 0
+                       THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+    FROM t
+    """,
+)
+def q_simhash_values(spark, sf_dir):
+    """32-bit SimHash per document (sign-aggregated token hashes)."""
+    from ner_spark.functions.dedup import simhash_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+
+
+@query(
+    "simhash_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 list_transform(string_split(text, ' '), x -> {_h60('x')}) AS hs
+               FROM documents),
+    s AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 32),
+              b -> CASE WHEN list_sum(list_transform(hs,
+                           h -> CASE WHEN (h & CAST(power(2, b) AS BIGINT)) <> 0 THEN 1 ELSE -1 END)) > 0
+                        THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM t),
+    k AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM s)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, c.simhash)) AS INTEGER) AS hamming
+    FROM k a JOIN k c ON a.block = c.block AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.simhash, c.simhash)) <= 12
+    """,
+)
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: Hamming ≤ 12, blocked on the top 8 bits."""
+    from ner_spark.functions.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=12, prefix_bits=8)
+
+
+@query(
+    "token_jaccard_pairs",
+    """
+    WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.75
+    """,
+)
+def q_token_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs, blocked by language."""
+    from ner_spark.functions.dedup import token_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return token_jaccard_pairs(d, threshold=0.75)
+
+
+# ===========================================================================
+# Similarity search (embeddings)
+# ===========================================================================
+
+_COS_SQL = """round(
+      list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+         * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
+
+
+@query(
+    "embedding_dup_pairs",
+    f"""
+    WITH t AS (SELECT label, vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL.replace('qv', 'a.embedding').replace('cv', 'b.embedding')} AS cosine
+    FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.replace('qv', 'a.embedding').replace('cv', 'b.embedding')} >= 0.4
+    """,
+)
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within the cluster-label block
+    (IVF-cell analogue)."""
+    from ner_spark.functions.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(e, threshold=0.4)
+
+
+@query(
+    "ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+          FROM c, q WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s) x
+    WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first 10 query vectors — the
+    exact baseline ANN (queries broadcast, corpus streamed)."""
+    from ner_spark.functions.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0, 8),
+                   i -> CASE WHEN embedding[i+1] >= 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+    s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+          FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s) x
+    WHERE rank <= 5
+    """,
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    """Bucketed (sign-LSH) approximate top-5 — the scale path: per-bucket
+    join instead of corpus × queries."""
+    from ner_spark.functions.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.where(F.col("vec_id") < 50), k=5, n_planes=8)
+
+
+# ===========================================================================
+# Multimodal + micro-F1
+# ===========================================================================
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'image/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary payload metadata (opaque media column plumbing): byte
+    length + checksum computed on the binary, metadata-only reads prune
+    the payload column at scan time."""
+    from ner_spark.functions.multimodal import attach_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return attach_payload(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.byte_len").alias("byte_len"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@query(
+    "micro_f1",
+    """
+    WITH t AS (
+      SELECT list_distinct(list_filter(string_split(text, ' '), x -> length(x) >= 5)) AS pred,
+             list_distinct(list_filter(string_split(text, ' '), x -> contains(x, 'a'))) AS gold
+      FROM documents),
+    s AS (
+      SELECT CAST(sum(len(pred)) AS BIGINT) AS n_pred,
+             CAST(sum(len(gold)) AS BIGINT) AS n_gold,
+             CAST(sum(len(list_intersect(pred, gold))) AS BIGINT) AS n_hit
+      FROM t)
+    SELECT n_pred, n_gold, n_hit,
+           round(CASE WHEN n_pred > 0 THEN n_hit::DOUBLE / n_pred ELSE 0.0 END, 6) AS precision_,
+           round(CASE WHEN n_gold > 0 THEN n_hit::DOUBLE / n_gold ELSE 0.0 END, 6) AS recall_,
+           round(CASE WHEN n_hit > 0 THEN 2.0 * (n_hit::DOUBLE / n_pred) * (n_hit::DOUBLE / n_gold)
+                        / ((n_hit::DOUBLE / n_pred) + (n_hit::DOUBLE / n_gold)) ELSE 0.0 END, 6) AS f1
+    FROM s
+    """,
+)
+def q_micro_f1(spark, sf_dir):
+    """A1 micro P/R/F1 (/root/reference/utils.py:613-634) as pure
+    built-in aggregation: per-row pair sets (derived deterministically
+    from the corpus), summed sizes + intersections, zero-guarded
+    ratios. No UDAF."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        F.array_distinct(F.filter(toks, lambda x: F.length(x) >= 5)).alias("pred"),
+        F.array_distinct(F.filter(toks, lambda x: x.contains("a"))).alias("gold"),
+    )
+    s = t.agg(
+        F.sum(F.size("pred")).alias("n_pred"),
+        F.sum(F.size("gold")).alias("n_gold"),
+        F.sum(F.size(F.array_intersect("pred", "gold"))).alias("n_hit"),
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(F.col("n_hit") > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    return s.select(
+        "n_pred",
+        "n_gold",
+        "n_hit",
+        F.round(p, 6).alias("precision_"),
+        F.round(r, 6).alias("recall_"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+# ===========================================================================
+# KG pipeline queries (deterministic synthetic transcripts fixture;
+# oracles = plain-Python reference goldens, read via read_parquet)
+# ===========================================================================
+
+
+def _fx(sf_dir: str) -> str:
+    """Fixture dir for the sf scale implied by sf_dir (built on demand,
+    cached on disk; a pure function of the seed)."""
+    from ner_spark.fixtures.build import build_fixtures
+
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return build_fixtures(sf if sf in SF_TURNS else "sf0.01")
+
+
+def _golden(name: str) -> str:
+    """Oracle-side path of a golden at the driver's correctness scale."""
+    return os.path.join(FIXTURES_SQL_ROOT, name)
+
+
+_MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _mentions(spark: SparkSession, fx: str) -> DataFrame:
+    """Full tag+extract over the fixture transcripts, cached per session
+    (several kg_* queries reuse it)."""
+    from ner_spark.pipeline import build_mentions
+
+    key = (id(spark), fx)
+    if key not in _MENTIONS_CACHE:
+        t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+        _MENTIONS_CACHE[key] = build_mentions(t).cache()
+    return _MENTIONS_CACHE[key]
+
+
+@query(
+    "kg_tags",
+    f"""
+    SELECT conv_id, turn_idx, array_to_string(tags, ' ') AS tags_str
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_tags.parquet")}')
+    """,
+)
+def q_kg_tags(spark, sf_dir):
+    """X3/X6 decode parity: the mapInPandas forward+Viterbi tagger vs the
+    row-wise plain-Python oracle decode (joined to one string per turn)."""
+    m = _mentions(spark, _fx(sf_dir))
+    return m.select(
+        "conv_id", "turn_idx", F.array_join("tags", " ").alias("tags_str")
+    )
+
+
+@query(
+    "kg_mentions",
+    f"""
+    SELECT conv_id, turn_idx, pred, obj, span_start, span_end
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_mentions.parquet")}')
+    """,
+)
+def q_kg_mentions(spark, sf_dir):
+    """X1 extraction with spans (pre-dedup) vs the oracle scan."""
+    m = _mentions(spark, _fx(sf_dir))
+    return m.select(
+        "conv_id", "turn_idx", F.explode("mentions").alias("m")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("m.pred").alias("pred"),
+        F.col("m.obj").alias("obj"),
+        F.col("m.span_start").alias("span_start"),
+        F.col("m.span_end").alias("span_end"),
+    )
+
+
+@query(
+    "kg_triples",
+    f"""
+    SELECT conv_id, turn_idx, subj, pred, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_triples.parquet")}')
+    """,
+)
+def q_kg_triples(spark, sf_dir):
+    """The flagship M1 slice: per-turn deduped (pred, obj) pairs anchored
+    as triples — the P/R≥0.95 gate surface (exact parity ⇒ P=R=1)."""
+    from ner_spark.operators.extraction import mentions_to_triples
+
+    m = _mentions(spark, _fx(sf_dir))
+    return mentions_to_triples(m)
+
+
+@query(
+    "kg_relations",
+    f"""
+    SELECT conv_id, turn_idx, subj_type, subj, pred, obj_type, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_relations.parquet")}')
+    """,
+)
+def q_kg_relations(spark, sf_dir):
+    """M2 open relation extraction vs the kg.relate_mentions oracle."""
+    from ner_spark.operators.relate import extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    return extract_relations(m).distinct()
+
+
+@query(
+    "kg_link_edges",
+    f"""
+    SELECT src, dst
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "link_edges.parquet")}')
+    """,
+)
+def q_kg_link_edges(spark, sf_dir):
+    """M3 MinHash-LSH blocking + Jaccard link scorer vs the oracle's
+    banded union-find input edges."""
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions
+
+    m = _mentions(spark, _fx(sf_dir))
+    _nodes, edges = link_edges(explode_mentions(m))
+    return edges.select(
+        F.col("node_a").alias("src"), F.col("node_b").alias("dst")
+    )
+
+
+@query(
+    "kg_canonical_map",
+    f"""
+    SELECT node, canonical
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_map.parquet")}')
+    """,
+)
+def q_kg_canonical_map(spark, sf_dir):
+    """M4 large-star/small-star connected components vs union-find."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return a.select(
+        F.col("node_id").alias("node"), F.col("component").alias("canonical")
+    )
+
+
+@query(
+    "kg_graph_nodes",
+    f"""
+    SELECT entity_id, entity_type, canonical_name, n_surfaces, n_mentions
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}')
+    """,
+)
+def q_kg_graph_nodes(spark, sf_dir):
+    """Materialized canonical entity table vs oracle."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_nodes
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return materialize_nodes(nodes, a)
+
+
+@query(
+    "kg_graph_edges",
+    f"""
+    SELECT src_entity, pred, dst_entity, n_turns
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+    """,
+)
+def q_kg_graph_edges(spark, sf_dir):
+    """Materialized canonical edge table vs oracle."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_edges
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return materialize_edges(extract_relations(m).distinct(), a)
+
+
+@query(
+    "kg_noisy_triples",
+    f"""
+    SELECT conv_id, turn_idx, subj, pred, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "noisy_triples.parquet")}')
+    """,
+)
+def q_kg_noisy_triples(spark, sf_dir):
+    """X1 corner-case gauntlet: extraction over label-noise-perturbed tag
+    sequences (orphan-I drops, mid-entity flushes) vs the oracle."""
+    from ner_spark.operators.extraction import (
+        extract_mentions_bio,
+        mentions_to_triples,
+    )
+
+    fx = _fx(sf_dir)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", F.split("text", " ").alias("tokens")
+    )
+    nt = spark.read.parquet(os.path.join(fx, "noisy_tags.parquet"))
+    j = t.join(nt, ["conv_id", "turn_idx"])
+    m = j.withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    )
+    return mentions_to_triples(m)
+
+
+@query(
+    "kg_bioes_pairs",
+    f"""
+    SELECT conv_id, turn_idx, pred, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "bioes_pairs.parquet")}')
+    """,
+)
+def q_kg_bioes_pairs(spark, sf_dir):
+    """X2 BIOES extraction (attr-at-E/S, unterminated-run drop) vs the
+    oracle over perturbed BIOES label sequences."""
+    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bioes
+
+    fx = _fx(sf_dir)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", F.split("text", " ").alias("tokens")
+    )
+    bt = spark.read.parquet(os.path.join(fx, "bioes_tags.parquet"))
+    j = t.join(bt, ["conv_id", "turn_idx"])
+    m = j.withColumn(
+        "mentions",
+        extract_mentions_bioes(F.col("bio"), F.col("tokens"), F.col("attr")),
+    )
+    return (
+        m.withColumn("pair", F.explode(distinct_pairs(F.col("mentions"))))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("pair.pred").alias("pred"),
+            F.col("pair.obj").alias("obj"),
+        )
+    )

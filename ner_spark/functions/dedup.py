@@ -1,0 +1,217 @@
+"""Deduplication operators over a document corpus.
+
+Five families, each a `queries()` entry with a DuckDB oracle:
+* exact           — content-hash groupBy (zero false positives);
+* MinHash + LSH   — shingle → signature → band → bucket self-join;
+* SimHash         — 32-bit sign-hash + Hamming-radius pairs;
+* n-gram Jaccard  — token-set Jaccard over blocked candidate pairs;
+* embedding cosine— near-dup pairs in vector space (see similarity.py).
+
+Scale design: every pair generator BLOCKS first (band key / simhash
+prefix / lang) so no stage is quadratic in the corpus; the only wide ops
+are hash-partitioned groupBys and the block-key self-joins, both
+AQE-skew-splittable. Signatures are computed row-locally with
+higher-order functions — no Python, no explode-shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import content_hash, tokens_col
+from ner_spark.operators.linking import md5_hash60_col
+
+SIMHASH_BITS = 32
+
+
+# --------------------------------------------------------------------------
+# exact
+# --------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, keep_id): one row per distinct content, the
+    minimum id is the canonical survivor."""
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivor rows only (min id per identical content)."""
+    w = exact_dup_groups(df, id_col, text_col).select("keep_id")
+    return df.join(w, df[id_col] == w["keep_id"], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH over word shingles
+# --------------------------------------------------------------------------
+
+
+def word_shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams joined by spaces (whole text when short)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(n < k, F.array(text)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        )
+    )
+
+
+def doc_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3) -> DataFrame:
+    """Append shingles + minhash signature columns (row-local)."""
+    from ner_spark.operators.linking import minhash_sig_col
+
+    return df.withColumn("shingles", word_shingles_col(F.col(text_col), k)).withColumn(
+        "minhash", minhash_sig_col(F.col("shingles"), n_hashes)
+    )
+
+
+def doc_band_keys(sig: Column, band_rows: int = 3, n_bands: int = 4) -> Column:
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * band_rows + 1, band_rows),
+                    lambda h: h.cast("string"),
+                ),
+                "-",
+            ),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs verified by exact shingle Jaccard ≥ threshold.
+
+    ``k`` = shingle width in words (k=1 ⇒ token-set Jaccard)."""
+    from ner_spark.operators.linking import jaccard_col
+
+    sigs = doc_minhash(df, text_col, k=k).withColumn(
+        "bands", doc_band_keys(F.col("minhash"))
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id"), "shingles", F.explode("bands").alias("band")
+    )
+    if max_band_bucket is not None:
+        keep = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)
+        b = b.join(F.broadcast(keep.select("band")), "band")
+    left = b.select("band", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    right = b.select("band", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        left.join(right, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """32-bit SimHash over whitespace tokens (multiset): bit b is set iff
+    the sum over tokens of ±1 (sign of bit b of the token's 60-bit md5
+    hash) is positive. Row-local nested higher-order aggregation."""
+    hashes = F.transform(tokens_col(text), md5_hash60_col)
+
+    def mask(b: Column) -> Column:  # 2^b as long (exact for b < 53)
+        return F.pow(F.lit(2.0), b).cast("long")
+
+    bit_terms = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            mask(b),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 10,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash, blocked on the top
+    ``prefix_bits`` bits (at scale: multi-probe over rotated prefixes)."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        simhash_col(F.col(text_col)).alias("simhash"),
+    ).withColumn(
+        "block", F.shiftright(F.col("simhash"), SIMHASH_BITS - prefix_bits)
+    )
+    a = s.select("block", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select("block", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram / token-set Jaccard
+# --------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs within a blocking key (default:
+    language). Exact within block — the quadratic cost is bounded by the
+    block size, which at scale is further split by length buckets."""
+    from ner_spark.operators.linking import jaccard_col
+
+    t = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
+    )
+    a = t.select("block", F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = t.select("block", F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jaccard_col(F.col("t_a"), F.col("t_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,133 @@
+"""Text analysis: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All column-level (row-local, zero shuffle, whole-stage-codegen
+friendly); every function has an equivalent ANSI-SQL restatement used by
+the DuckDB oracle in ``__spark_entry__.py``, so the exact arithmetic
+(rounding, ratios, hash bit-widths) is part of the spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ner_spark.operators.linking import md5_hash60_col
+
+# BPE-ish token pattern: letter runs, digit runs, single non-alnum marks.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "ein"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "y", "de", "un", "una", "es"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish subword count: regex token classes over the lowercased
+    text (letter runs / digit runs / single marks)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    toks = tokens_col(F.lower(text))
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ascii letters."""
+    return F.length(F.regexp_replace(F.lower(text), r"[^a-z]", "")) / F.length(text)
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0, ~1] quality heuristic: length band + alpha ratio +
+    stopword presence + token-length sanity. Deterministic, rounded to 6
+    decimals (the rounding is part of the cross-engine spec)."""
+    n = F.length(text)
+    len_band = F.when((n >= 100) & (n <= 2000), 1.0).when(n >= 30, 0.5).otherwise(0.0)
+    tl = mean_token_len(text)
+    tl_band = F.when((tl >= 3.0) & (tl <= 10.0), 1.0).otherwise(0.3)
+    score = (
+        0.3 * len_band
+        + 0.3 * alpha_ratio(text)
+        + 0.2 * F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+        + 0.2 * tl_band
+    )
+    return F.round(score, 6)
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    # NOTE: the stopword array must be closed over, not passed as a
+    # lambda default — pyspark binds a lambda variable per parameter.
+    sw = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(text: Column) -> Column:
+    """map-free language scoring: array of (lang, hits) over the shared
+    stopword inventories; hit = token membership count."""
+    toks = tokens_col(F.lower(text))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                _stopword_hits(toks, words).alias("hits"),
+            )
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax stopword hits, ties broken by lang
+    name ascending, 'und' (undetermined) when no stopword matches."""
+    scores = lang_scores(text)
+    mx = F.array_max(F.transform(scores, lambda s: s["hits"]))
+    winner = F.array_min(
+        F.transform(
+            F.filter(scores, lambda s: s["hits"] == mx), lambda s: s["lang"]
+        )
+    )
+    return F.when(mx > 0, winner).otherwise(F.lit("und"))
+
+
+def fingerprint_minhash(text: Column, ngram: int = 4) -> Column:
+    """Document fingerprint: min 60-bit hash over word ``ngram``-grams
+    (winnowing-style content fingerprint; whole text when shorter)."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    grams = F.when(n < ngram, F.array(text)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (ngram - 1)),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        )
+    )
+    return F.array_min(F.transform(grams, md5_hash60_col))
+
+
+def content_hash(text: Column) -> Column:
+    """Exact-dup key: md5 hex of the raw text."""
+    return F.md5(text)

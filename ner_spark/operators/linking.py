@@ -1,0 +1,207 @@
+"""M3 — blocking + MinHash-LSH candidate generation + link scoring.
+
+Entity linking over mention surfaces: normalize → char-shingle → MinHash
+signature → banded blocking keys → band self-join → Jaccard verification.
+The exact hash spec lives in the Spark-free oracle ``ner_spark.kg``
+(md5-based so Python / Spark SQL / DuckDB compute identical integers);
+this module is the distributed implementation and must agree bit-for-bit.
+
+Scale design (the part the reference, a single-box repo, never had):
+* signatures are computed **row-locally** with higher-order array
+  functions (``transform`` over ``sequence`` + ``array_min``) — the
+  shingle set never explodes into rows, so MinHash costs zero shuffle;
+* the only wide operation is the band-key self-join. Band keys are
+  ``entity_type|band|h1-h2-h3`` — high cardinality; residual hot buckets
+  (stop-surface bands) are handled by ``max_band_bucket`` which drops
+  pathological buckets (standard LSH stop-band practice at 10^12-turn
+  scale; off by default so small-scale results match the oracle exactly)
+  plus AQE skew-join splitting from the session defaults;
+* candidate pairs are deduped on (node_a, node_b) BEFORE the verify step
+  so Jaccard is computed once per pair, not once per shared band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.kg import (
+    BAND_ROWS,
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_HASHES,
+    NORM_SUFFIX_PATTERN,
+)
+
+# ---------------------------------------------------------------------------
+# column-level building blocks (all row-local, JVM-side)
+# ---------------------------------------------------------------------------
+
+
+def normalize_surface_col(col: Column) -> Column:
+    """Spark restatement of ``kg.normalize_surface``: lower, collapse
+    whitespace, strip a trailing legal suffix (the reference's only
+    normalization is lower-casing, torch_version/data_tools.py:157-159;
+    the suffix/whitespace rules are our linking keys)."""
+    s = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.regexp_replace(s, NORM_SUFFIX_PATTERN, "")
+
+
+def md5_hash60_col(col: Column) -> Column:
+    """First 15 md5 hex digits as a 60-bit long — same integer as
+    ``kg.md5_hash60`` and DuckDB ``('0x'||substring(md5(s),1,15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles_expr(col: Column, k: int = 3) -> Column:
+    """Distinct char k-grams (whole string when shorter than k). Mirrors
+    ``kg.char_shingles`` (element order differs — consumers treat the
+    array as a set). Row-local higher-order functions, no UDF."""
+    return F.when(F.length(col) < k, F.array(col)).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - (k - 1)),
+                lambda i: col.substr(i, F.lit(k)),
+            )
+        )
+    )
+
+
+def minhash_sig_col(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<long> length ``n_hashes``; element i =
+    min over shingles of md5_hash60(shingle || \\x01 || i). Row-local."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda sh: F.conv(
+                    F.substring(F.md5(F.concat(sh, F.lit("\x01"), i.cast("string"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+
+
+def band_keys_col(entity_type: Column, sig: Column) -> Column:
+    """array<string> of N_BANDS keys ``type|band|h-h-h`` (kg.band_keys)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.concat(
+            entity_type,
+            F.lit("|"),
+            b.cast("string"),
+            F.lit("|"),
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * BAND_ROWS + 1, BAND_ROWS),
+                    lambda h: h.cast("string"),
+                ),
+                "-",
+            ),
+        ),
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    u = F.size(F.array_union(a, b))
+    return F.when(u == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_intersect(a, b)) / u
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage operators
+# ---------------------------------------------------------------------------
+
+
+def mention_nodes(mentions_exploded: DataFrame) -> DataFrame:
+    """Distinct typed entity nodes from mention occurrences.
+
+    Input: one row per mention occurrence with columns ``mtype``/``mtext``
+    (the exploded extraction output). node_id = ``type|normalized_surface``
+    (kg.node_key) — identical surfaces collapse before linking, so LSH
+    runs on unique nodes only (at scale: |nodes| << |mentions|)."""
+    nodes = mentions_exploded.select(
+        F.col("mtype").alias("entity_type"), F.col("mtext").alias("surface")
+    ).withColumn("norm", normalize_surface_col(F.col("surface")))
+    return (
+        nodes.groupBy("entity_type", "norm")
+        .agg(
+            F.count(F.lit(1)).alias("mention_count"),
+            F.min("surface").alias("canonical_surface"),
+        )
+        .withColumn(
+            "node_id", F.concat_ws("|", F.col("entity_type"), F.col("norm"))
+        )
+    )
+
+
+def with_signatures(nodes_df: DataFrame, norm_col: str = "norm") -> DataFrame:
+    sh = char_shingles_expr(F.col(norm_col))
+    return (
+        nodes_df.withColumn("shingles", sh)
+        .withColumn("minhash", minhash_sig_col(F.col("shingles")))
+        .withColumn(
+            "bands", band_keys_col(F.col("entity_type"), F.col("minhash"))
+        )
+    )
+
+
+def candidate_pairs(
+    sig_df: DataFrame, max_band_bucket: int | None = None
+) -> DataFrame:
+    """Band-blocked candidate pairs (node_a < node_b), deduped.
+
+    ``max_band_bucket``: at web scale, a handful of band keys can collect
+    millions of nodes (stop-surfaces); buckets above the cap are dropped
+    before the self-join (quadratic blow-up guard). None = exact (tests).
+    """
+    b = sig_df.select(
+        F.col("node_id"), F.col("shingles"), F.explode("bands").alias("band")
+    )
+    if max_band_bucket is not None:
+        sizes = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)
+        b = b.join(F.broadcast(sizes.select("band")), "band")
+    left = b.select(
+        F.col("band"),
+        F.col("node_id").alias("node_a"),
+        F.col("shingles").alias("shingles_a"),
+    )
+    right = b.select(
+        F.col("band"),
+        F.col("node_id").alias("node_b"),
+        F.col("shingles").alias("shingles_b"),
+    )
+    return (
+        left.join(right, "band")
+        .where(F.col("node_a") < F.col("node_b"))
+        .select("node_a", "node_b", "shingles_a", "shingles_b")
+        .dropDuplicates(["node_a", "node_b"])
+    )
+
+
+def score_pairs(pairs_df: DataFrame) -> DataFrame:
+    """Jaccard verification of candidates — the link scorer. Pure
+    built-ins (array_intersect/array_union), no shuffle beyond the join
+    that produced the pairs."""
+    return pairs_df.withColumn(
+        "score", jaccard_col(F.col("shingles_a"), F.col("shingles_b"))
+    ).select("node_a", "node_b", "score")
+
+
+def link_edges(
+    mentions_exploded: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_band_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """exploded mentions -> (nodes, edges). Edges connect same-type nodes
+    whose normalized surfaces pass the Jaccard threshold."""
+    nodes = mention_nodes(mentions_exploded)
+    sigs = with_signatures(nodes)
+    pairs = candidate_pairs(sigs, max_band_bucket=max_band_bucket)
+    scored = score_pairs(pairs)
+    edges = scored.where(F.col("score") >= threshold)
+    return nodes, edges

@@ -1,0 +1,119 @@
+"""M5 — per-partition lineage manifest + idempotent stage resume.
+
+The reference's only lineage is an append-only run log
+(/root/reference/train_lstm_crf.py:13-24, ckpt/run.log) plus TF
+checkpoints for restart (train_lstm_crf.py:198-200). The north_star
+upgrades that to a **manifest table**: one row per (run, stage,
+partition) with input/output row counts and a status, so any stage of
+the pipeline resumes idempotently (FIXTURES.md F8).
+
+Protocol (write-audit-publish, Iceberg-style without requiring an
+Iceberg catalog in the sandbox — plain parquet dirs stand in):
+
+1. a stage computes its output DataFrame and writes it to
+   ``<out>/<stage>/data`` with ``mode=overwrite`` (atomic publish per
+   stage directory);
+2. per-partition metrics are collected from the *written* data
+   (``spark_partition_id()`` groupBy — this is the lineage evidence, not
+   an estimate) and appended to the manifest with status ``complete``;
+3. on resume, a stage whose manifest shows ``complete`` for this run and
+   whose data dir exists is **skipped** and its output re-read — making
+   re-runs idempotent and partial failures re-entrant: an interrupted
+   stage has no ``complete`` row, so it recomputes and its overwrite
+   replaces any torn output.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("stage", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("rows", T.LongType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+
+def manifest_path(out_dir: str) -> str:
+    # NOTE: no leading underscore — Spark's file index silently ignores
+    # `_`-prefixed paths (metadata convention), which would make the
+    # manifest read back empty.
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    path = manifest_path(out_dir)
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def stage_complete(
+    spark: SparkSession, out_dir: str, run_id: str, stage: str
+) -> bool:
+    m = read_manifest(spark, out_dir)
+    done = (
+        m.where(
+            (F.col("run_id") == run_id)
+            & (F.col("stage") == stage)
+            & (F.col("status") == "complete")
+        ).limit(1).count()
+        > 0
+    )
+    return done and os.path.isdir(stage_data_path(out_dir, stage))
+
+
+def stage_data_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage, "data")
+
+
+def _partition_metrics(df: DataFrame) -> DataFrame:
+    return df.groupBy(
+        F.spark_partition_id().alias("partition_id")
+    ).agg(F.count(F.lit(1)).alias("rows"))
+
+
+def publish_stage(
+    df: DataFrame, out_dir: str, run_id: str, stage: str
+) -> DataFrame:
+    """Write a stage's output + its per-partition manifest rows; return
+    the re-read (published) DataFrame so downstream stages consume the
+    materialized data, truncating lineage between stages."""
+    spark = df.sparkSession
+    path = stage_data_path(out_dir, stage)
+    df.write.mode("overwrite").parquet(path)
+    published = spark.read.parquet(path)
+    metrics = (
+        _partition_metrics(published)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("status", F.lit("complete"))
+        .withColumn("updated_at", F.current_timestamp())
+        .select([f.name for f in MANIFEST_SCHEMA.fields])
+    )
+    metrics.write.mode("append").parquet(manifest_path(out_dir))
+    return published
+
+
+def run_stage(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    stage: str,
+    compute,
+    resume: bool = True,
+) -> DataFrame:
+    """Execute ``compute() -> DataFrame`` under the resume protocol."""
+    if resume and stage_complete(spark, out_dir, run_id, stage):
+        return spark.read.parquet(stage_data_path(out_dir, stage))
+    return publish_stage(compute(), out_dir, run_id, stage)

@@ -1,0 +1,149 @@
+"""End-to-end KG-construction pipeline (SURVEY §3 "Lifecycle").
+
+transcripts → [ingest] repartitionByRange(conv_id, turn_idx)
+           → [tag]     mapInPandas forward + batched NumPy Viterbi (EP3)
+           → [extract] BIO span UDF → mentions
+           → [triples] per-turn deduped (pred, obj) pairs, turn-anchored
+           → [relate]  typed co-occurrence relations (M2)
+           → [link]    normalize + MinHash-LSH + Jaccard scorer (M3)
+           → [cc]      large-star/small-star canonical ids (M4)
+           → [graph]   nodes / edges / canonical triples materialized
+with every stage published through the manifest protocol (M5) so a rerun
+resumes from the last complete stage.
+
+Skew story (north_star): the hot conv_id (fixture: ~30% of all turns) is
+split across range partitions because the range key includes turn_idx —
+per-conversation order survives within each range slice, and no stage
+groups by conv_id alone (relate groups by (conv_id, turn_idx); linking
+groups by surface-derived keys), so no single task inherits the whole hot
+conversation. ``salt_hot_convs`` exists for operators that DO need
+conv-level aggregation and is applied to the per-conv turn reassembly
+check in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ner_spark.operators.components import connected_components
+from ner_spark.operators.extraction import extract_mentions_bio, mentions_to_triples
+from ner_spark.operators.graph import materialize_edges, materialize_nodes
+from ner_spark.operators.linking import link_edges
+from ner_spark.operators.manifest import run_stage
+from ner_spark.operators.relate import explode_mentions, extract_relations
+from ner_spark.operators.tagging import tag_turns, with_tokens
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    run_id: str = "run-0"
+    resume: bool = True
+    link_threshold: float = 0.55
+    max_band_bucket: int | None = None
+    range_partitions: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+STAGES = (
+    "mentions",
+    "triples",
+    "relations",
+    "surface_nodes",
+    "link_edges",
+    "assignment",
+    "nodes",
+    "edges",
+)
+
+
+def ingest(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-repartition on (conv_id, turn_idx): deterministic co-location
+    of conversation slices without serializing hot conversations."""
+    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
+    return transcripts.repartitionByRange(n, "conv_id", "turn_idx")
+
+
+def salt_hot_convs(df: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Deterministic salt column for conv-level aggregations: spreads each
+    conversation over ``n_salts`` sub-keys (pmod of a turn hash). Callers
+    aggregate per (conv_id, salt) then merge — two-level aggregation."""
+    return df.withColumn(
+        "salt", F.pmod(F.hash("turn_idx"), F.lit(n_salts))
+    )
+
+
+def build_mentions(transcripts: DataFrame) -> DataFrame:
+    tagged = tag_turns(ingest(transcripts))
+    return with_tokens(tagged).withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    ).select("conv_id", "turn_idx", "role", "text", "tags", "mentions")
+
+
+def run_pipeline(
+    spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig
+) -> dict[str, DataFrame]:
+    """Run all stages under the manifest/resume protocol; returns the
+    published DataFrames keyed by stage name."""
+    out: dict[str, DataFrame] = {}
+
+    mentions = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "mentions",
+        lambda: build_mentions(transcripts), resume=cfg.resume,
+    )
+    out["mentions"] = mentions
+
+    out["triples"] = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "triples",
+        lambda: mentions_to_triples(mentions), resume=cfg.resume,
+    )
+
+    relations = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "relations",
+        lambda: extract_relations(mentions), resume=cfg.resume,
+    )
+    out["relations"] = relations
+
+    # -- linking: surface nodes + scored link edges ------------------------
+    exploded = explode_mentions(mentions)
+    surface_nodes_df, link_edges_df = link_edges(
+        exploded,
+        threshold=cfg.link_threshold,
+        max_band_bucket=cfg.max_band_bucket,
+    )
+    surface_nodes = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "surface_nodes",
+        lambda: surface_nodes_df, resume=cfg.resume,
+    )
+    links = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "link_edges",
+        lambda: link_edges_df, resume=cfg.resume,
+    )
+    out["surface_nodes"], out["link_edges"] = surface_nodes, links
+
+    # -- canonicalization --------------------------------------------------
+    assignment = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "assignment",
+        lambda: connected_components(
+            surface_nodes, links,
+            id_col="node_id", src_col="node_a", dst_col="node_b",
+        ),
+        resume=cfg.resume,
+    )
+    out["assignment"] = assignment
+
+    # -- graph materialization ---------------------------------------------
+    out["nodes"] = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "nodes",
+        lambda: materialize_nodes(surface_nodes, assignment),
+        resume=cfg.resume,
+    )
+    out["edges"] = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "edges",
+        lambda: materialize_edges(relations, assignment),
+        resume=cfg.resume,
+    )
+    return out

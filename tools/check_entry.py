@@ -1,0 +1,114 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same sf dir, compare
+row-count + column names + order-insensitive value multiset.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    return str(v)
+
+
+def to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = "\x01".join(norm_cell(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    sf = os.path.basename(os.path.normpath(sf_dir))
+
+    import duckdb
+
+    import __spark_entry__ as ent
+    from ner_spark.session import get_spark
+
+    spark = get_spark(app_name="check_entry")
+    qs, oracles = ent.queries(), ent.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        status = "ok"
+        detail = ""
+        try:
+            df = fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = df.collect()
+            sql = oracles.get(name)
+            if sql is None:
+                status = "rows_only"
+                detail = f"{len(s_rows)} rows"
+            else:
+                # mirror test runs at any sf: retarget golden paths
+                sql = sql.replace("/.fixtures/sf0.01/", f"/.fixtures/{sf}/")
+                cur = con.execute(sql)
+                d_cols = [c[0] for c in cur.description]
+                d_rows = cur.fetchall()
+                if sorted(s_cols) != sorted(d_cols):
+                    status = "SCHEMA_MISMATCH"
+                    detail = f"spark={s_cols} duck={d_cols}"
+                elif len(s_rows) != len(d_rows):
+                    status = "COUNT_MISMATCH"
+                    detail = f"spark={len(s_rows)} duck={len(d_rows)}"
+                else:
+                    ms = to_multiset(s_cols, [[r[c] for c in s_cols] for r in s_rows])
+                    md = to_multiset(d_cols, d_rows)
+                    if ms != md:
+                        status = "VALUE_MISMATCH"
+                        diff = [k for k in ms if ms[k] != md.get(k, 0)][:3]
+                        diff2 = [k for k in md if md[k] != ms.get(k, 0)][:3]
+                        detail = f"spark_only={diff} duck_only={diff2} rows={len(s_rows)}"
+                    else:
+                        detail = f"{len(s_rows)} rows"
+        except Exception as e:  # noqa: BLE001
+            status = "ERROR"
+            detail = f"{type(e).__name__}: {e}"[:300]
+        dt = time.time() - t0
+        results[name] = (status, detail, round(dt, 1))
+        print(f"{name:24s} {status:16s} {dt:6.1f}s  {detail[:160]}", flush=True)
+
+    bad = {k: v for k, v in results.items() if v[0] not in ("ok", "rows_only")}
+    print(json.dumps({"total": len(results), "bad": len(bad)}))
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
