@@ -10,6 +10,20 @@ Two parts:
    rows/sec at both and efficiency = (thr_32 / thr_8) / 4.
    (Sandbox stand-in for 2 cluster sizes, per the driver instruction.)
 
+   Methodology (why the raw per-round job isn't measured directly):
+   * the input is replicated SPARK_GRAFT_SCALE_REPL× (default 64) into
+     a many-file parquet dir so the scan itself is splittable — a single
+     small file serializes the pre-shuffle stages and would measure file
+     layout, not the engine;
+   * each session runs a warm-up pass first (excluded from timing):
+     Python workers importing numpy/pandas + JIT/codegen warm-up is a
+     per-executor-lifetime cost (~10 s once) that a real cluster
+     amortizes over hours, so folding it into a seconds-long measured
+     window would swamp the signal at ANY parallelism;
+   * the measured job is sized to ≳1 core-minute at N so fixed
+     per-query costs (range-sampling scan, scheduling, final agg) are
+     <5% of the window.
+
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip part 2 (e.g. when iterating).
 """
 
@@ -113,21 +127,52 @@ def main() -> None:
 
     # -- scaling evidence: same job, local[8] vs local[32] ----------------
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        import tempfile
+
+        repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
+        big = os.path.join(
+            tempfile.gettempdir(), f"ner_spark_scale_{sf_name}_x{repl}"
+        )
+        if not os.path.isdir(big):
+            s = get_spark(master="local[32]", app_name="ner_spark_scale_prep")
+            from pyspark.sql import functions as F
+
+            t = s.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+            r = (
+                t.crossJoin(
+                    F.broadcast(s.range(repl).select(F.col("id").alias("rep")))
+                )
+                .withColumn("conv_id", F.concat_ws("#", "conv_id", "rep"))
+                .drop("rep")
+            )
+            r.repartition(256).write.mode("overwrite").parquet(big)
+            s.stop()
+
+        def _count_big(s) -> int:
+            from ner_spark.operators.extraction import mentions_to_triples
+            from ner_spark.pipeline import build_mentions
+
+            t = s.read.parquet(big)
+            return mentions_to_triples(build_mentions(t)).count()
+
+        n_big_turns = n_turns * repl
         scaling = {}
         for k in (8, 32):
             s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
+            _kg_triples_count(s, fx_dir)  # warm-up: workers + codegen
             t0 = time.time()
-            n = _kg_triples_count(s, fx_dir)
+            n = _count_big(s)
             dt = time.time() - t0
             scaling[f"local{k}"] = {
                 "sec": round(dt, 3),
                 "triples_per_sec": round(n / dt, 1),
-                "turns_per_sec": round(n_turns / dt, 1),
+                "turns_per_sec": round(n_big_turns / dt, 1),
             }
             s.stop()
         thr8 = scaling["local8"]["turns_per_sec"]
         thr32 = scaling["local32"]["turns_per_sec"]
         scaling["efficiency_n_to_4n"] = round((thr32 / thr8) / 4.0, 3)
+        scaling["input_turns"] = n_big_turns
         out["scaling"] = scaling
 
     print(json.dumps(out))

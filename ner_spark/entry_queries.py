@@ -41,6 +41,27 @@ def _h60(x: str) -> str:
     return f"('0x' || substring(md5({x}), 1, 15))::BIGINT"
 
 
+def _hs_sql(shingles: str) -> str:
+    """31-bit per-shingle hash array (kg spec: one md5 pass, then affine
+    permutations)."""
+    from ner_spark.kg import H31_MASK
+
+    return f"list_transform({shingles}, x -> ({_h60('x')} & {H31_MASK}))"
+
+
+def _sig_sql(hs: str = "hs") -> str:
+    """MinHash signature as a 12-element list literal of affine-rehash
+    minima — identical integers to kg.minhash_signature / Spark
+    minhash_sig_from_hashes."""
+    from ner_spark.kg import MERSENNE61, MINHASH_A, MINHASH_B
+
+    parts = ",\n             ".join(
+        f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {MERSENNE61}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{parts}]"
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -519,6 +540,104 @@ def q_fingerprints(spark, sf_dir):
 
 
 # ===========================================================================
+# Sequence encoding (SURVEY §2.2 P1/P2/P4/P5/P7/P8, §2.7 O4)
+# ===========================================================================
+
+
+@query(
+    "encode_char_frame",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+               ch -> CASE WHEN ch = ' ' THEN '[SPA]' ELSE ch END) AS chars
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             ['[CLS]'] || list_slice(list_filter(chars, ch -> ch <> '[SPA]'), 1, 32) || ['[SEP]'] AS frame
+      FROM c)
+    SELECT doc_id, CAST(len(frame) AS INTEGER) AS frame_len,
+           array_to_string(frame, ' ') AS frame_str
+    FROM f
+    """,
+)
+def q_encode_char_frame(spark, sf_dir):
+    """Char-level BERT framing: space→[SPA] (P7), [SPA] drop (P4),
+    truncation to 32 content chars (O4), [CLS]/[SEP] wrap (P5). One
+    whole-stage-codegen span, zero shuffle."""
+    from ner_spark.operators.encode import bert_frame_col
+
+    d = _t(spark, sf_dir, "documents")
+    frame = bert_frame_col(F.col("text"), max_len=32)
+    return d.select(
+        "doc_id",
+        F.size(frame).alias("frame_len"),
+        F.array_join(frame, " ").alias("frame_str"),
+    )
+
+
+@query(
+    "encode_token_ids",
+    """
+    WITH vtoks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE source <> 'src0'),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY token) + 3 AS INTEGER) AS id
+      FROM vtoks
+      UNION ALL
+      SELECT * FROM (VALUES ('[PAD]', 0), ('[UNK]', 1), ('[SEP]', 2), ('[SPA]', 3)) v(token, id)),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id,
+                 CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+                 unnest(toks) AS token
+          FROM t)
+    SELECT e.doc_id, e.pos, e.token,
+           coalesce(vocab.id, 1) AS id,
+           CASE WHEN vocab.id IS NULL THEN '[UNK]' ELSE e.token END AS decoded
+    FROM e LEFT JOIN vocab ON e.token = vocab.token
+    """,
+)
+def q_encode_token_ids(spark, sf_dir):
+    """P1 token→id with [UNK] fallback + P10 id→token round-trip, as
+    broadcast joins against a corpus-driven vocabulary (J2-as-join). The
+    vocab excludes source src0, so src0-only tokens exercise the [UNK]
+    path (/root/reference/utils.py:47)."""
+    from ner_spark.operators.encode import build_vocab, encode_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d.where(F.col("source") != "src0"))
+    return encode_tokens(d, vocab)
+
+
+@query(
+    "encode_wlf",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id,
+                 flatten(list_transform(toks,
+                   tok -> list_transform(range(1, length(tok) + 1), i -> tok))) AS wlf
+          FROM t)
+    SELECT doc_id, CAST(len(wlf) AS INTEGER) AS wlf_len,
+           array_to_string(wlf, ' ') AS wlf_str
+    FROM w
+    """,
+)
+def q_encode_wlf(spark, sf_dir):
+    """P8 word→char repeat expansion (word-level features aligned to char
+    positions, /root/reference/utils.py:443-450)."""
+    from ner_spark.operators.encode import wlf_expand_col
+
+    d = _t(spark, sf_dir, "documents")
+    wlf = wlf_expand_col(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.size(wlf).alias("wlf_len"),
+        F.array_join(wlf, " ").alias("wlf_str"),
+    )
+
+
+# ===========================================================================
 # Deduplication
 # ===========================================================================
 
@@ -547,11 +666,8 @@ def q_dedup_exact(spark, sf_dir):
                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
             END AS sh
           FROM t),
-    m AS (SELECT doc_id,
-            list_transform(range(0, 12),
-              i -> list_min(list_transform(sh, x -> {_h60("x || chr(1) || i::VARCHAR")})))
-            AS sig
-          FROM s)
+    h AS (SELECT doc_id, {_hs_sql('sh')} AS hs FROM s),
+    m AS (SELECT doc_id, {_sig_sql()} AS sig FROM h)
     SELECT doc_id, CAST(b AS INTEGER) AS band_idx,
            b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS band_key
     FROM m, (SELECT unnest(range(0, 4)) AS b) bands
@@ -575,12 +691,16 @@ def q_minhash_bands(spark, sf_dir):
 @query(
     "lsh_dup_pairs",
     f"""
-    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh FROM documents),
-    m AS (SELECT doc_id, sh,
-            list_transform(range(0, 12),
-              i -> list_min(list_transform(sh, x -> {_h60("x || chr(1) || i::VARCHAR")})))
-            AS sig
-          FROM t),
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM d),
+    hh AS (SELECT doc_id, sh, {_hs_sql('sh')} AS hs FROM t),
+    m AS (SELECT doc_id, sh, {_sig_sql()} AS sig
+          FROM hh),
     b AS (SELECT doc_id,
             b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
           FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
@@ -595,12 +715,15 @@ def q_minhash_bands(spark, sf_dir):
     """,
 )
 def q_lsh_dup_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup pairs over token sets (k=1 shingles),
-    verified by exact Jaccard ≥ 0.5."""
+    """MinHash-LSH near-dup pairs over word 3-gram shingles, verified by
+    exact shingle Jaccard ≥ 0.5. k=3 (not bag-of-words k=1): unigram sets
+    over a shared vocabulary make near-everything a candidate — at corpus
+    scale that is a quadratic self-join; 3-gram shingles keep the LSH
+    blocks selective (the standard near-dup configuration)."""
     from ner_spark.functions.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.5, k=1)
+    return minhash_lsh_pairs(d, threshold=0.5, k=3)
 
 
 @query(
@@ -1044,6 +1167,99 @@ def q_kg_noisy_triples(spark, sf_dir):
         "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
     )
     return mentions_to_triples(m)
+
+
+@query(
+    "kg_span_to_bio",
+    f"""
+    SELECT conv_id, turn_idx, pos, label
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "gold_bio.parquet")}')
+    """,
+)
+def q_kg_span_to_bio(spark, sf_dir):
+    """P6 gold-span→BIO projection (/root/reference/data_process.ipynb
+    cell-7): nested ner spans → per-position B-/I-/O labels, checked
+    against the row-wise oracle's exploded label golden."""
+    from ner_spark.operators.encode import spans_to_bio_col
+
+    fx = _fx(sf_dir)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    g = spark.read.parquet(os.path.join(fx, "gold_spans.parquet"))
+    j = g.join(t, ["conv_id", "turn_idx"])
+    labels = spans_to_bio_col(F.col("ner"), F.col("n_tokens"))
+    return j.select(
+        "conv_id", "turn_idx", F.posexplode(labels).alias("pos", "label")
+    )
+
+
+@query(
+    "tsv_corpus_scan",
+    f"""
+    SELECT text, tags,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+    FROM read_csv('{os.path.join(FIXTURES_SQL_ROOT, "corpus.tsv")}',
+                  delim='\t', header=false, quote='', escape='',
+                  columns={{'text': 'VARCHAR', 'tags': 'VARCHAR'}})
+    """,
+)
+def q_tsv_corpus_scan(spark, sf_dir):
+    """S3 combined-TSV corpus scan (text \\t labels —
+    /root/reference/torch_version/data_tools.py:23-44). Quoting disabled
+    on both engines so the file bytes are the contract."""
+    fx = _fx(sf_dir)
+    df = (
+        spark.read.option("sep", "\t")
+        .option("quote", "")
+        .schema("text string, tags string")
+        .csv(os.path.join(fx, "corpus.tsv"))
+    )
+    return df.select(
+        "text", "tags", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+@query(
+    "json_corpus_scan",
+    f"""
+    SELECT conv_id, turn_idx,
+           CAST(len(sentence) AS INTEGER) AS n_tokens,
+           n.type AS mtype,
+           CAST(n.index[1] AS INTEGER) AS span_start,
+           CAST(len(n.index) AS INTEGER) AS span_len
+    FROM (
+      SELECT conv_id, turn_idx, sentence, unnest(ner) AS n
+      FROM read_json('{os.path.join(FIXTURES_SQL_ROOT, "corpus.jsonl")}',
+                     format='newline_delimited',
+                     columns={{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                               'sentence': 'VARCHAR[]',
+                               'ner': 'STRUCT(index INTEGER[], type VARCHAR)[]'}}))
+    """,
+)
+def q_json_corpus_scan(spark, sf_dir):
+    """S4 nested-JSON corpus scan (resume-zh shape {sentence, ner[]} —
+    /root/reference/data_process.ipynb cell-2/3) with an explicit nested
+    schema; mentions exploded to rows."""
+    fx = _fx(sf_dir)
+    schema = (
+        "conv_id string, turn_idx int, sentence array<string>, "
+        "ner array<struct<index: array<int>, type: string>>"
+    )
+    df = spark.read.schema(schema).json(os.path.join(fx, "corpus.jsonl"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.size("sentence").alias("n_tokens"),
+        F.explode("ner").alias("n"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "n_tokens",
+        F.col("n.type").alias("mtype"),
+        F.element_at(F.col("n.index"), 1).alias("span_start"),
+        F.size(F.col("n.index")).alias("span_len"),
+    )
 
 
 @query(

@@ -33,7 +33,7 @@ from ner_spark.oracle.reference import (
     viterbi_decode,
 )
 
-FIXTURE_VERSION = "v9"
+FIXTURE_VERSION = "v10"
 FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
 
 NOISE_RATE = 0.12
@@ -185,6 +185,32 @@ def _build_into(out_dir: str, sf_name: str, full: bool) -> None:
     _write(mentions_df, os.path.join(out_dir, "reference_mentions.parquet"))
     triples_df = pd.DataFrame(t_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"])
     _write(triples_df, os.path.join(out_dir, "reference_triples.parquet"))
+
+    # --- alternative source encodings of the same corpus ------------------
+    # S3 combined TSV (text \t labels — /root/reference/torch_version/
+    # data_tools.py:23-44, data/resume-zh-one/train.csv format)
+    with open(os.path.join(out_dir, "corpus.tsv"), "w", encoding="utf-8") as f:
+        for toks, tags in zip(token_lists, all_tags):
+            f.write(" ".join(toks) + "\t" + " ".join(tags) + "\n")
+
+    # S4 nested JSON-lines (resume-zh corpus shape {sentence, ner} —
+    # /root/reference/data_process.ipynb cell-2/3)
+    import json as _json
+
+    with open(os.path.join(out_dir, "corpus.jsonl"), "w", encoding="utf-8") as f:
+        for (conv, ti, ner), toks in zip(span_rows, token_lists):
+            f.write(
+                _json.dumps(
+                    {
+                        "conv_id": conv,
+                        "turn_idx": int(ti),
+                        "sentence": toks,
+                        "ner": ner,
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
 
     spans_schema = pa.schema(
         [

@@ -34,6 +34,32 @@ BAND_ROWS = 3  # 4 bands of 3 rows
 N_BANDS = N_HASHES // BAND_ROWS
 JACCARD_THRESHOLD = 0.55
 
+# MinHash = one md5 per shingle, then N_HASHES affine rehashes
+# ``(a_i * h31 + b_i) mod M61`` (the classic universal-hash family).
+# Hashing each shingle once and permuting arithmetically is 12x less
+# digest work than md5(shingle||i) per hash index — the difference between
+# one and twelve md5 passes over every shingle of 10^12 turns. Operand
+# sizing keeps every intermediate inside a signed 64-bit int so Python,
+# Spark SQL and DuckDB compute bit-identical values with plain BIGINT
+# arithmetic: h31 < 2^31, a_i odd < 2^30, so a_i*h31 + b_i < 2^62.
+MERSENNE61 = (1 << 61) - 1
+H31_MASK = 0x7FFFFFFF
+
+
+def _minhash_constants() -> tuple[list[int], list[int]]:
+    a = [
+        (int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) & ((1 << 30) - 1)) | 1
+        for i in range(N_HASHES)
+    ]
+    b = [
+        int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) & ((1 << 30) - 1)
+        for i in range(N_HASHES)
+    ]
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_constants()
+
 
 def char_shingles(s: str, k: int = 3) -> list[str]:
     """Distinct character k-grams, insertion order; whole string if short."""
@@ -55,8 +81,10 @@ def md5_hash60(s: str) -> int:
 
 
 def minhash_signature(shingles: list[str]) -> list[int]:
+    hs = [md5_hash60(sh) & H31_MASK for sh in shingles]
     return [
-        min(md5_hash60(f"{sh}\x01{i}") for sh in shingles) for i in range(N_HASHES)
+        min((a * h + b) % MERSENNE61 for h in hs)
+        for a, b in zip(MINHASH_A, MINHASH_B)
     ]
 
 

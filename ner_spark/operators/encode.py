@@ -1,0 +1,171 @@
+"""Sequence-encoding operators (SURVEY §2.2 projections P1-P10, O4).
+
+The reference's per-example preprocessing, re-expressed as row-local
+Spark column expressions (higher-order array functions — JVM-side, no
+Python, no shuffle):
+
+* P7  space→``[SPA]`` substitution (/root/reference/data_process.ipynb
+  cell-7: ``"[SPA]" if word == " " else word``);
+* P4  ``[SPA]`` drop on the BERT path (/root/reference/utils.py:135-138);
+* P5  ``[CLS]``/``[SEP]`` sequence framing (/root/reference/utils.py:140-148);
+* O4  truncation to ``max_length``
+  (/root/reference/torch_version/data_tools.py:165-170);
+* P1  token→id lookup with ``[UNK]`` default (/root/reference/utils.py:47)
+  as a broadcast join against the vocabulary dimension — the table-level
+  restatement of ``tf.nn.embedding_lookup``'s gather (SURVEY §2.4 J2);
+* P2  strict label→id (no default) — preserved as an inner join;
+* P10 id→token decode (/root/reference/train_lstm_crf.py:161-164);
+* P8  word→char repeat expansion for word-level features
+  (/root/reference/utils.py:443-450: word id repeated ``len(word)`` times
+  so word features align per char);
+* P6  gold-span→BIO projection (/root/reference/data_process.ipynb cell-7).
+
+Scale notes: every operator here is a narrow per-row map — Catalyst keeps
+them inside one whole-stage-codegen span over the scan. The only joins are
+against the vocabulary dimension (broadcast; a vocab is ≤100k rows even at
+10^12-turn corpus scale — the reference's is 89,303 rows,
+/root/reference/data/vocab_word.txt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+PAD, UNK, SEP, SPA = "[PAD]", "[UNK]", "[SEP]", "[SPA]"
+RESERVED = [(PAD, 0), (UNK, 1), (SEP, 2), (SPA, 3)]
+UNK_ID = 1
+
+
+# ---------------------------------------------------------------------------
+# char-level framing (P7 + P4 + O4 + P5)
+# ---------------------------------------------------------------------------
+
+
+def char_tokens_col(text: Column) -> Column:
+    """Char-level tokenization with space→``[SPA]`` substitution (P7)."""
+    return F.transform(
+        F.split(text, ""),
+        lambda c: F.when(c == " ", F.lit(SPA)).otherwise(c),
+    )
+
+
+def bert_frame_col(text: Column, max_len: int = 32) -> Column:
+    """BERT input framing over char tokens: drop ``[SPA]`` (P4), truncate
+    content to ``max_len`` (O4 — truncation before framing, exactly the
+    tokenizer's ``truncation=True`` semantics), wrap ``[CLS]…[SEP]``
+    (P5)."""
+    content = F.filter(char_tokens_col(text), lambda c: c != SPA)
+    content = F.slice(content, 1, max_len)
+    return F.concat(
+        F.array(F.lit("[CLS]")), content, F.array(F.lit("[SEP]"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encode / decode (P1, P2, P10; J2-as-join)
+# ---------------------------------------------------------------------------
+
+
+def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-driven vocabulary dimension (S1 semantics: stable ids after
+    the 4 reserved rows). Deterministic: ids follow token sort order, not
+    first-seen order, so the result is partitioning-invariant.
+
+    The global ``row_number`` window is fine for a dimension table (vocab
+    cardinality ≪ corpus size; the reference's largest vocab is 89,303
+    rows). The distinct() underneath is a proper distributed aggregation —
+    only the final numbered dimension is single-partition."""
+    spark = df.sparkSession
+    toks = df.select(F.explode(F.split(text_col, " ")).alias("token")).distinct()
+    w = Window.orderBy("token")
+    vocab = toks.select(
+        "token", (F.row_number().over(w) + 3).cast("int").alias("id")
+    )
+    reserved = spark.createDataFrame(RESERVED, "token string, id int")
+    return vocab.unionByName(reserved)
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (doc, position): token, its id (``[UNK]``=1 fallback —
+    P1), and the id→token round-trip decode (P10). Both lookups are
+    broadcast hash joins against the vocabulary dimension."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(text_col, " ")).alias("pos", "token"),
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left").withColumn(
+        "id", F.coalesce(F.col("id"), F.lit(UNK_ID))
+    )
+    dec = F.broadcast(
+        vocab.select(F.col("id"), F.col("token").alias("decoded"))
+    )
+    return (
+        enc.join(dec, "id", "left")
+        .withColumn("decoded", F.coalesce("decoded", F.lit(UNK)))
+        .select(id_col, "pos", "token", "id", "decoded")
+    )
+
+
+def encode_labels_strict(
+    df: DataFrame, label_vocab: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """P2: strict label→id — an inner join, so an unseen label DROPS the
+    row instead of defaulting (callers assert count preservation, which is
+    the distributed restatement of the reference's KeyError)."""
+    return df.join(
+        F.broadcast(label_vocab.withColumnRenamed("token", label_col)),
+        label_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-level-feature expansion (P8)
+# ---------------------------------------------------------------------------
+
+
+def wlf_expand_col(words: Column) -> Column:
+    """Word repeated ``len(word)`` times, flattened — aligns word-level
+    features to char positions (``[SPA]`` counts as one char, which holds
+    here because the substitute happens after expansion in the reference's
+    char accounting, /root/reference/utils.py:443-450)."""
+    return F.flatten(
+        F.transform(
+            words, lambda w: F.array_repeat(w, F.length(w).cast("int"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# gold-span → BIO projection (P6)
+# ---------------------------------------------------------------------------
+
+
+def spans_to_bio_col(ner: Column, n_tokens: Column) -> Column:
+    """Per-position BIO label array from gold spans
+    ``array<struct<index: array<int>, type: string>>`` — ``B-type`` at a
+    span's first position, ``I-type`` inside, ``O`` elsewhere. Spans from
+    BIO extraction never overlap, so the first match is the only match."""
+
+    def label_at(pos: Column) -> Column:
+        # try_element_at: null (not an ANSI error) when no span covers pos
+        sp = F.try_element_at(
+            F.filter(ner, lambda s: F.array_contains(s["index"], pos)), F.lit(1)
+        )
+        return F.when(sp.isNull(), F.lit("O")).otherwise(
+            F.concat(
+                F.when(
+                    F.try_element_at(sp["index"], F.lit(1)) == pos, F.lit("B-")
+                ).otherwise(F.lit("I-")),
+                sp["type"],
+            )
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), n_tokens.cast("int") - 1), label_at
+    )

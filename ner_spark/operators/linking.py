@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from ner_spark.kg import (
     BAND_ROWS,
+    H31_MASK,
     JACCARD_THRESHOLD,
+    MERSENNE61,
+    MINHASH_A,
+    MINHASH_B,
     N_BANDS,
     N_HASHES,
     NORM_SUFFIX_PATTERN,
@@ -67,22 +71,32 @@ def char_shingles_expr(col: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_sig_col(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """array<long> length ``n_hashes``; element i =
-    min over shingles of md5_hash60(shingle || \\x01 || i). Row-local."""
+def shingle_hashes_col(shingles: Column) -> Column:
+    """array<long>: one 31-bit md5-derived hash per shingle — the single
+    digest pass MinHash permutes arithmetically (kg.minhash_signature)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda sh: F.conv(
-                    F.substring(F.md5(F.concat(sh, F.lit("\x01"), i.cast("string"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long"),
-            )
-        ),
+        shingles, lambda sh: md5_hash60_col(sh).bitwiseAND(F.lit(H31_MASK))
     )
+
+
+def minhash_sig_from_hashes(hashes: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<long> length ``n_hashes``; element i =
+    min over shingle hashes h of (a_i*h + b_i) mod M61. Row-local, pure
+    64-bit arithmetic — no digest work beyond the one pass in
+    ``shingle_hashes_col``."""
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, perm(MINHASH_A[i], MINHASH_B[i])))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_sig_col(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    return minhash_sig_from_hashes(shingle_hashes_col(shingles), n_hashes)
 
 
 def band_keys_col(entity_type: Column, sig: Column) -> Column:
@@ -143,10 +157,12 @@ def with_signatures(nodes_df: DataFrame, norm_col: str = "norm") -> DataFrame:
     sh = char_shingles_expr(F.col(norm_col))
     return (
         nodes_df.withColumn("shingles", sh)
-        .withColumn("minhash", minhash_sig_col(F.col("shingles")))
+        .withColumn("sh_hashes", shingle_hashes_col(F.col("shingles")))
+        .withColumn("minhash", minhash_sig_from_hashes(F.col("sh_hashes")))
         .withColumn(
             "bands", band_keys_col(F.col("entity_type"), F.col("minhash"))
         )
+        .drop("sh_hashes")
     )
 
 
