@@ -1,0 +1,132 @@
+"""Structured Streaming ingest: continuous transcripts → triples.
+
+The reference is strictly batch (SURVEY §2.10 — epoch loops over
+materialized lists, /root/reference/utils.py:83-114), so no streaming
+semantics are *ported*; this module is the production ingestion mode the
+10^12-turn deployment needs: transcripts land continuously (file/Iceberg
+commits), and the tag→extract→triples slice runs incrementally with
+exactly-once sink semantics instead of recomputing the corpus.
+
+Design notes (Spark-first):
+* every operator in the tag→extract slice is stateless and row-local
+  (``mapInPandas`` tagger, extraction pandas UDF, explode), so the whole
+  pipeline is legal in ``append`` mode with NO state store — the
+  streaming plan is the batch plan re-planned per micro-batch;
+* file-source + checkpointLocation gives exactly-once: a re-run after
+  failure or new-data arrival processes only unseen files (the streaming
+  analogue of the batch manifest protocol in operators/manifest.py);
+* ``Trigger.AvailableNow`` drains the backlog and stops — the
+  batch-parity mode used in tests; a real deployment drops the trigger
+  for continuous micro-batches;
+* the windowed rollup shows event-time semantics over ``ts`` with a
+  watermark bounding state: late turns beyond the watermark are dropped
+  from the aggregation (the documented trade — the batch pipeline is the
+  source of truth; the stream serves freshness).
+
+The batch pipeline's ``repartitionByRange`` ordering step is NOT applied
+here: range repartitioning needs a global sample of the batch and is
+meaningless across micro-batches. Extraction is row-local so triple
+correctness does not depend on it (asserted in tests: streaming output ==
+batch output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPTS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source streaming scan of a transcripts directory. The schema
+    is explicit (streaming sources cannot infer), matching input_hint."""
+    r = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(input_dir)
+
+
+def streaming_triples(transcripts: DataFrame) -> DataFrame:
+    """The batch tag→extract→triples slice applied to a streaming
+    DataFrame — identical operators, stateless, append-mode legal."""
+    from ner_spark.operators.extraction import (
+        extract_mentions_bio,
+        mentions_to_triples,
+    )
+    from ner_spark.operators.tagging import tag_turns, with_tokens
+
+    tagged = with_tokens(tag_turns(transcripts))
+    m = tagged.withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    )
+    return mentions_to_triples(m)
+
+
+def windowed_triple_counts(
+    transcripts: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time rollup: triple counts per (tumbling ts window, pred)
+    with a watermark bounding the state store — late turns past the
+    watermark no longer update closed windows. The watermark is attached
+    directly before the stateful aggregation (after the stateless
+    UDF stages) so event-time tracking is unambiguous."""
+    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bio
+    from ner_spark.operators.tagging import tag_turns, with_tokens
+
+    tagged = with_tokens(tag_turns(transcripts))
+    pairs = tagged.withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    ).withColumn("pair", F.explode(distinct_pairs(F.col("mentions"))))
+    return (
+        pairs.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("pair.pred").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pred",
+            "n_triples",
+        )
+    )
+
+
+def run_triples_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> None:
+    """Drain ``input_dir`` into a parquet triples sink with exactly-once
+    file tracking under ``checkpoint_dir``. With ``available_now`` the
+    call blocks until the backlog is consumed (test/batch-parity mode)."""
+    triples = streaming_triples(stream_transcripts(spark, input_dir))
+    w = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+    else:
+        q = w.start()
+    q.awaitTermination()

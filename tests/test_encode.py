@@ -1,0 +1,99 @@
+"""Unit tests for sequence-encoding operators (operators/encode.py),
+covering the reference corner cases the oracle queries can't isolate:
+[UNK] fallback, strict-label drop, char framing of edge strings, WLF
+expansion widths, span→BIO on empty/edge spans.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_char_frame_edges(spark):
+    from ner_spark.operators.encode import bert_frame_col
+
+    df = spark.createDataFrame(
+        [("a b",), ("",), ("x" * 100,)], "text string"
+    ).withColumn("frame", bert_frame_col(F.col("text"), max_len=4))
+    rows = {r["text"]: r["frame"] for r in df.collect()}
+    # spaces become [SPA] then are dropped; content chars survive
+    assert rows["a b"] == ["[CLS]", "a", "b", "[SEP]"]
+    # empty text -> empty split in Spark yields [""] — framing keeps the
+    # empty token like the reference keeps empty lines (length-0 content)
+    assert rows[""][0] == "[CLS]" and rows[""][-1] == "[SEP]"
+    # truncation to 4 content chars
+    assert rows["x" * 100] == ["[CLS]", "x", "x", "x", "x", "[SEP]"]
+
+
+def test_vocab_encode_unk_roundtrip(spark):
+    from ner_spark.operators.encode import build_vocab, encode_tokens
+
+    corpus = spark.createDataFrame(
+        [(0, "aa bb"), (1, "bb cc")], "doc_id int, text string"
+    )
+    vocab = build_vocab(corpus.where(F.col("doc_id") == 0))  # aa, bb only
+    enc = encode_tokens(corpus, vocab).orderBy("doc_id", "pos").collect()
+    by = [(r["token"], r["id"], r["decoded"]) for r in enc]
+    # reserved prefix is 0..3 => corpus ids start at 4; sort order aa<bb
+    assert by[0] == ("aa", 4, "aa")
+    assert by[1] == ("bb", 5, "bb")
+    assert by[2] == ("bb", 5, "bb")
+    # cc unseen -> [UNK]=1, decodes to the [UNK] token (P1 + P10)
+    assert by[3] == ("cc", 1, "[UNK]")
+
+
+def test_strict_label_encode_drops_unknown(spark):
+    from ner_spark.operators.encode import build_vocab, encode_labels_strict
+
+    labels = spark.createDataFrame(
+        [("O",), ("B-x",), ("NOPE",)], "label string"
+    )
+    vocab = build_vocab(
+        spark.createDataFrame([("O B-x I-x",)], "text string")
+    )
+    out = encode_labels_strict(labels, vocab)
+    # P2: unknown label is dropped (count contract breaks loudly), known map
+    assert out.count() == 2
+    assert set(r["label"] for r in out.collect()) == {"O", "B-x"}
+
+
+def test_wlf_expansion_width(spark):
+    from ner_spark.operators.encode import wlf_expand_col
+
+    df = spark.createDataFrame([("ab c ddd",)], "text string").select(
+        wlf_expand_col(F.split("text", " ")).alias("w")
+    )
+    assert df.collect()[0]["w"] == ["ab", "ab", "c", "ddd", "ddd", "ddd"]
+
+
+def test_spans_to_bio_roundtrip_property(spark):
+    """BIO → spans (oracle) → BIO (Spark P6) is the identity on clean
+    tag sequences — exercised over the fixture's first conversations."""
+    import os
+
+    from ner_spark.fixtures.build import build_fixtures
+    from ner_spark.operators.encode import spans_to_bio_col
+
+    fx = build_fixtures("sf0.001")
+    g = spark.read.parquet(os.path.join(fx, "gold_spans.parquet"))
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", F.size(F.split("text", " ")).alias("n")
+    )
+    tags = spark.read.parquet(os.path.join(fx, "reference_tags.parquet"))
+    j = g.join(t, ["conv_id", "turn_idx"]).join(tags, ["conv_id", "turn_idx"])
+    bad = j.withColumn(
+        "rebuilt", spans_to_bio_col(F.col("ner"), F.col("n"))
+    ).where(F.col("rebuilt") != F.col("tags"))
+    # rebuilt BIO differs from decoded tags ONLY where decode emitted an
+    # orphan-I run (dropped by extraction) — on clean rows it's identical;
+    # assert the clean-row majority matches exactly
+    total = j.count()
+    assert bad.count() < total * 0.2
+    # and at least one row with entities is reconstructed exactly
+    exact = j.withColumn(
+        "rebuilt", spans_to_bio_col(F.col("ner"), F.col("n"))
+    ).where(
+        (F.col("rebuilt") == F.col("tags")) & (F.size("ner") > 0)
+    )
+    assert exact.count() > 0

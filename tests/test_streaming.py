@@ -1,0 +1,144 @@
+"""Structured Streaming ingest tests (ner_spark/streaming/stream.py).
+
+Checks the three properties that make the streaming slice trustworthy:
+1. batch parity — draining the fixture through the stream produces
+   exactly the batch pipeline's triples (multiset equality);
+2. incremental exactly-once — new files landing after a first drain are
+   processed on the next run WITHOUT reprocessing old files (total output
+   equals one batch pass over everything, no duplicates);
+3. the watermarked event-time rollup matches the batch groupBy.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _triples_multiset(df):
+    rows = df.select("conv_id", "turn_idx", "subj", "pred", "obj").collect()
+    out = {}
+    for r in rows:
+        k = tuple(r)
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory, fixtures_small):
+    """Split the fixture transcripts into two landing files + one
+    late-arriving file, simulating continuous ingest."""
+    root = tmp_path_factory.mktemp("stream")
+    in_dir = os.path.join(root, "landing")
+    os.makedirs(in_dir)
+    t = pq.read_table(os.path.join(fixtures_small, "transcripts.parquet"))
+    n = t.num_rows
+    a, b = n // 3, 2 * (n // 3)
+    pq.write_table(t.slice(0, a), os.path.join(in_dir, "part-0.parquet"))
+    pq.write_table(t.slice(a, b - a), os.path.join(in_dir, "part-1.parquet"))
+    late = os.path.join(root, "late.parquet")
+    pq.write_table(t.slice(b), late)
+    return {
+        "input": in_dir,
+        "late_file": late,
+        "out": os.path.join(root, "out"),
+        "ckpt": os.path.join(root, "ckpt"),
+        "root": str(root),
+    }
+
+
+def test_stream_batch_parity_and_incremental_resume(spark, stream_dirs, fixtures_small):
+    from ner_spark.streaming.stream import run_triples_stream
+
+    # -- first drain: 2/3 of the corpus ----------------------------------
+    run_triples_stream(
+        spark, stream_dirs["input"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    got1 = _triples_multiset(spark.read.parquet(stream_dirs["out"]))
+
+    from ner_spark.operators.extraction import (
+        extract_mentions_bio,
+        mentions_to_triples,
+    )
+    from ner_spark.operators.tagging import tag_turns, with_tokens
+
+    def batch_triples(df):
+        m = with_tokens(tag_turns(df)).withColumn(
+            "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+        )
+        return mentions_to_triples(m)
+
+    batch1 = _triples_multiset(
+        batch_triples(spark.read.parquet(stream_dirs["input"]))
+    )
+    assert got1 == batch1
+
+    # -- late file lands; second drain processes ONLY the new file -------
+    shutil.copy(
+        stream_dirs["late_file"],
+        os.path.join(stream_dirs["input"], "part-2.parquet"),
+    )
+    run_triples_stream(
+        spark, stream_dirs["input"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    got2 = _triples_multiset(spark.read.parquet(stream_dirs["out"]))
+
+    full_batch = _triples_multiset(
+        batch_triples(
+            spark.read.parquet(os.path.join(fixtures_small, "transcripts.parquet"))
+        )
+    )
+    # exactly-once: totals equal one batch pass, no duplicated old files
+    assert got2 == full_batch
+    # and the golden oracle agrees end-to-end
+    golden = _triples_multiset(
+        spark.read.parquet(os.path.join(fixtures_small, "reference_triples.parquet"))
+    )
+    assert got2 == golden
+
+
+def test_windowed_rollup_matches_batch(spark, stream_dirs, tmp_path):
+    from ner_spark.streaming.stream import (
+        stream_transcripts,
+        windowed_triple_counts,
+    )
+
+    agg = windowed_triple_counts(
+        stream_transcripts(spark, stream_dirs["input"]), window="1 hour"
+    )
+    out = str(tmp_path / "rollup_out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["pred"]): r["n_triples"]
+        for r in spark.sql("select * from rollup").collect()
+    }
+
+    # batch restatement of the same rollup
+    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bio
+    from ner_spark.operators.tagging import tag_turns, with_tokens
+
+    t = spark.read.parquet(stream_dirs["input"])
+    pairs = with_tokens(tag_turns(t)).withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    ).withColumn("pair", F.explode(distinct_pairs(F.col("mentions"))))
+    want = {
+        (r["ws"], r["pred"]): r["n"]
+        for r in pairs.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("ws"),
+            F.col("pair.pred").alias("pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
