@@ -33,7 +33,7 @@ from ner_spark.oracle.reference import (
     viterbi_decode,
 )
 
-FIXTURE_VERSION = "v10"
+FIXTURE_VERSION = "v11"
 FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
 
 NOISE_RATE = 0.12

@@ -77,17 +77,22 @@ def doc_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: in
 
 
 def doc_band_keys(sig: Column, band_rows: int = 3, n_bands: int = 4) -> Column:
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"),
-            F.lit("|"),
-            F.array_join(
-                F.transform(
-                    F.slice(sig, b * band_rows + 1, band_rows),
-                    lambda h: h.cast("string"),
+    from ner_spark.functions.colutil import let
+
+    return let(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.concat(
+                b.cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(s, b * band_rows + 1, band_rows),
+                        lambda h: h.cast("string"),
+                    ),
+                    "-",
                 ),
-                "-",
             ),
         ),
     )
@@ -135,27 +140,30 @@ def minhash_lsh_pairs(
 def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """32-bit SimHash over whitespace tokens (multiset): bit b is set iff
     the sum over tokens of ±1 (sign of bit b of the token's 60-bit md5
-    hash) is positive. Row-local nested higher-order aggregation."""
-    hashes = F.transform(tokens_col(text), md5_hash60_col)
+    hash) is positive. Row-local nested higher-order aggregation; the
+    per-token hash array is let-bound so the md5 pass runs once, not once
+    per bit position."""
+    from ner_spark.functions.colutil import let
 
     def mask(b: Column) -> Column:  # 2^b as long (exact for b < 53)
         return F.pow(F.lit(2.0), b).cast("long")
 
-    bit_terms = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            mask(b),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(
-        bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+    def body(hashes: Column) -> Column:
+        bit_terms = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda b: F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc + F.when(h.bitwiseAND(mask(b)) != 0, 1).otherwise(-1),
+                )
+                > 0,
+                mask(b),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    return let(F.transform(tokens_col(text), md5_hash60_col), body)
 
 
 def simhash_pairs(

@@ -83,7 +83,11 @@ def transitions() -> np.ndarray:
         T[:, i] -= 4.0  # any -> I-t penalized ...
         T[b, i] += 5.2  # ... except from B-t (net +1.2)
         T[i, i] += 4.8  # ... and from I-t (net +0.8)
-    return T
+    # float32 like the reference's ONNX-exported transitions tensor
+    # (/root/reference/predict.py:19 — onnxruntime outputs are float32);
+    # also halves the DP's memory traffic, which is what bounds multi-core
+    # scaling of the decode.
+    return T.astype(np.float32)
 
 
 _TRANSITIONS = transitions()
@@ -118,7 +122,7 @@ def _token_logits(token: str) -> np.ndarray:
                 v[1 + 2 * type_idx] += _GAZ_BOOST
             else:
                 v[2 + 2 * type_idx] += _GAZ_BOOST
-    return v
+    return v.astype(np.float32)  # float32 logits, as the ONNX runtime emits
 
 
 def token_logits_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
@@ -141,22 +145,39 @@ def token_logits_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
                 rows.append(r)
             out.append(np.stack(rows))
         else:
-            out.append(np.zeros((0, N_TAGS)))
+            out.append(np.zeros((0, N_TAGS), dtype=np.float32))
     return out
 
 
+# rows per DP chunk: keeps the (CHUNK, T, T) float32 temporaries and the
+# (CHUNK, S, T) trellis slab cache-resident per worker, so the DP streams
+# from L2/L3 instead of DRAM — the decode is bandwidth-bound, and DRAM
+# saturation is what caps multi-worker scaling (BENCH.md methodology).
+_VITERBI_CHUNK = 128
+
+
 def viterbi_batch(score_list: list[np.ndarray], trans: np.ndarray | None = None) -> list[np.ndarray]:
-    """Batched max-plus Viterbi over padded (B, S, T) tensors.
+    """Batched max-plus Viterbi, chunk-vectorized.
 
     Same recurrence as the reference's NumPy decode
     (/root/reference/predict.py:31-60): trellis[t] = score[t] +
     max(trellis[t-1][:, None] + T, axis=0), argmax backpointers, traceback
-    from the argmax of the last row — but vectorized across the whole Arrow
-    batch (one DP loop over time, not over rows). np.argmax tie-breaking
-    (first max index) matches the row-wise reference bit-for-bit.
+    from the argmax of the last row — vectorized across rows in chunks of
+    ``_VITERBI_CHUNK``. All arithmetic is float32 (the reference decodes
+    float32 ONNX outputs); np.argmax tie-breaking (first max index)
+    matches the row-wise oracle bit-for-bit, and chunking only changes
+    padding, never per-row values.
     """
     if trans is None:
         trans = _TRANSITIONS
+    trans = trans.astype(np.float32, copy=False)
+    out: list[np.ndarray] = []
+    for c0 in range(0, len(score_list), _VITERBI_CHUNK):
+        out.extend(_viterbi_chunk(score_list[c0 : c0 + _VITERBI_CHUNK], trans))
+    return out
+
+
+def _viterbi_chunk(score_list: list[np.ndarray], trans: np.ndarray) -> list[np.ndarray]:
     B = len(score_list)
     if B == 0:
         return []
@@ -165,13 +186,13 @@ def viterbi_batch(score_list: list[np.ndarray], trans: np.ndarray | None = None)
     if S == 0:
         return [np.zeros(0, dtype=np.int64) for _ in score_list]
     T = trans.shape[0]
-    scores = np.full((B, S, T), -1e30)
+    scores = np.full((B, S, T), -1e30, dtype=np.float32)
     for b, s in enumerate(score_list):
         if s.shape[0]:
             scores[b, : s.shape[0]] = s
 
-    trellis = np.empty((B, S, T))
-    backp = np.zeros((B, S, T), dtype=np.int32)
+    trellis = np.empty((B, S, T), dtype=np.float32)
+    backp = np.zeros((B, S, T), dtype=np.int8)  # T=17 fits int8
     trellis[:, 0] = scores[:, 0]
     for t in range(1, S):
         # (B, T_prev, T_next)

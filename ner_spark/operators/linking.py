@@ -83,15 +83,21 @@ def minhash_sig_from_hashes(hashes: Column, n_hashes: int = N_HASHES) -> Column:
     """array<long> length ``n_hashes``; element i =
     min over shingle hashes h of (a_i*h + b_i) mod M61. Row-local, pure
     64-bit arithmetic — no digest work beyond the one pass in
-    ``shingle_hashes_col``."""
+    ``shingle_hashes_col``, which is let-bound so project collapse cannot
+    re-inline the md5 pass once per signature element."""
+    from ner_spark.functions.colutil import let
+
     def perm(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
 
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, perm(MINHASH_A[i], MINHASH_B[i])))
-            for i in range(n_hashes)
-        ]
+    return let(
+        hashes,
+        lambda hs: F.array(
+            *[
+                F.array_min(F.transform(hs, perm(MINHASH_A[i], MINHASH_B[i])))
+                for i in range(n_hashes)
+            ]
+        ),
     )
 
 
@@ -100,20 +106,27 @@ def minhash_sig_col(shingles: Column, n_hashes: int = N_HASHES) -> Column:
 
 
 def band_keys_col(entity_type: Column, sig: Column) -> Column:
-    """array<string> of N_BANDS keys ``type|band|h-h-h`` (kg.band_keys)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.concat(
-            entity_type,
-            F.lit("|"),
-            b.cast("string"),
-            F.lit("|"),
-            F.array_join(
-                F.transform(
-                    F.slice(sig, b * BAND_ROWS + 1, BAND_ROWS),
-                    lambda h: h.cast("string"),
+    """array<string> of N_BANDS keys ``type|band|h-h-h`` (kg.band_keys).
+    ``sig`` is let-bound: each band slices the SAME evaluated signature,
+    so an inlined upstream signature expression is computed once."""
+    from ner_spark.functions.colutil import let
+
+    return let(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.concat(
+                entity_type,
+                F.lit("|"),
+                b.cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        F.slice(s, b * BAND_ROWS + 1, BAND_ROWS),
+                        lambda h: h.cast("string"),
+                    ),
+                    "-",
                 ),
-                "-",
             ),
         ),
     )

@@ -97,11 +97,16 @@ def extract_bioes(
 
 
 def viterbi_decode(unary: np.ndarray, trans: np.ndarray) -> list[int]:
-    """Single-sequence max-plus DP; (S, T) unary + (T, T) transitions."""
+    """Single-sequence max-plus DP; (S, T) unary + (T, T) transitions.
+
+    Arithmetic runs in the input dtype (float32 in this pipeline — the
+    reference decodes float32 ONNX outputs, /root/reference/predict.py:19),
+    so the row-wise oracle and the batched kernel perform bit-identical
+    float operations."""
     S = unary.shape[0]
     if S == 0:
         return []
-    trellis = np.empty_like(unary, dtype=np.float64)
+    trellis = np.empty_like(unary)
     pointers = np.zeros(unary.shape, dtype=np.int64)
     trellis[0] = unary[0]
     for t in range(1, S):

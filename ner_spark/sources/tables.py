@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,16 +86,43 @@ def read_json_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path, schema=schema)
 
 
+MAP_LITERAL_MAX_VOCAB = 8192
+
+
 def token_id_lookup(df: DataFrame, vocab: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """P1 (/root/reference/utils.py:47): token → id with [UNK]=1 default,
-    as a JVM-side map lookup — the vocab becomes a map literal broadcast
-    with the plan (no Python)."""
+    preserving the array column shape.
+
+    Two physical strategies by vocab size:
+    * small (≤ MAP_LITERAL_MAX_VOCAB): a JVM-side map literal shipped
+      with the plan — zero shuffle, zero Python, one codegen span;
+    * large (e.g. the reference's 89,303-word vocab,
+      /root/reference/data/vocab_word.txt): a map literal that size would
+      blow up the serialized plan and codegen, so the lookup runs as an
+      Arrow-batched pandas UDF over a normal Python dict built once from
+      the collected dimension (the reference's own representation,
+      /root/reference/utils.py:9-20) and shipped via broadcast — still
+      row-local, no shuffle.
+    """
     spark = df.sparkSession
     rows = vocab.collect()
-    mapping = F.create_map(
-        *[x for r in rows for x in (F.lit(r["token"]), F.lit(r["id"]))]
-    )
-    return df.withColumn(
-        "token_ids",
-        F.transform(F.col(tokens_col), lambda t: F.coalesce(mapping[t], F.lit(1))),
-    )
+    if len(rows) <= MAP_LITERAL_MAX_VOCAB:
+        mapping = F.create_map(
+            *[x for r in rows for x in (F.lit(r["token"]), F.lit(r["id"]))]
+        )
+        return df.withColumn(
+            "token_ids",
+            F.transform(F.col(tokens_col), lambda t: F.coalesce(mapping[t], F.lit(1))),
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    w2i = {r["token"]: r["id"] for r in rows}
+    bc = spark.sparkContext.broadcast(w2i)
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def lookup(tokens: pd.Series) -> pd.Series:
+        m = bc.value
+        return tokens.map(lambda ts: [m.get(t, 1) for t in ts])
+
+    return df.withColumn("token_ids", lookup(F.col(tokens_col)))

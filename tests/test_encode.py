@@ -97,3 +97,17 @@ def test_spans_to_bio_roundtrip_property(spark):
         (F.col("rebuilt") == F.col("tags")) & (F.size("ner") > 0)
     )
     assert exact.count() > 0
+
+
+def test_token_id_lookup_both_strategies(spark):
+    import ner_spark.sources.tables as tb
+
+    df = spark.createDataFrame([(["aa", "bb", "zz"],)], "tokens array<string>")
+    vocab = spark.createDataFrame([("aa", 4), ("bb", 5)], "token string, id int")
+    assert tb.token_id_lookup(df, vocab).collect()[0]["token_ids"] == [4, 5, 1]
+    old = tb.MAP_LITERAL_MAX_VOCAB
+    try:
+        tb.MAP_LITERAL_MAX_VOCAB = 1  # force the large-vocab UDF path
+        assert tb.token_id_lookup(df, vocab).collect()[0]["token_ids"] == [4, 5, 1]
+    finally:
+        tb.MAP_LITERAL_MAX_VOCAB = old
