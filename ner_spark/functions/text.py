@@ -88,30 +88,46 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
 
 def lang_scores(text: Column) -> Column:
     """map-free language scoring: array of (lang, hits) over the shared
-    stopword inventories; hit = token membership count."""
-    toks = tokens_col(F.lower(text))
-    return F.array(
-        *[
-            F.struct(
-                F.lit(lang).alias("lang"),
-                _stopword_hits(toks, words).alias("hits"),
-            )
-            for lang, words in sorted(LANG_STOPWORDS.items())
-        ]
+    stopword inventories; hit = token membership count. The token array
+    is let-bound so tokenization runs once, not once per language."""
+    from ner_spark.functions.colutil import let
+
+    return let(
+        tokens_col(F.lower(text)),
+        lambda toks: F.array(
+            *[
+                F.struct(
+                    F.lit(lang).alias("lang"),
+                    _stopword_hits(toks, words).alias("hits"),
+                )
+                for lang, words in sorted(LANG_STOPWORDS.items())
+            ]
+        ),
     )
 
 
 def lang_id(text: Column) -> Column:
     """Predicted language = argmax stopword hits, ties broken by lang
-    name ascending, 'und' (undetermined) when no stopword matches."""
-    scores = lang_scores(text)
-    mx = F.array_max(F.transform(scores, lambda s: s["hits"]))
-    winner = F.array_min(
-        F.transform(
-            F.filter(scores, lambda s: s["hits"] == mx), lambda s: s["lang"]
-        )
+    name ascending, 'und' (undetermined) when no stopword matches.
+    Scores and max are let-bound — evaluated once each however the
+    optimizer rearranges the projection."""
+    from ner_spark.functions.colutil import let
+
+    return let(
+        lang_scores(text),
+        lambda scores: let(
+            F.array_max(F.transform(scores, lambda s: s["hits"])),
+            lambda mx: F.when(
+                mx > 0,
+                F.array_min(
+                    F.transform(
+                        F.filter(scores, lambda s: s["hits"] == mx),
+                        lambda s: s["lang"],
+                    )
+                ),
+            ).otherwise(F.lit("und")),
+        ),
     )
-    return F.when(mx > 0, winner).otherwise(F.lit("und"))
 
 
 def fingerprint_minhash(text: Column, ngram: int = 4) -> Column:

@@ -55,3 +55,63 @@ def tag_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """JVM-side tokenization column (used by extraction and stats)."""
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+MENTIONS_FIELD = T.StructField(
+    "mentions",
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("pred", T.StringType(), False),
+                T.StructField("obj", T.StringType(), False),
+                T.StructField("span_start", T.IntegerType(), False),
+                T.StructField("span_end", T.IntegerType(), False),
+            ]
+        )
+    ),
+    False,
+)
+
+
+def tag_and_extract(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fused tag+extract: one mapInPandas stage appending ``tags`` AND
+    ``mentions``.
+
+    Running both in a single Python stage halves the JVM↔Python Arrow
+    traffic of the hot path — the unfused plan serializes every batch
+    back to the JVM after tagging only to ship it (plus a re-tokenized
+    copy) straight into the extraction UDF. Tokenization happens once in
+    Python and is shared by the tagger and the span extractor. Semantics
+    are identical to ``tag_turns`` + ``extract_mentions_bio`` (asserted
+    in tests); both remain available unfused for the decode-only and
+    BIOES paths.
+    """
+    out_schema = T.StructType(df.schema.fields + [TAGS_FIELD, MENTIONS_FIELD])
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.model.tagger import tag_tokens_batch
+        from ner_spark.operators.extraction import _bio_segments
+
+        for pdf in batches:
+            token_lists = [t.split(" ") if t else [] for t in pdf[text_col]]
+            tags_col = tag_tokens_batch(token_lists)
+            mentions = []
+            for toks, tags in zip(token_lists, tags_col):
+                mentions.append(
+                    [
+                        {
+                            "pred": ty,
+                            "obj": " ".join(toks[s:e]),
+                            "span_start": s,
+                            "span_end": e,
+                        }
+                        for (s, e, ty) in _bio_segments(tags)
+                    ]
+                )
+            pdf = pdf[cols].copy()
+            pdf["tags"] = tags_col
+            pdf["mentions"] = mentions
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -34,7 +34,7 @@ from ner_spark.operators.graph import materialize_edges, materialize_nodes
 from ner_spark.operators.linking import link_edges
 from ner_spark.operators.manifest import run_stage
 from ner_spark.operators.relate import explode_mentions, extract_relations
-from ner_spark.operators.tagging import tag_turns, with_tokens
+from ner_spark.operators.tagging import tag_and_extract, tag_turns, with_tokens
 
 
 @dataclass
@@ -77,10 +77,16 @@ def salt_hot_convs(df: DataFrame, n_salts: int = 8) -> DataFrame:
 
 
 def build_mentions(transcripts: DataFrame) -> DataFrame:
-    tagged = tag_turns(ingest(transcripts))
-    return with_tokens(tagged).withColumn(
-        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
-    ).select("conv_id", "turn_idx", "role", "text", "tags", "mentions")
+    # prune to the carried columns BEFORE the mapInPandas boundary:
+    # Catalyst cannot push column pruning through an opaque Python stage,
+    # and every extra column (tool, ts) would round-trip through Arrow
+    # serialization for nothing. tag+extract run FUSED in one Python
+    # stage (operators/tagging.py:tag_and_extract) — half the Arrow
+    # traffic of tag_turns + extract_mentions_bio.
+    slim = transcripts.select("conv_id", "turn_idx", "role", "text")
+    return tag_and_extract(ingest(slim)).select(
+        "conv_id", "turn_idx", "role", "text", "tags", "mentions"
+    )
 
 
 def run_pipeline(

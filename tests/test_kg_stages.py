@@ -108,10 +108,14 @@ def test_cc_pathological(spark, name, n, edges):
         e = spark.createDataFrame(edges, "src string, dst string")
     else:
         e = spark.createDataFrame([], "src string, dst string")
-    got = connected_components(nodes, e).toPandas()
-    gmap = dict(zip(got["node_id"], got["component"]))
     want = kg.connected_components(node_ids, edges)
-    assert gmap == want
+    # both physical strategies must give the oracle answer: the adaptive
+    # driver-side union-find (default for small edge sets) and the
+    # distributed large-star/small-star loop (local_threshold=None)
+    for thresh in (None, 200_000):
+        got = connected_components(nodes, e, local_threshold=thresh).toPandas()
+        gmap = dict(zip(got["node_id"], got["component"]))
+        assert gmap == want, f"strategy local_threshold={thresh}"
 
 
 def test_graph_materialization_parity(spark, fixtures_small, mentions_df):
