@@ -127,18 +127,37 @@ def main() -> None:
         )
 
     # the KG tagging plan (mapInPandas) — show shape, no assertion grep
+    from ner_spark.operators.relate import extract_relations
     from ner_spark.pipeline import build_mentions
 
     t = spark.read.parquet(os.path.join(REPO, ".fixtures", "sf0.001", "transcripts.parquet"))
-    kg_plan = formatted(build_mentions(t))
+    m = build_mentions(t)
+    kg_plan = formatted(m)
     sections.append(
         "## kg tag+extract (build_mentions)\n\n"
         "One range Exchange (the deterministic (conv_id, turn_idx) "
-        "co-location), then MapInPandas (batched forward+Viterbi) and the "
-        "extraction pandas UDF back-to-back — two Python stages, no other "
-        "shuffle. The plan is identical at any parallelism; only the "
-        "partition count changes.\n\n"
+        "co-location), then a SINGLE fused MapInPandas stage running "
+        "batched forward+Viterbi AND span extraction — one Python "
+        "boundary, no other shuffle. The plan is identical at any "
+        "parallelism; only the partition count changes.\n\n"
         f"```\n{kg_plan.strip()}\n```\n"
+    )
+
+    rel_plan = formatted(extract_relations(m))
+    # "formatted" renders each node twice (tree + detail); count tree rows
+    n_exchanges = rel_plan.count("+- Exchange")
+    badge = "✅" if n_exchanges == 1 else "❌"
+    if n_exchanges != 1:
+        failures.append(("kg_relations_plan", "expected exactly 1 Exchange", n_exchanges))
+    sections.append(
+        f"## kg open relation extraction {badge}\n\n"
+        "Ordered mention pairs are generated ROW-LOCALLY with nested "
+        "higher-order functions over the per-turn mention array — the "
+        "only Exchange in the whole relations plan is the upstream range "
+        "repartition (asserted: exactly 1). The naive formulation "
+        "(explode + self-join on (conv_id, turn_idx)) would add two "
+        "full-table shuffles.\n\n"
+        f"```\n{rel_plan.strip()}\n```\n"
     )
 
     header = (
