@@ -80,6 +80,15 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{cpus}]", app_name="ner_spark_bench")
 
+    # session warm-up, excluded from every timing: spins up the Python
+    # worker pool (numpy/pandas imports) and JIT/codegen — per-executor-
+    # lifetime costs a long-lived cluster amortizes over hours.
+    from ner_spark.operators.extraction import mentions_to_triples as _m2t
+    from ner_spark.pipeline import build_mentions as _bm
+
+    _warm = spark.read.parquet(os.path.join(fx_dir, "transcripts.parquet"))
+    _m2t(_bm(_warm.limit(5000))).count()
+
     # -- headline: KG pipeline --------------------------------------------
     run("kg_tag_extract_triples", lambda: _kg_triples_count(spark, fx_dir))
 
@@ -174,11 +183,17 @@ def main() -> None:
         for k in (n_lo, n_hi):
             s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
             _kg_triples_count(s, fx_dir)  # warm-up: workers + codegen
-            t0 = time.time()
-            n = _count_big(s)
-            dt = time.time() - t0
+            # best-of-2: single-shot wall times on a shared box swing
+            # ±20% run-to-run; the minimum is the stable engine signal
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                n = _count_big(s)
+                runs.append(time.time() - t0)
+            dt = min(runs)
             scaling[f"local{k}"] = {
                 "sec": round(dt, 3),
+                "sec_runs": [round(x, 3) for x in runs],
                 "triples_per_sec": round(n / dt, 1),
                 "turns_per_sec": round(n_big_turns / dt, 1),
             }
