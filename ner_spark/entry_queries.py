@@ -1143,6 +1143,32 @@ def q_kg_graph_edges(spark, sf_dir):
 
 
 @query(
+    "kg_canonical_triples",
+    f"""
+    SELECT conv_id, turn_idx, subj, pred, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+    """,
+)
+def q_kg_canonical_triples(spark, sf_dir):
+    """North-rule final rewrite: mention-level relations with both
+    endpoints replaced by their canonical entity ids (components.py:
+    canonicalize_triples) vs the union-find oracle's rewrite."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return canonicalize_triples(extract_relations(m), a, nodes)
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj

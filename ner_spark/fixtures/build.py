@@ -33,7 +33,7 @@ from ner_spark.oracle.reference import (
     viterbi_decode,
 )
 
-FIXTURE_VERSION = "v11"
+FIXTURE_VERSION = "v12"
 FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
 
 NOISE_RATE = 0.12
@@ -365,3 +365,22 @@ def _build_into(out_dir: str, sf_name: str, full: bool) -> None:
         columns=["src_entity", "pred", "dst_entity", "n_turns"],
     )
     _write(edges_df, os.path.join(out_dir, "edges.parquet"))
+
+    # canonical triples: every mention-level relation rewritten to the
+    # canonical entity ids of its endpoints, distinct per (turn, triple)
+    ct = {
+        (
+            conv,
+            int(ti),
+            cmap[kg.node_key(st, kg.normalize_surface(sx))],
+            pred,
+            cmap[kg.node_key(ot, kg.normalize_surface(ox))],
+        )
+        for (conv, ti, st, sx, pred, ot, ox) in rel_df.itertuples(index=False)
+    }
+    _write(
+        pd.DataFrame(
+            sorted(ct), columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
+        ),
+        os.path.join(out_dir, "canonical_triples.parquet"),
+    )

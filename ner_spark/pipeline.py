@@ -28,7 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ner_spark.operators.components import connected_components
+from ner_spark.operators.components import canonicalize_triples, connected_components
 from ner_spark.operators.extraction import extract_mentions_bio, mentions_to_triples
 from ner_spark.operators.graph import materialize_edges, materialize_nodes
 from ner_spark.operators.linking import link_edges
@@ -57,6 +57,7 @@ STAGES = (
     "assignment",
     "nodes",
     "edges",
+    "canonical_triples",
 )
 
 
@@ -150,6 +151,11 @@ def run_pipeline(
     out["edges"] = run_stage(
         spark, cfg.out_dir, cfg.run_id, "edges",
         lambda: materialize_edges(relations, assignment),
+        resume=cfg.resume,
+    )
+    out["canonical_triples"] = run_stage(
+        spark, cfg.out_dir, cfg.run_id, "canonical_triples",
+        lambda: canonicalize_triples(relations, assignment, surface_nodes),
         resume=cfg.resume,
     )
     return out

@@ -79,3 +79,63 @@ def test_tagging_deterministic_across_parallelism(spark, fixtures_small):
     assert a.sort_values(key).reset_index(drop=True)[key].equals(
         b.sort_values(key).reset_index(drop=True)[key]
     )
+
+
+def test_hot_conv_salting_bounds_groups(spark, fixtures_small):
+    """SURVEY §5.2 #5: the fixture's hot conversation (~30% of turns)
+    must spread over n_salts sub-groups for conv-level aggregation, with
+    per-group size bounded and totals preserved."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from ner_spark.pipeline import salt_hot_convs
+
+    t = spark.read.parquet(os.path.join(fixtures_small, "transcripts.parquet"))
+    n_salts = 8
+    salted = salt_hot_convs(t, n_salts=n_salts)
+
+    # two-level aggregation: per (conv, salt) then merged per conv
+    lvl1 = salted.groupBy("conv_id", "salt").agg(F.count(F.lit(1)).alias("n"))
+    merged = lvl1.groupBy("conv_id").agg(F.sum("n").alias("n"))
+    direct = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    assert {
+        (r["conv_id"], r["n"]) for r in merged.collect()
+    } == {(r["conv_id"], r["n"]) for r in direct.collect()}
+
+    hot = (
+        direct.orderBy(F.desc("n")).limit(1).collect()[0]
+    )
+    total = t.count()
+    assert hot["n"] >= 0.2 * total  # the fixture really is skewed
+    hot_groups = lvl1.where(F.col("conv_id") == hot["conv_id"]).collect()
+    assert len(hot_groups) == n_salts  # spread over every salt
+    bound = (hot["n"] / n_salts) * 2  # salt hash is roughly uniform
+    assert max(g["n"] for g in hot_groups) <= bound
+
+
+def test_full_pipeline_canonical_triples_stage(spark, fixtures_small, tmp_path_factory):
+    """run_pipeline materializes the canonical_triples stage and it
+    matches the union-find oracle golden."""
+    import os
+
+    from ner_spark.pipeline import PipelineConfig, run_pipeline
+
+    out_dir = str(tmp_path_factory.mktemp("kgout"))
+    t = spark.read.parquet(os.path.join(fixtures_small, "transcripts.parquet"))
+    res = run_pipeline(spark, t, PipelineConfig(out_dir=out_dir, run_id="r1"))
+    got = {
+        tuple(r)
+        for r in res["canonical_triples"]
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(fixtures_small, "canonical_triples.parquet")
+        )
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .collect()
+    }
+    assert got == want and len(got) > 0
