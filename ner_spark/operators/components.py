@@ -105,10 +105,12 @@ def connected_components(
     output)."""
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if local_threshold is not None:
-        # count() on the already-computed edge frame is cheap relative to
-        # one star iteration; decides the physical strategy at runtime.
-        if e0.limit(local_threshold + 1).count() <= local_threshold:
-            return _solve_local(nodes, e0, id_col)
+        # one job decides AND fetches: limit(threshold+1) returns the
+        # whole edge set when it is small enough, so the probe is not a
+        # separate pass over the (possibly expensive) edge lineage.
+        probe = e0.limit(local_threshold + 1).collect()
+        if len(probe) <= local_threshold:
+            return _solve_local(nodes, probe, id_col)
 
     e = _sym(e0).select(F.col("u").alias("src"), F.col("v").alias("dst"))
     e = e.localCheckpoint(eager=True)
@@ -137,7 +139,7 @@ def connected_components(
     )
 
 
-def _solve_local(nodes: DataFrame, e0: DataFrame, id_col: str) -> DataFrame:
+def _solve_local(nodes: DataFrame, edge_rows, id_col: str) -> DataFrame:
     """Small-graph path: union-find over collected edge endpoints,
     assignment broadcast back. Isolated nodes (the vast majority of a
     mention-link graph) never leave the executors."""
@@ -146,7 +148,7 @@ def _solve_local(nodes: DataFrame, e0: DataFrame, id_col: str) -> DataFrame:
     spark = nodes.sparkSession
     uf = UnionFind()
     touched: set[str] = set()
-    for r in e0.collect():
+    for r in edge_rows:
         a, b = r["src"], r["dst"]
         touched.add(a)
         touched.add(b)
