@@ -688,10 +688,10 @@ def q_minhash_bands(spark, sf_dir):
     )
 
 
-@query(
-    "lsh_dup_pairs",
-    f"""
-    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+# shared CTE chain: documents → 3-gram shingles → MinHash → band keys →
+# verified near-dup pairs (Jaccard ≥ 0.5) — reused by lsh_dup_pairs and
+# the transitive-closure survivors oracle
+_LSH_CTE_BODY = f"""d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
     t AS (SELECT doc_id,
             CASE WHEN len(toks) < 3 THEN [text]
                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -705,13 +705,19 @@ def q_minhash_bands(spark, sf_dir):
             b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
           FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
     p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id)
-    SELECT id_a, id_b,
-           round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
-                 / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
-    FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id
-    WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
-                / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) >= 0.5
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id),
+    j AS (SELECT id_a, id_b,
+            round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+          FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id),
+    dup_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5)"""
+
+
+@query(
+    "lsh_dup_pairs",
+    f"""
+    WITH {_LSH_CTE_BODY}
+    SELECT id_a, id_b, jaccard FROM dup_pairs
     """,
 )
 def q_lsh_dup_pairs(spark, sf_dir):
@@ -724,6 +730,36 @@ def q_lsh_dup_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5, k=3)
+
+
+@query(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE {_LSH_CTE_BODY},
+    e AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical FROM reach GROUP BY a)
+    SELECT docs.doc_id,
+           coalesce(comp.canonical, docs.doc_id) AS canonical_id,
+           (coalesce(comp.canonical, docs.doc_id) = docs.doc_id) AS is_survivor
+    FROM documents docs LEFT JOIN comp ON docs.doc_id = comp.doc_id
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dup collapse: LSH pairs → adaptive connected
+    components → min-id canonical per cluster (near-dup is transitive
+    only through the cluster: A~B, B~C collapses all three even when A~C
+    scores below threshold). Oracle: recursive-CTE transitive closure —
+    an entirely different algorithm computing the same clusters."""
+    from ner_spark.functions.dedup import near_dup_survivors
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_survivors(d, threshold=0.5, k=3)
 
 
 @query(
@@ -871,6 +907,44 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 50), k=5, n_planes=8)
+
+
+def _cos2(a: str, b: str) -> str:
+    return _COS_SQL.replace("qv", a).replace("cv", b)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    ca AS (SELECT neighbor_id, cv, cell FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk = 1),
+    qa AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent WHERE e.vec_id < 50) x WHERE crk = 1),
+    s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+          FROM ca JOIN qa USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s) x
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-5 (nprobe=1): corpus assigned to
+    Voronoi cells of 16 deterministic seed centroids; a query searches
+    only its own cell — the inverted-file ANN scale path alongside the
+    sign-LSH variant."""
+    from ner_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 50), k=5, n_cells=16)
 
 
 # ===========================================================================

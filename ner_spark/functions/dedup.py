@@ -132,6 +132,48 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """End-to-end near-dup collapse: LSH pairs → connected components →
+    one row per doc with its cluster's canonical (minimum) id.
+
+    Composes the engine's own operators: ``minhash_lsh_pairs`` for the
+    blocked candidate/verify stage and the adaptive
+    ``connected_components`` for transitive closure (near-dup is
+    transitive only through the cluster, so A~B, B~C must collapse all
+    three even when A~C scores below threshold). Returns
+    (doc_id, canonical_id, is_survivor)."""
+    from ner_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, threshold, k, max_band_bucket
+    )
+
+    # CC works on strings; zero-pad numeric ids so the lexicographic
+    # component minimum equals the numeric minimum, then cast back.
+    def pad(c: Column) -> Column:
+        return F.lpad(c.cast("string"), 20, "0")
+
+    ids = df.select(pad(F.col(id_col)).alias("node_id"))
+    assignment = connected_components(
+        ids,
+        pairs.select(
+            pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst")
+        ),
+    )
+    return assignment.select(
+        F.col("node_id").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("canonical_id"),
+        (F.col("node_id") == F.col("component")).alias("is_survivor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -119,6 +119,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus partitioned into ``n_cells``
+    Voronoi cells around deterministic seed centroids (the first
+    ``n_cells`` vectors by id — at production scale the centroids come
+    from a k-means job and only this seeding changes); each query probes
+    its own nearest cell only (nprobe=1).
+
+    Cost: one broadcast pass to assign cells (|corpus|·n_cells cosines,
+    embarrassingly parallel) + a per-cell equi-join — the classic IVF
+    trade vs brute force's |corpus|·|queries|. Assignment ties break on
+    lowest cell id over the ROUNDED cosine, making cells identical
+    across engines and partitionings."""
+    cent = F.broadcast(
+        emb.where(F.col(id_col) < n_cells).select(
+            F.col(id_col).cast("long").alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+    def assign(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        scored = df.crossJoin(cent).withColumn(
+            "ccos", cosine_col(F.col(vecname), F.col("cvec"))
+        )
+        w = Window.partitionBy(idname).orderBy(
+            F.col("ccos").desc(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .where(F.col("crk") == 1)
+            .select(idname, vecname, "cell")
+        )
+
+    c = assign(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    scored = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.4,
