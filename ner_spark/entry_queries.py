@@ -977,6 +977,31 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 @query(
+    "multimodal_decode",
+    """
+    WITH t AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT doc_id,
+           CAST(16 + ('0x' || substring(h, 1, 2))::INT % 64 AS INTEGER) AS width,
+           CAST(16 + ('0x' || substring(h, 3, 2))::INT % 64 AS INTEGER) AS height,
+           CAST(1 + ('0x' || substring(h, 5, 2))::INT % 3 AS INTEGER) AS channels,
+           list_transform(range(0, 8),
+             i -> round(('0x' || substring(h, 2*i + 1, 2))::INT / 255.0, 6)) AS feature
+    FROM t
+    """,
+)
+def q_multimodal_decode(spark, sf_dir):
+    """Decode plumbing end-to-end with the deterministic fake codec
+    (functions/multimodal.py): binary payload → (dims, feature vector)
+    through the real mapInPandas batch shape; the oracle recomputes the
+    md5-derived dims/features in SQL. Swapping the fake for PIL/ffmpeg
+    changes only the codec call."""
+    from ner_spark.functions.multimodal import attach_payload, decode_image_batch
+
+    d = attach_payload(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return decode_image_batch(d.select("doc_id", "payload"), fake=True)
+
+
+@query(
     "micro_f1",
     """
     WITH t AS (

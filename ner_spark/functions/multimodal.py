@@ -33,7 +33,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("channels", T.IntegerType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # double, not float32: the 6-decimal feature values are part of
+        # the cross-engine spec and must round-trip exactly
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
     ]
 )
 

@@ -2,12 +2,19 @@
 
 Usage (local mode; on a cluster add --py-files ner_spark.zip):
 
+    # fast slice: transcripts → fused tag+extract → triples parquet
     spark-submit run_pipeline.py --input <transcripts.parquet> \
-        --output <out_dir> [--stages tag,extract,relate,link,graph]
+        --output <out_dir>
 
-Reads the transcripts table (conv_id, turn_idx, role, text, tool, ts),
-writes triples/ mentions/ relations/ nodes/ edges/ parquet tables plus a
-per-partition manifest under --output.
+    # full pipeline under the manifest/resume protocol: mentions,
+    # triples, relations, surface_nodes, link_edges, assignment, nodes,
+    # edges, canonical_triples — re-running resumes from the last
+    # complete stage
+    spark-submit run_pipeline.py --input <...> --output <...> \
+        --stages all [--run-id r1] [--no-resume]
+
+Reads the transcripts table (conv_id, turn_idx, role, text, tool, ts);
+emits one JSON line per materialized stage.
 """
 
 from __future__ import annotations
@@ -25,25 +32,46 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--master", default=None)
-    ap.add_argument("--stages", default="tag,extract")
+    ap.add_argument(
+        "--stages",
+        default="extract",
+        help="'extract' (default: fused tag+extract → triples) or 'all' "
+        "(every manifest stage incl. linking, CC, graph materialization)",
+    )
+    ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--show", type=int, default=5)
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
-    from ner_spark.operators.extraction import extract_mentions_bio, mentions_to_triples
-    from ner_spark.operators.tagging import tag_turns, with_tokens
     from ner_spark.session import get_spark
 
     spark = get_spark(master=args.master, app_name="ner_spark_pipeline")
     t = spark.read.parquet(args.input)
-    t = t.repartitionByRange(spark.sparkContext.defaultParallelism, "conv_id", "turn_idx")
 
-    tagged = tag_turns(t)
-    m = with_tokens(tagged).withColumn(
-        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
-    )
-    triples = mentions_to_triples(m)
+    if args.stages == "all":
+        from ner_spark.pipeline import PipelineConfig, run_pipeline
+
+        cfg = PipelineConfig(
+            out_dir=args.output, run_id=args.run_id, resume=not args.no_resume
+        )
+        out = run_pipeline(spark, t, cfg)
+        for stage, df in out.items():
+            print(
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "rows": df.count(),
+                        "output": os.path.join(args.output, stage, "data"),
+                    }
+                )
+            )
+        spark.stop()
+        return
+
+    from ner_spark.operators.extraction import mentions_to_triples
+    from ner_spark.pipeline import build_mentions
+
+    triples = mentions_to_triples(build_mentions(t))
     out = os.path.join(args.output, "triples")
     triples.write.mode("overwrite").parquet(out)
 
@@ -51,7 +79,9 @@ def main() -> None:
     n = back.count()
     print(json.dumps({"stage": "extract", "triples": n, "output": out}))
     if args.show:
-        back.orderBy("conv_id", "turn_idx", "pred", "obj").show(args.show, truncate=False)
+        back.orderBy("conv_id", "turn_idx", "pred", "obj").show(
+            args.show, truncate=False
+        )
     spark.stop()
 
 
