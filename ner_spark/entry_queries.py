@@ -1388,6 +1388,63 @@ def q_json_corpus_scan(spark, sf_dir):
 
 
 @query(
+    "kg_prf",
+    f"""
+    SELECT n_pred, n_gold, n_hit, precision_, recall_, f1
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "kg_prf.parquet")}')
+    """,
+)
+def q_kg_prf(spark, sf_dir):
+    """The P/R gate arithmetic (A1, /root/reference/utils.py:613-634) on
+    the KG surface: micro P/R/F1 of extraction over noise-perturbed tags
+    vs the pipeline's own clean triples — per-turn pair-set sizes and
+    intersections via built-in aggs, zero-guarded ratios, no UDAF.
+    Cross-checked against the plain-Python oracle's scalar golden."""
+    from ner_spark.operators.extraction import (
+        extract_mentions_bio,
+        mentions_to_triples,
+    )
+
+    fx = _fx(sf_dir)
+    m = _mentions(spark, fx)
+    gold = mentions_to_triples(m).select("conv_id", "turn_idx", "pred", "obj")
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet")).select(
+        "conv_id", "turn_idx", F.split("text", " ").alias("tokens")
+    )
+    nt = spark.read.parquet(os.path.join(fx, "noisy_tags.parquet"))
+    pred = mentions_to_triples(
+        t.join(nt, ["conv_id", "turn_idx"]).withColumn(
+            "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+        )
+    ).select("conv_id", "turn_idx", "pred", "obj")
+
+    # one job: full-outer join on the pair key, partial-aggregated sums
+    keys = ["conv_id", "turn_idx", "pred", "obj"]
+    s = (
+        pred.withColumn("p", F.lit(1))
+        .join(gold.withColumn("g", F.lit(1)), keys, "full")
+        .agg(
+            F.sum("p").cast("long").alias("n_pred"),
+            F.sum("g").cast("long").alias("n_gold"),
+            F.sum(
+                F.when(F.col("p").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("n_hit") / F.col("n_pred")).otherwise(0.0)
+    r = F.when(F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(F.col("n_hit") > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    return s.select(
+        "n_pred",
+        "n_gold",
+        "n_hit",
+        F.round(p, 6).alias("precision_"),
+        F.round(r, 6).alias("recall_"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+@query(
     "kg_bioes_pairs",
     f"""
     SELECT conv_id, turn_idx, pred, obj

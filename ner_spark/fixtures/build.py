@@ -33,7 +33,7 @@ from ner_spark.oracle.reference import (
     viterbi_decode,
 )
 
-FIXTURE_VERSION = "v12"
+FIXTURE_VERSION = "v13"
 FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
 
 NOISE_RATE = 0.12
@@ -258,6 +258,38 @@ def _build_into(out_dir: str, sf_name: str, full: bool) -> None:
     _write(
         pd.DataFrame(nt_rows, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]),
         os.path.join(out_dir, "noisy_triples.parquet"),
+    )
+
+    # micro P/R/F1 of the noisy extraction vs the clean reference pairs
+    # (the A1 gate arithmetic, /root/reference/utils.py:613-634), one row
+    gold_by_turn: dict[tuple[str, int], set] = {}
+    for (conv, ti, _s, typ, txt) in t_rows:
+        gold_by_turn.setdefault((conv, ti), set()).add((typ, txt))
+    pred_by_turn: dict[tuple[str, int], set] = {}
+    for (conv, ti, _s, typ, txt) in nt_rows:
+        pred_by_turn.setdefault((conv, ti), set()).add((typ, txt))
+    n_pred = sum(len(v) for v in pred_by_turn.values())
+    n_gold = sum(len(v) for v in gold_by_turn.values())
+    n_hit = sum(
+        len(v & gold_by_turn.get(k, set())) for k, v in pred_by_turn.items()
+    )
+    p = n_hit / n_pred if n_pred else 0.0
+    r = n_hit / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    _write(
+        pd.DataFrame(
+            [
+                {
+                    "n_pred": n_pred,
+                    "n_gold": n_gold,
+                    "n_hit": n_hit,
+                    "precision_": round(p, 6),
+                    "recall_": round(r, 6),
+                    "f1": round(f1, 6),
+                }
+            ]
+        ),
+        os.path.join(out_dir, "kg_prf.parquet"),
     )
 
     # --- BIOES variant: converted + perturbed + oracle extraction -------
