@@ -155,26 +155,54 @@ def token_logits_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
 # saturation is what caps multi-worker scaling (BENCH.md methodology).
 _VITERBI_CHUNK = 128
 
+# hard cap on padded cells (rows × padded-seq-len) per chunk: bounds the
+# trellis slab at ~34 MB float32 even when a single turn is 100k+ tokens
+# (SURVEY §7.4 "UDF memory") — a chunk always holds at least one row.
+_VITERBI_CELL_BUDGET = 512 * 1024
+
 
 def viterbi_batch(score_list: list[np.ndarray], trans: np.ndarray | None = None) -> list[np.ndarray]:
-    """Batched max-plus Viterbi, chunk-vectorized.
+    """Batched max-plus Viterbi, length-sorted and chunk-vectorized.
 
     Same recurrence as the reference's NumPy decode
     (/root/reference/predict.py:31-60): trellis[t] = score[t] +
     max(trellis[t-1][:, None] + T, axis=0), argmax backpointers, traceback
-    from the argmax of the last row — vectorized across rows in chunks of
-    ``_VITERBI_CHUNK``. All arithmetic is float32 (the reference decodes
-    float32 ONNX outputs); np.argmax tie-breaking (first max index)
-    matches the row-wise oracle bit-for-bit, and chunking only changes
-    padding, never per-row values.
+    from the argmax of the last row. All arithmetic is float32 (the
+    reference decodes float32 ONNX outputs); np.argmax tie-breaking
+    (first max index) matches the row-wise oracle bit-for-bit.
+
+    Physical layout: rows are decoded in length-sorted chunks (results
+    scattered back to input order) so pad-to-chunk-max wastes almost
+    nothing on mixed-length batches — the same trade the reference makes
+    with per-batch dynamic padding (utils.py:103-108) — and each chunk is
+    bounded by both ``_VITERBI_CHUNK`` rows and ``_VITERBI_CELL_BUDGET``
+    padded cells, so a degenerate ultra-long turn can never blow up
+    worker memory. Chunking and ordering only change padding, never
+    per-row values (each row's DP is independent).
     """
     if trans is None:
         trans = _TRANSITIONS
     trans = trans.astype(np.float32, copy=False)
-    out: list[np.ndarray] = []
-    for c0 in range(0, len(score_list), _VITERBI_CHUNK):
-        out.extend(_viterbi_chunk(score_list[c0 : c0 + _VITERBI_CHUNK], trans))
-    return out
+    n = len(score_list)
+    order = sorted(range(n), key=lambda i: score_list[i].shape[0])
+    out: list[np.ndarray | None] = [None] * n
+    i = 0
+    while i < n:
+        j = i
+        max_s = 0
+        while j < n and (j - i) < _VITERBI_CHUNK:
+            s = score_list[order[j]].shape[0]
+            new_max = max(max_s, s)
+            if j > i and (j - i + 1) * new_max > _VITERBI_CELL_BUDGET:
+                break
+            max_s = new_max
+            j += 1
+        idx = order[i:j]
+        res = _viterbi_chunk([score_list[x] for x in idx], trans)
+        for x, r in zip(idx, res):
+            out[x] = r
+        i = j
+    return out  # type: ignore[return-value]
 
 
 def _viterbi_chunk(score_list: list[np.ndarray], trans: np.ndarray) -> list[np.ndarray]:
