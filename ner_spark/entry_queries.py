@@ -1444,6 +1444,31 @@ def q_kg_prf(spark, sf_dir):
     )
 
 
+@query("kg_stream_triples")  # no oracle: streaming op, rows-only check
+def q_kg_stream_triples(spark, sf_dir):
+    """Structured Streaming ingest surface: drain the fixture transcripts
+    through the exactly-once file-source stream (Trigger.AvailableNow)
+    and return the materialized triples. Non-SQL-expressible (stateful
+    sink + checkpoint), so the driver records the weaker rows-only check;
+    pytest asserts full batch parity (tests/test_streaming.py)."""
+    import shutil
+    import tempfile
+
+    from ner_spark.streaming.stream import run_triples_stream
+
+    fx = _fx(sf_dir)
+    root = tempfile.mkdtemp(prefix="kg_stream_")
+    in_dir = os.path.join(root, "in")
+    os.makedirs(in_dir)
+    shutil.copy(
+        os.path.join(fx, "transcripts.parquet"),
+        os.path.join(in_dir, "part-0.parquet"),
+    )
+    out = os.path.join(root, "out")
+    run_triples_stream(spark, in_dir, out, os.path.join(root, "ckpt"))
+    return spark.read.parquet(out)
+
+
 @query(
     "kg_bioes_pairs",
     f"""
