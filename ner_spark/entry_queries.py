@@ -637,6 +637,56 @@ def q_encode_wlf(spark, sf_dir):
     )
 
 
+@query(
+    "encode_subword_align",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    w AS (SELECT doc_id,
+            flatten(list_transform(range(1, len(toks) + 1),
+              i -> list_transform(range(0, greatest(CAST(ceil(length(toks[i]) / 4.0) AS INT), 1)),
+                j -> {'word_id': i - 1, 'piece_idx': j,
+                      'piece': substring(toks[i], j * 4 + 1, 4),
+                      'label_id': CASE WHEN j = 0
+                                       THEN (CASE WHEN length(toks[i]) >= 5 THEN 1 ELSE 0 END)
+                                       ELSE -100 END}))) AS ps
+          FROM t),
+    e AS (SELECT doc_id,
+                 CAST(generate_subscripts(ps, 1) - 1 AS INTEGER) AS pos,
+                 unnest(ps) AS u
+          FROM w)
+    SELECT doc_id, pos,
+           CAST(u.word_id AS INTEGER) AS word_id,
+           CAST(u.piece_idx AS INTEGER) AS piece_idx,
+           u.piece AS piece,
+           CAST(u.label_id AS INTEGER) AS label_id
+    FROM e
+    """,
+)
+def q_encode_subword_align(spark, sf_dir):
+    """P9 subword/word-id label alignment
+    (/root/reference/torch_version/data_tools.py:192-225): words chunked
+    into pieces (deterministic 4-char splitter standing in for the HF
+    tokenizer), first piece carries the word's label id, continuations
+    get -100. Word labels here are a deterministic stand-in
+    (length ≥ 5 → 1)."""
+    from ner_spark.operators.encode import align_labels_col, subword_pieces_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    labels = F.transform(
+        toks, lambda t: F.when(F.length(t) >= 5, 1).otherwise(0)
+    )
+    aligned = align_labels_col(subword_pieces_col(toks), labels)
+    return d.select("doc_id", F.posexplode(aligned).alias("pos", "p")).select(
+        "doc_id",
+        "pos",
+        F.col("p.word_id").alias("word_id"),
+        F.col("p.piece_idx").alias("piece_idx"),
+        F.col("p.piece").alias("piece"),
+        F.col("p.label_id").alias("label_id"),
+    )
+
+
 # ===========================================================================
 # Deduplication
 # ===========================================================================

@@ -142,6 +142,68 @@ def wlf_expand_col(words: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# subword alignment (P9)
+# ---------------------------------------------------------------------------
+
+IGNORE_LABEL = -100
+
+
+def subword_pieces_col(tokens: Column, max_piece: int = 4) -> Column:
+    """P9 subword/word-id alignment
+    (/root/reference/torch_version/data_tools.py:192-225): words split
+    into pieces, each piece tagged with its source word id and piece
+    index. The reference uses the HF fast tokenizer's ``word_ids()``
+    (library not in this container); the deterministic stand-in chunks
+    every word into ``max_piece``-char pieces — the ALIGNMENT semantics
+    (what P9 actually is) are identical and the splitter is swappable.
+
+    Returns array<struct<word_id:int, piece_idx:int, piece:string>>,
+    row-local."""
+    from ner_spark.functions.colutil import let
+
+    def build(toks: Column) -> Column:
+        def pieces_of(i: Column) -> Column:
+            word = F.element_at(toks, i + 1)
+            n_pieces = F.ceil(F.length(word) / max_piece).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), F.greatest(n_pieces - 1, F.lit(0))),
+                lambda j: F.struct(
+                    i.cast("int").alias("word_id"),
+                    j.cast("int").alias("piece_idx"),
+                    F.substring(word, j * max_piece + 1, max_piece).alias("piece"),
+                ),
+            )
+
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.size(toks) - 1), pieces_of)
+        )
+
+    return let(tokens, build)
+
+
+def align_labels_col(
+    pieces: Column, labels: Column, ignore: int = IGNORE_LABEL
+) -> Column:
+    """Project word-level label ids onto pieces: the FIRST piece of a
+    word carries the word's label, continuation pieces get ``-100``
+    (the loss-ignore sentinel, data_tools.py:199-200)."""
+    return F.transform(
+        pieces,
+        lambda p: F.struct(
+            p["word_id"].alias("word_id"),
+            p["piece_idx"].alias("piece_idx"),
+            p["piece"].alias("piece"),
+            F.when(
+                p["piece_idx"] == 0, F.element_at(labels, p["word_id"] + 1)
+            )
+            .otherwise(F.lit(ignore))
+            .cast("int")
+            .alias("label_id"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # gold-span → BIO projection (P6)
 # ---------------------------------------------------------------------------
 
