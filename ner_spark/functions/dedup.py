@@ -67,10 +67,27 @@ def word_shingles_col(text: Column, k: int = 3) -> Column:
     )
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """CPU-heavy row-local derivations inherit the scan's split count; a
+    small single-file input would run them on one core. If the input has
+    fewer partitions than half the cluster's cores, repartition first —
+    the shuffle moves only the raw rows once and is strictly cheaper than
+    serializing the hash pass. At production scale inputs arrive in many
+    splits and this is a no-op (getNumPartitions inspects the plan, no
+    job)."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    target = sc.defaultParallelism
+    if n < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def doc_minhash(df: DataFrame, text_col: str = "text", n_hashes: int = 12, k: int = 3) -> DataFrame:
     """Append shingles + minhash signature columns (row-local)."""
     from ner_spark.operators.linking import minhash_sig_col
 
+    df = _ensure_parallel(df)
     return df.withColumn("shingles", word_shingles_col(F.col(text_col), k)).withColumn(
         "minhash", minhash_sig_col(F.col("shingles"), n_hashes)
     )
