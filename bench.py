@@ -148,13 +148,19 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
         import tempfile
 
+        from ner_spark.fixtures.build import FIXTURE_VERSION
+
         repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "32"))
         n_lo, n_hi = (
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALE_NS", "4,16").split(",")
         )
+        # cache key includes FIXTURE_VERSION: a version bump regenerates
+        # fixtures in place, and a stale replica would silently be timed
+        # against the NEW fixture's turn count
         big = os.path.join(
-            tempfile.gettempdir(), f"ner_spark_scale_{sf_name}_x{repl}"
+            tempfile.gettempdir(),
+            f"ner_spark_scale_{sf_name}_x{repl}_{FIXTURE_VERSION}",
         )
         if not os.path.isdir(big):
             s = get_spark(master="local[32]", app_name="ner_spark_scale_prep")

@@ -733,7 +733,7 @@ def q_minhash_bands(spark, sf_dir):
     return (
         sigs.withColumn("bands", doc_band_keys(F.col("minhash")))
         .select(
-            "doc_id", F.posexplode("bands").alias("band_idx", "band_key")
+            "doc_id", F.posexplode_outer("bands").alias("band_idx", "band_key")
         )
     )
 

@@ -132,7 +132,12 @@ def minhash_lsh_pairs(
         "bands", doc_band_keys(F.col("minhash"))
     )
     b = sigs.select(
-        F.col(id_col).alias("id"), "shingles", F.explode("bands").alias("band")
+        # explode_outer: bands is always exactly 4 keys, but the non-outer
+        # Generate makes the optimizer infer a size()>0 filter that gets
+        # pushed BELOW the adaptive repartition carrying the whole hash
+        # expression — re-serializing the pass the Exchange exists to
+        # parallelize. Outer generate ≡ same rows here, no inferred filter.
+        F.col(id_col).alias("id"), "shingles", F.explode_outer("bands").alias("band")
     )
     if max_band_bucket is not None:
         keep = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)
@@ -172,10 +177,16 @@ def near_dup_survivors(
         df, id_col, text_col, threshold, k, max_band_bucket
     )
 
-    # CC works on strings; zero-pad numeric ids so the lexicographic
-    # component minimum equals the numeric minimum, then cast back.
+    # CC works on strings; offset-then-zero-pad so the lexicographic
+    # component minimum equals the numeric minimum for ALL ids in
+    # [-2^62, 2^62) — plain zero-padding would order '-5' before '-7'.
+    _OFFSET = 1 << 62
+
     def pad(c: Column) -> Column:
-        return F.lpad(c.cast("string"), 20, "0")
+        return F.lpad((c.cast("long") + F.lit(_OFFSET)).cast("string"), 20, "0")
+
+    def unpad(c: Column) -> Column:
+        return (c.cast("long") - F.lit(_OFFSET)).cast("long")
 
     ids = df.select(pad(F.col(id_col)).alias("node_id"))
     assignment = connected_components(
@@ -185,8 +196,8 @@ def near_dup_survivors(
         ),
     )
     return assignment.select(
-        F.col("node_id").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("canonical_id"),
+        unpad(F.col("node_id")).alias(id_col),
+        unpad(F.col("component")).alias("canonical_id"),
         (F.col("node_id") == F.col("component")).alias("is_survivor"),
     )
 

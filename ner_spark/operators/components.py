@@ -142,24 +142,28 @@ def connected_components(
 def _solve_local(nodes: DataFrame, edge_rows, id_col: str) -> DataFrame:
     """Small-graph path: union-find over collected edge endpoints,
     assignment broadcast back. Isolated nodes (the vast majority of a
-    mention-link graph) never leave the executors."""
+    mention-link graph) never leave the executors. Works for any
+    orderable id type — the assignment schema mirrors the node id's."""
     from ner_spark.kg import UnionFind
 
     spark = nodes.sparkSession
     uf = UnionFind()
-    touched: set[str] = set()
+    touched: set = set()
     for r in edge_rows:
         a, b = r["src"], r["dst"]
         touched.add(a)
         touched.add(b)
         uf.union(a, b)
-    comp_min: dict[str, str] = {}
+    comp_min: dict = {}
     for n in touched:
         root = uf.find(n)
         if root not in comp_min or n < comp_min[root]:
             comp_min[root] = n
     rows = [(n, comp_min[uf.find(n)]) for n in sorted(touched)]
-    amap = spark.createDataFrame(rows, "node_id string, component string")
+    id_type = dict(nodes.dtypes)[id_col]
+    amap = spark.createDataFrame(
+        rows, f"node_id {id_type}, component {id_type}"
+    )
     return (
         nodes.select(F.col(id_col).alias("node_id"))
         .distinct()

@@ -174,8 +174,16 @@ def subword_pieces_col(tokens: Column, max_piece: int = 4) -> Column:
                 ),
             )
 
-        return F.flatten(
-            F.transform(F.sequence(F.lit(0), F.size(toks) - 1), pieces_of)
+        # sequence(0, -1) would DESCEND ([0, -1]) — guard the empty case
+        return F.when(
+            F.size(toks) == 0,
+            F.array().cast(
+                "array<struct<word_id:int,piece_idx:int,piece:string>>"
+            ),
+        ).otherwise(
+            F.flatten(
+                F.transform(F.sequence(F.lit(0), F.size(toks) - 1), pieces_of)
+            )
         )
 
     return let(tokens, build)
@@ -228,6 +236,9 @@ def spans_to_bio_col(ner: Column, n_tokens: Column) -> Column:
             )
         )
 
-    return F.transform(
-        F.sequence(F.lit(0), n_tokens.cast("int") - 1), label_at
+    # sequence(0, -1) descends; zero-length sequences need an empty array
+    return F.when(
+        n_tokens <= 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), n_tokens.cast("int") - 1), label_at)
     )

@@ -97,21 +97,25 @@ def _bio_segments(tags: list[str]):
     return segs
 
 
+def mention_dicts(tags: list[str], toks: list[str]) -> list[dict]:
+    """MENTION_TYPE-shaped dicts for one row — the single definition of
+    the mention record, shared by the unfused extraction UDF and the
+    fused tag+extract stage (operators/tagging.py)."""
+    return [
+        {
+            "pred": t,
+            "obj": _JOIN.join(toks[s:e]),
+            "span_start": s,
+            "span_end": e,
+        }
+        for (s, e, t) in _bio_segments(tags)
+    ]
+
+
 def _extract_bio_batch(tags_s: pd.Series, tokens_s: pd.Series) -> pd.Series:
     out = []
     for tags, toks in zip(tags_s, tokens_s):
-        tags = list(tags)
-        toks = list(toks)
-        ms = [
-            {
-                "pred": t,
-                "obj": _JOIN.join(toks[s:e]),
-                "span_start": s,
-                "span_end": e,
-            }
-            for (s, e, t) in _bio_segments(tags)
-        ]
-        out.append(ms)
+        out.append(mention_dicts(list(tags), list(toks)))
     return pd.Series(out)
 
 

@@ -189,7 +189,9 @@ def candidate_pairs(
     before the self-join (quadratic blow-up guard). None = exact (tests).
     """
     b = sig_df.select(
-        F.col("node_id"), F.col("shingles"), F.explode("bands").alias("band")
+        # explode_outer: see dedup.candidate pairs — avoids the inferred
+        # Generate filter that re-inlines the signature expression
+        F.col("node_id"), F.col("shingles"), F.explode_outer("bands").alias("band")
     )
     if max_band_bucket is not None:
         sizes = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)

@@ -57,20 +57,11 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
 
-MENTIONS_FIELD = T.StructField(
-    "mentions",
-    T.ArrayType(
-        T.StructType(
-            [
-                T.StructField("pred", T.StringType(), False),
-                T.StructField("obj", T.StringType(), False),
-                T.StructField("span_start", T.IntegerType(), False),
-                T.StructField("span_end", T.IntegerType(), False),
-            ]
-        )
-    ),
-    False,
-)
+def _mentions_field() -> T.StructField:
+    # single source of truth for the mention record shape
+    from ner_spark.operators.extraction import MENTION_TYPE
+
+    return T.StructField("mentions", MENTION_TYPE, False)
 
 
 def tag_and_extract(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -86,29 +77,22 @@ def tag_and_extract(df: DataFrame, text_col: str = "text") -> DataFrame:
     in tests); both remain available unfused for the decode-only and
     BIOES paths.
     """
-    out_schema = T.StructType(df.schema.fields + [TAGS_FIELD, MENTIONS_FIELD])
+    out_schema = T.StructType(
+        df.schema.fields + [TAGS_FIELD, _mentions_field()]
+    )
     cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ner_spark.model.tagger import tag_tokens_batch
-        from ner_spark.operators.extraction import _bio_segments
+        from ner_spark.operators.extraction import mention_dicts
 
         for pdf in batches:
             token_lists = [t.split(" ") if t else [] for t in pdf[text_col]]
             tags_col = tag_tokens_batch(token_lists)
-            mentions = []
-            for toks, tags in zip(token_lists, tags_col):
-                mentions.append(
-                    [
-                        {
-                            "pred": ty,
-                            "obj": " ".join(toks[s:e]),
-                            "span_start": s,
-                            "span_end": e,
-                        }
-                        for (s, e, ty) in _bio_segments(tags)
-                    ]
-                )
+            mentions = [
+                mention_dicts(tags, toks)
+                for toks, tags in zip(token_lists, tags_col)
+            ]
             pdf = pdf[cols].copy()
             pdf["tags"] = tags_col
             pdf["mentions"] = mentions

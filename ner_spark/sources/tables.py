@@ -123,6 +123,10 @@ def token_id_lookup(df: DataFrame, vocab: DataFrame, tokens_col: str = "tokens")
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def lookup(tokens: pd.Series) -> pd.Series:
         m = bc.value
-        return tokens.map(lambda ts: [m.get(t, 1) for t in ts])
+        # null tokens array -> null (same contract as the map-literal
+        # path, where F.transform(null) yields null)
+        return tokens.map(
+            lambda ts: None if ts is None else [m.get(t, 1) for t in ts]
+        )
 
     return df.withColumn("token_ids", lookup(F.col(tokens_col)))

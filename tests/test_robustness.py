@@ -71,3 +71,71 @@ def test_hot_band_bucket_guard(spark):
     assert all(a < 100 for (a, b) in got)
     # ...while the small band still yields the true near-dup pair
     assert (1, 2) in got
+
+
+def test_cc_numeric_node_ids_local_path(spark):
+    """Regression: the adaptive local CC path must handle non-string ids
+    (it previously hardcoded a string schema)."""
+    from ner_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id long")
+    edges = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "src long, dst long")
+    got = {
+        (r["node_id"], r["component"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)}
+
+
+def test_encode_empty_arrays(spark):
+    """Regression: sequence(0, -1) descends — zero-length inputs must
+    yield empty piece/label arrays, not spurious elements or errors."""
+    from ner_spark.operators.encode import spans_to_bio_col, subword_pieces_col
+
+    df = spark.createDataFrame(
+        [([],)], "toks array<string>"
+    ).select(
+        subword_pieces_col(F.col("toks")).alias("pieces"),
+        spans_to_bio_col(
+            F.array().cast("array<struct<index:array<int>,type:string>>"),
+            F.lit(0),
+        ).alias("labels"),
+    )
+    row = df.collect()[0]
+    assert row["pieces"] == [] and row["labels"] == []
+
+
+def test_token_id_lookup_null_tokens_both_paths(spark):
+    import ner_spark.sources.tables as tb
+
+    df = spark.createDataFrame(
+        [(["aa"],), (None,)], "tokens array<string>"
+    )
+    vocab = spark.createDataFrame([("aa", 4)], "token string, id int")
+    for thresh in (8192, 0):
+        old = tb.MAP_LITERAL_MAX_VOCAB
+        try:
+            tb.MAP_LITERAL_MAX_VOCAB = thresh
+            rows = tb.token_id_lookup(df, vocab).collect()
+            got = {tuple(r["tokens"]) if r["tokens"] else None: r["token_ids"] for r in rows}
+            assert got[("aa",)] == [4]
+            assert got[None] is None
+        finally:
+            tb.MAP_LITERAL_MAX_VOCAB = old
+
+
+def test_near_dup_survivors_negative_ids(spark):
+    """Regression: canonical id must be the NUMERIC minimum even for
+    negative ids (plain zero-padding ordered '-5' before '-7')."""
+    from ner_spark.functions.dedup import near_dup_survivors
+
+    df = spark.createDataFrame(
+        [
+            (-7, "alpha beta gamma delta epsilon zeta"),
+            (-5, "alpha beta gamma delta epsilon eta"),
+            (3, "completely different text entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in near_dup_survivors(df).collect()}
+    assert got == {-7: -7, -5: -7, 3: 3}

@@ -74,11 +74,17 @@ CHECKS = {
     ),
     "minhash_bands": dict(
         requires=[],
-        forbids=["Exchange"],
+        forbids=["Python"],
+        max_tree_exchanges=1,
         note=(
             "MinHash signatures + band keys are row-local (one md5 pass "
-            "per shingle + affine rehash): the blocking layer costs zero "
-            "shuffle; only the band self-join downstream exchanges data."
+            "per shingle + affine rehash, no Python). The single Exchange "
+            "is the adaptive repartition for few-partition inputs "
+            "(dedup._ensure_parallel) and sits BELOW every hash "
+            "expression — the band explode is outer-generate so the "
+            "optimizer cannot infer a filter that would drag the hash "
+            "pass beneath the shuffle; on many-split inputs the Exchange "
+            "disappears entirely."
         ),
     ),
     "window_topk_orders": dict(
@@ -117,6 +123,13 @@ def main() -> None:
             status.append(("forbids", s, ok))
             if not ok:
                 failures.append((name, "unexpected", s))
+        cap = spec.get("max_tree_exchanges")
+        if cap is not None:
+            n_ex = plan.count("+- Exchange")
+            ok = n_ex <= cap
+            status.append(("max Exchanges", str(cap), ok))
+            if not ok:
+                failures.append((name, f"{n_ex} Exchanges > cap", cap))
         badge = "✅" if all(ok for (_, _, ok) in status) or not status else "❌"
         checklist = "\n".join(
             f"- {kind} `{pat}`: {'✅' if ok else '❌'}" for kind, pat, ok in status
