@@ -333,6 +333,36 @@ def q_region_order_counts(spark, sf_dir):
 
 
 @query(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name,
+           count(*) AS n_suppliers,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_bal,
+           max(s_acctbal) AS max_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_supplier_balance_by_nation(spark, sf_dir):
+    """Supplier rollup per nation — broadcast dim join; sums through
+    exact DECIMAL so the double result is partitioning-invariant."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(bal).cast("double").alias("total_bal"),
+            F.round(F.sum(bal).cast("double") / F.count(F.lit(1)), 6).alias("avg_bal"),
+            F.max("s_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@query(
     "events_top_users",
     """
     SELECT user_id, n_events, rk FROM (
