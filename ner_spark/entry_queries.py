@@ -1468,6 +1468,33 @@ def q_json_corpus_scan(spark, sf_dir):
 
 
 @query(
+    "kg_turn_stats",
+    f"""
+    SELECT conv_id, role,
+           count(*) AS n_turns,
+           CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ep,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ep
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+    GROUP BY conv_id, role
+    """,
+)
+def q_kg_turn_stats(spark, sf_dir):
+    """Full input-schema exercise (input_hint: role, tool, ts are data):
+    per-(conversation, role) turn counts, tool-call counts, and the
+    conversation's epoch time span — both engines aggregate the same
+    fixture transcripts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return t.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_turns"),
+        F.unix_timestamp(F.min("ts")).alias("first_ep"),
+        F.unix_timestamp(F.max("ts")).alias("last_ep"),
+    )
+
+
+@query(
     "kg_prf",
     f"""
     SELECT n_pred, n_gold, n_hit, precision_, recall_, f1
