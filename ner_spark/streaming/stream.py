@@ -108,6 +108,76 @@ def windowed_triple_counts(
     )
 
 
+NEW_TRIPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("pred", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.ArrayType(T.StringType()), False)]
+)
+
+
+def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    emit each conversation's (pred, obj) pair only the FIRST time it is
+    ever observed across the stream's lifetime — incremental KG fact
+    dedup, so downstream consumers never re-process known facts.
+
+    State = the per-conversation set of seen pair keys, kept in the state
+    store and restored per micro-batch. The stateless tag+extract stages
+    run before the stateful groupBy, so the only stateful shuffle keys on
+    conv_id; a pathologically hot conversation concentrates state but not
+    compute (its turns still tag in parallel upstream — only the pair
+    dedup serializes per conversation, and pairs ≪ turns)."""
+    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bio
+    from ner_spark.operators.tagging import tag_turns, with_tokens
+
+    tagged = with_tokens(tag_turns(transcripts))
+    pairs = tagged.withColumn(
+        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
+    ).withColumn("pair", F.explode(distinct_pairs(F.col("mentions")))).select(
+        "conv_id",
+        "turn_idx",
+        F.col("pair.pred").alias("pred"),
+        F.col("pair.obj").alias("obj"),
+    )
+
+    def dedup(key, pdf_iter, state):
+        import pandas as pd
+
+        conv_id = key[0]
+        seen = set(state.get()[0]) if state.exists else set()
+        out = []
+        for pdf in pdf_iter:
+            # deterministic emission order within the batch
+            pdf = pdf.sort_values(["turn_idx", "pred", "obj"])
+            for r in pdf.itertuples(index=False):
+                k = f"{r.pred}\x01{r.obj}"
+                if k not in seen:
+                    seen.add(k)
+                    out.append(
+                        (conv_id, int(r.turn_idx), f"{conv_id}#{int(r.turn_idx)}", r.pred, r.obj)
+                    )
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            out, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
+        )
+
+    return pairs.groupBy("conv_id").applyInPandasWithState(
+        dedup,
+        outputStructType=NEW_TRIPLES_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_triples_stream(
     spark: SparkSession,
     input_dir: str,

@@ -142,3 +142,55 @@ def test_windowed_rollup_matches_batch(spark, stream_dirs, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_new_triples_dedup(spark, stream_dirs, tmp_path):
+    """applyInPandasWithState: across two drains of a growing landing
+    dir, each conversation's (pred, obj) pair is emitted exactly once —
+    state survives in the checkpoint between runs."""
+    import os
+
+    from ner_spark.streaming.stream import (
+        stream_transcripts,
+        streaming_new_triples,
+    )
+
+    ckpt = str(tmp_path / "state_ckpt")
+    sink = str(tmp_path / "state_out")
+
+    def drain():
+        q = (
+            streaming_new_triples(stream_transcripts(spark, stream_dirs["input"]))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [
+            ((r["conv_id"], r["pred"], r["obj"]), r["turn_idx"])
+            for r in spark.read.parquet(sink).collect()
+        ]
+
+    all_rows = drain()  # input dir already holds all 3 files (prior test)
+    keys = [k for (k, _t) in all_rows]
+    # exactly-once per (conv, pred, obj) — no duplicates across batches
+    assert len(keys) == len(set(keys))
+
+    # distinct fact set equals the batch pipeline's per-conv pair set
+    from ner_spark.operators.extraction import mentions_to_triples
+    from ner_spark.pipeline import build_mentions
+
+    batch = {
+        (r["conv_id"], r["pred"], r["obj"])
+        for r in mentions_to_triples(
+            build_mentions(spark.read.parquet(stream_dirs["input"]))
+        ).collect()
+    }
+    assert set(keys) == batch
+
+    # a second drain with no new files emits nothing new
+    n_before = len(all_rows)
+    assert len(drain()) == n_before
