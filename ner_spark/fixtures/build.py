@@ -33,7 +33,7 @@ from ner_spark.oracle.reference import (
     viterbi_decode,
 )
 
-FIXTURE_VERSION = "v13"
+FIXTURE_VERSION = "v14"
 FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".fixtures")
 
 NOISE_RATE = 0.12
@@ -385,15 +385,16 @@ def _build_into(out_dir: str, sf_name: str, full: bool) -> None:
     )
     _write(nodes_df, os.path.join(out_dir, "nodes.parquet"))
 
-    # edges: relations rewritten to canonical entities, with weights
-    e_counts: dict[tuple[str, str, str], int] = {}
-    for (_c, _t, st, sx, pred, ot, ox) in rel_df.itertuples(index=False):
+    # edges: relations rewritten to canonical entities; weight = number
+    # of DISTINCT TURNS asserting the canonical edge (surface variants in
+    # one turn collapse to one count)
+    e_turns: dict[tuple[str, str, str], set] = {}
+    for (conv, ti, st, sx, pred, ot, ox) in rel_df.itertuples(index=False):
         s_id = cmap[kg.node_key(st, kg.normalize_surface(sx))]
         o_id = cmap[kg.node_key(ot, kg.normalize_surface(ox))]
-        key = (s_id, pred, o_id)
-        e_counts[key] = e_counts.get(key, 0) + 1
+        e_turns.setdefault((s_id, pred, o_id), set()).add((conv, ti))
     edges_df = pd.DataFrame(
-        [(s, p, t, n) for (s, p, t), n in sorted(e_counts.items())],
+        [(s, p, t, len(v)) for (s, p, t), v in sorted(e_turns.items())],
         columns=["src_entity", "pred", "dst_entity", "n_turns"],
     )
     _write(edges_df, os.path.join(out_dir, "edges.parquet"))

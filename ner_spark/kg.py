@@ -125,10 +125,10 @@ def relate_mentions(
     [(subj_type, subj_text, predicate, obj_type, obj_text)]."""
     ms = sorted(mentions, key=lambda m: (m[2], m[0], m[1]))
     out = []
+    # sorted by span_start, so only j > i can satisfy the strict
+    # start-before-start condition — the upper triangle suffices
     for i in range(len(ms)):
-        for j in range(len(ms)):
-            if i == j:
-                continue
+        for j in range(i + 1, len(ms)):
             if ms[i][2] >= ms[j][2]:
                 continue
             pred = REL_RULES.get((ms[i][0], ms[j][0]))
@@ -145,10 +145,17 @@ class UnionFind:
         self.parent: dict[str, str] = {}
 
     def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            self.parent[x] = self.find(p)
-        return self.parent[x]
+        # iterative with full path compression: chain-shaped components
+        # (normal under non-transitive similarity edges) would blow the
+        # recursion limit on the 200k-edge local-solve path otherwise
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while x != root:
+            nxt = self.parent[x]
+            self.parent[x] = root
+            x = nxt
+        return root
 
     def union(self, a: str, b: str) -> None:
         ra, rb = self.find(a), self.find(b)

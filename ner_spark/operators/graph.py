@@ -54,8 +54,11 @@ def materialize_nodes(nodes: DataFrame, assignment: DataFrame) -> DataFrame:
 
 
 def materialize_edges(relations: DataFrame, assignment: DataFrame) -> DataFrame:
-    """Distinct relation rows rewritten to canonical endpoints, counted as
-    n_turns per (src, pred, dst)."""
+    """Distinct relation rows rewritten to canonical endpoints; weight =
+    the number of DISTINCT TURNS asserting the canonical edge. Two
+    surface variants in the same turn ('Acme'/'ACME Inc') canonicalize to
+    one edge and must count that turn once — a raw row count would
+    inflate the weight."""
     rel = relations.distinct()
     t = rel.withColumn(
         "subj_key",
@@ -74,5 +77,5 @@ def materialize_edges(relations: DataFrame, assignment: DataFrame) -> DataFrame:
         t.join(amap, "subj_key")
         .join(bmap, "obj_key")
         .groupBy("src_entity", F.col("pred"), "dst_entity")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .agg(F.countDistinct("conv_id", "turn_idx").alias("n_turns"))
     )

@@ -58,6 +58,17 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct for
+    hdfs:// / s3a:// / file:// alike. A driver-local ``os.path.isdir``
+    would silently report False for every distributed path, turning
+    resume into full recomputation on a real cluster."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def stage_complete(
     spark: SparkSession, out_dir: str, run_id: str, stage: str
 ) -> bool:
@@ -70,11 +81,14 @@ def stage_complete(
         ).limit(1).count()
         > 0
     )
-    return done and os.path.isdir(stage_data_path(out_dir, stage))
+    return done and _dir_exists(spark, stage_data_path(out_dir, run_id, stage))
 
 
-def stage_data_path(out_dir: str, stage: str) -> str:
-    return os.path.join(out_dir, stage, "data")
+def stage_data_path(out_dir: str, run_id: str, stage: str) -> str:
+    # run-scoped: two runs sharing an out_dir must not overwrite each
+    # other's published data — a resume of run A after run B wrote the
+    # same stage would otherwise silently return run B's output.
+    return os.path.join(out_dir, run_id, stage, "data")
 
 
 def _partition_metrics(df: DataFrame) -> DataFrame:
@@ -88,9 +102,12 @@ def publish_stage(
 ) -> DataFrame:
     """Write a stage's output + its per-partition manifest rows; return
     the re-read (published) DataFrame so downstream stages consume the
-    materialized data, truncating lineage between stages."""
+    materialized data, truncating lineage between stages. An EMPTY stage
+    still publishes one sentinel row (partition -1, 0 rows) — without it
+    a legitimately-empty stage is indistinguishable from an interrupted
+    one and would recompute on every resume."""
     spark = df.sparkSession
-    path = stage_data_path(out_dir, stage)
+    path = stage_data_path(out_dir, run_id, stage)
     df.write.mode("overwrite").parquet(path)
     published = spark.read.parquet(path)
     metrics = (
@@ -101,7 +118,15 @@ def publish_stage(
         .withColumn("updated_at", F.current_timestamp())
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
-    metrics.write.mode("append").parquet(manifest_path(out_dir))
+    sentinel = spark.createDataFrame(
+        [(run_id, stage, -1, 0, "complete")],
+        "run_id string, stage string, partition_id int, rows long, status string",
+    ).withColumn("updated_at", F.current_timestamp()).select(
+        [f.name for f in MANIFEST_SCHEMA.fields]
+    )
+    metrics.unionByName(sentinel).write.mode("append").parquet(
+        manifest_path(out_dir)
+    )
     return published
 
 
@@ -115,5 +140,5 @@ def run_stage(
 ) -> DataFrame:
     """Execute ``compute() -> DataFrame`` under the resume protocol."""
     if resume and stage_complete(spark, out_dir, run_id, stage):
-        return spark.read.parquet(stage_data_path(out_dir, stage))
+        return spark.read.parquet(stage_data_path(out_dir, run_id, stage))
     return publish_stage(compute(), out_dir, run_id, stage)

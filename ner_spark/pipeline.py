@@ -115,12 +115,24 @@ def run_pipeline(
     out["relations"] = relations
 
     # -- linking: surface nodes + scored link edges ------------------------
-    exploded = explode_mentions(mentions)
-    surface_nodes_df, link_edges_df = link_edges(
-        exploded,
-        threshold=cfg.link_threshold,
-        max_band_bucket=cfg.max_band_bucket,
-    )
+    # link_edges() eagerly materializes the node dimension
+    # (localCheckpoint), so don't even construct it when both dependent
+    # stages already published — a resumed run must not pay a linking job
+    # it is about to skip.
+    from ner_spark.operators.manifest import stage_complete
+
+    if (
+        cfg.resume
+        and stage_complete(spark, cfg.out_dir, cfg.run_id, "surface_nodes")
+        and stage_complete(spark, cfg.out_dir, cfg.run_id, "link_edges")
+    ):
+        surface_nodes_df = link_edges_df = None  # both stages will skip
+    else:
+        surface_nodes_df, link_edges_df = link_edges(
+            explode_mentions(mentions),
+            threshold=cfg.link_threshold,
+            max_band_bucket=cfg.max_band_bucket,
+        )
     surface_nodes = run_stage(
         spark, cfg.out_dir, cfg.run_id, "surface_nodes",
         lambda: surface_nodes_df, resume=cfg.resume,

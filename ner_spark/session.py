@@ -31,8 +31,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        # first integer inside the brackets; tolerates local[N,maxFailures]
+        # and non-numeric masters (yarn, spark://...) → default 32
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        n = n.split(",")[0]
+        shuffle_partitions = max(8, int(n)) if n.isdigit() else 32
 
     # python workers must import ner_spark; on a real cluster this is what
     # --py-files does, locally PYTHONPATH covers the forked workers.
@@ -60,6 +63,20 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+
+    # JVM-launch-time confs (driver memory) only apply when THIS call
+    # creates the session; under spark-submit or getOrCreate-reuse the
+    # builder confs are silently inherited/ignored — surface that.
+    existing = SparkSession.getActiveSession()
     spark = b.getOrCreate()
+    if existing is not None:
+        import warnings
+
+        warnings.warn(
+            "get_spark() returned an existing SparkSession; builder confs "
+            "(shuffle partitions, Arrow batch size, driver memory) were NOT "
+            "applied — set them on the original session/spark-submit.",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

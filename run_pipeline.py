@@ -54,6 +54,8 @@ def main() -> None:
         cfg = PipelineConfig(
             out_dir=args.output, run_id=args.run_id, resume=not args.no_resume
         )
+        from ner_spark.operators.manifest import stage_data_path
+
         out = run_pipeline(spark, t, cfg)
         for stage, df in out.items():
             print(
@@ -61,7 +63,7 @@ def main() -> None:
                     {
                         "stage": stage,
                         "rows": df.count(),
-                        "output": os.path.join(args.output, stage, "data"),
+                        "output": stage_data_path(args.output, args.run_id, stage),
                     }
                 )
             )

@@ -171,7 +171,7 @@ def test_manifest_resume_idempotent(spark, fixtures_small, tmp_path_factory):
         assert canon(res1[k], cols).equals(canon(res2[k], cols)), k
 
     # simulate a torn stage: wipe 'relations' data + its manifest rows
-    shutil.rmtree(f"{out_dir}/relations")
+    shutil.rmtree(f"{out_dir}/r1/relations")
     man_keep = mf.read_manifest(spark, out_dir).where(F.col("stage") != "relations")
     keep_pdf = man_keep.toPandas()
     shutil.rmtree(mf.manifest_path(out_dir))

@@ -139,3 +139,41 @@ def test_near_dup_survivors_negative_ids(spark):
     )
     got = {r["doc_id"]: r["canonical_id"] for r in near_dup_survivors(df).collect()}
     assert got == {-7: -7, -5: -7, 3: 3}
+
+
+def test_manifest_runs_are_isolated(spark, empty_transcripts, tmp_path_factory, fixtures_small):
+    """Regression: two run_ids sharing an out_dir must not serve each
+    other's data on resume — stage paths are run-scoped."""
+    import os
+
+    from ner_spark.pipeline import PipelineConfig, run_pipeline
+
+    out_dir = str(tmp_path_factory.mktemp("runs"))
+    full = spark.read.parquet(os.path.join(fixtures_small, "transcripts.parquet"))
+    r_full = run_pipeline(spark, full, PipelineConfig(out_dir=out_dir, run_id="full"))
+    n_full = r_full["triples"].count()
+    assert n_full > 0
+
+    r_empty = run_pipeline(
+        spark, empty_transcripts, PipelineConfig(out_dir=out_dir, run_id="empty")
+    )
+    assert r_empty["triples"].count() == 0
+
+    # resuming the FIRST run must still return its own (non-empty) data
+    r_again = run_pipeline(spark, full, PipelineConfig(out_dir=out_dir, run_id="full"))
+    assert r_again["triples"].count() == n_full
+
+
+def test_empty_stage_resumes_without_recompute(spark, empty_transcripts, tmp_path_factory):
+    """Regression: a legitimately-empty stage publishes a sentinel
+    manifest row, so a resumed run skips it instead of recomputing."""
+    from ner_spark.operators import manifest as mf
+    from ner_spark.pipeline import PipelineConfig, run_pipeline
+
+    out_dir = str(tmp_path_factory.mktemp("empty_resume"))
+    run_pipeline(spark, empty_transcripts, PipelineConfig(out_dir=out_dir, run_id="e"))
+    # every stage (all empty) has a complete sentinel
+    man = mf.read_manifest(spark, out_dir).toPandas()
+    assert (man["status"] == "complete").all()
+    assert mf.stage_complete(spark, out_dir, "e", "triples")
+    assert mf.stage_complete(spark, out_dir, "e", "edges")
