@@ -1150,15 +1150,17 @@ def _golden(name: str) -> str:
     return os.path.join(FIXTURES_SQL_ROOT, name)
 
 
-_MENTIONS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MENTIONS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _mentions(spark: SparkSession, fx: str) -> DataFrame:
     """Full tag+extract over the fixture transcripts, cached per session
-    (several kg_* queries reuse it)."""
+    (several kg_* queries reuse it). Keyed on applicationId — id(spark)
+    can be reused by a NEW session after the old one is collected,
+    serving DataFrames bound to a dead SparkContext."""
     from ner_spark.pipeline import build_mentions
 
-    key = (id(spark), fx)
+    key = (spark.sparkContext.applicationId, fx)
     if key not in _MENTIONS_CACHE:
         t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
         _MENTIONS_CACHE[key] = build_mentions(t).cache()
@@ -1564,7 +1566,14 @@ def q_kg_stream_triples(spark, sf_dir):
     from ner_spark.streaming.stream import run_triples_stream
 
     fx = _fx(sf_dir)
-    root = tempfile.mkdtemp(prefix="kg_stream_")
+    # deterministic per-(session, sf) dir, wiped on entry: repeated
+    # invocations reuse ONE tree instead of leaking a mkdtemp each run
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"kg_stream_{spark.sparkContext.applicationId}_{os.path.basename(fx)}",
+    )
+    if os.path.isdir(root):
+        shutil.rmtree(root)
     in_dir = os.path.join(root, "in")
     os.makedirs(in_dir)
     shutil.copy(

@@ -38,6 +38,20 @@ def cosine_col(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), decimals)
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail: deterministic rank (cosine desc, neighbor asc —
+    a total order, so results are engine/partitioning-invariant) applied
+    identically by the exact and both approximate search paths."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -60,14 +74,7 @@ def brute_force_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def sign_bucket_col(vec: Column, n_planes: int = 8) -> Column:
@@ -109,14 +116,7 @@ def lsh_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -173,14 +173,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_dup_pairs(

@@ -138,10 +138,13 @@ def token_logits_batch(token_lists: list[list[str]]) -> list[np.ndarray]:
         if toks:
             rows = []
             for t in toks:
-                r = cache.get(t)
+                # key on the lowercased form — logits depend only on it,
+                # so cased variants share one cache entry
+                low = t.lower()
+                r = cache.get(low)
                 if r is None:
-                    r = _token_logits(t)
-                    cache[t] = r
+                    r = _token_logits(low)
+                    cache[low] = r
                 rows.append(r)
             out.append(np.stack(rows))
         else:

@@ -59,20 +59,39 @@ def stream_transcripts(
     return r.parquet(input_dir)
 
 
+def _streaming_mentions(transcripts: DataFrame) -> DataFrame:
+    """Shared stateless prelude: the FUSED tag+extract stage (same
+    operator as the batch hot path — one Python boundary) on a streaming
+    DataFrame. Single definition so every streaming entry point keeps the
+    same semantics and physical shape."""
+    from ner_spark.operators.tagging import tag_and_extract
+
+    return tag_and_extract(transcripts)
+
+
+def _streaming_pairs(transcripts: DataFrame) -> DataFrame:
+    """Per-turn deduped (pred, obj) pairs with ts carried for event-time
+    consumers: (conv_id, turn_idx, ts, pred, obj)."""
+    from ner_spark.operators.extraction import distinct_pairs
+
+    m = _streaming_mentions(transcripts)
+    return m.withColumn(
+        "pair", F.explode(distinct_pairs(F.col("mentions")))
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.col("pair.pred").alias("pred"),
+        F.col("pair.obj").alias("obj"),
+    )
+
+
 def streaming_triples(transcripts: DataFrame) -> DataFrame:
     """The batch tag→extract→triples slice applied to a streaming
     DataFrame — identical operators, stateless, append-mode legal."""
-    from ner_spark.operators.extraction import (
-        extract_mentions_bio,
-        mentions_to_triples,
-    )
-    from ner_spark.operators.tagging import tag_turns, with_tokens
+    from ner_spark.operators.extraction import mentions_to_triples
 
-    tagged = with_tokens(tag_turns(transcripts))
-    m = tagged.withColumn(
-        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
-    )
-    return mentions_to_triples(m)
+    return mentions_to_triples(_streaming_mentions(transcripts))
 
 
 def windowed_triple_counts(
@@ -85,19 +104,10 @@ def windowed_triple_counts(
     watermark no longer update closed windows. The watermark is attached
     directly before the stateful aggregation (after the stateless
     UDF stages) so event-time tracking is unambiguous."""
-    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bio
-    from ner_spark.operators.tagging import tag_turns, with_tokens
-
-    tagged = with_tokens(tag_turns(transcripts))
-    pairs = tagged.withColumn(
-        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
-    ).withColumn("pair", F.explode(distinct_pairs(F.col("mentions"))))
+    pairs = _streaming_pairs(transcripts)
     return (
         pairs.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", window).alias("w"),
-            F.col("pair.pred").alias("pred"),
-        )
+        .groupBy(F.window("ts", window).alias("w"), "pred")
         .agg(F.count(F.lit(1)).alias("n_triples"))
         .select(
             F.col("w.start").alias("window_start"),
@@ -135,28 +145,25 @@ def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
     conv_id; a pathologically hot conversation concentrates state but not
     compute (its turns still tag in parallel upstream — only the pair
     dedup serializes per conversation, and pairs ≪ turns)."""
-    from ner_spark.operators.extraction import distinct_pairs, extract_mentions_bio
-    from ner_spark.operators.tagging import tag_turns, with_tokens
-
-    tagged = with_tokens(tag_turns(transcripts))
-    pairs = tagged.withColumn(
-        "mentions", extract_mentions_bio(F.col("tags"), F.col("tokens"))
-    ).withColumn("pair", F.explode(distinct_pairs(F.col("mentions")))).select(
-        "conv_id",
-        "turn_idx",
-        F.col("pair.pred").alias("pred"),
-        F.col("pair.obj").alias("obj"),
+    pairs = _streaming_pairs(transcripts).select(
+        "conv_id", "turn_idx", "pred", "obj"
     )
 
     def dedup(key, pdf_iter, state):
         import pandas as pd
 
         conv_id = key[0]
-        seen = set(state.get()[0]) if state.exists else set()
+        # GroupState.get is a PROPERTY in PySpark (returns the tuple)
+        seen = set(state.get[0]) if state.exists else set()
+        # concatenate ALL the group's chunks before sorting: per-chunk
+        # sorting would attribute a pair's first sighting to whichever
+        # Arrow chunk arrived first — nondeterministic across runs
+        chunks = [pdf for pdf in pdf_iter]
         out = []
-        for pdf in pdf_iter:
-            # deterministic emission order within the batch
-            pdf = pdf.sort_values(["turn_idx", "pred", "obj"])
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["turn_idx", "pred", "obj"]
+            )
             for r in pdf.itertuples(index=False):
                 k = f"{r.pred}\x01{r.obj}"
                 if k not in seen:

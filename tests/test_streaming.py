@@ -194,3 +194,20 @@ def test_stateful_new_triples_dedup(spark, stream_dirs, tmp_path):
     # a second drain with no new files emits nothing new
     n_before = len(all_rows)
     assert len(drain()) == n_before
+
+    # incremental drain for ALREADY-SEEN conversations (state.exists=True):
+    # re-send every conversation's turns with shifted turn_idx — all pairs
+    # are already known, so nothing new may be emitted, and the query must
+    # not crash restoring state
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    t = pq2.read_table(os.path.join(stream_dirs["input"], "part-0.parquet"))
+    shifted = t.set_column(
+        t.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pa.compute.add(t.column("turn_idx"), 100000).cast(pa.int32()),
+    )
+    pq2.write_table(shifted, os.path.join(stream_dirs["input"], "part-3.parquet"))
+    after = drain()
+    assert len(after) == n_before  # every re-sent pair suppressed by state

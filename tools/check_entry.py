@@ -23,9 +23,15 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        # 12 significant digits: absorbs last-ulp engine noise while still
+        # resolving the 6-decimal rounded spec at any realistic magnitude
+        return f"{v:.12g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        # recurse so float elements inside array columns get the same
+        # normalization instead of raw repr
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -41,7 +47,13 @@ def to_multiset(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # mirror entry_queries._fx: unknown sf names fall back to the sf0.01
+    # fixture on BOTH sides of the comparison
+    from ner_spark.fixtures.generator import SF_TURNS
+
     sf = os.path.basename(os.path.normpath(sf_dir))
+    if sf not in SF_TURNS:
+        sf = "sf0.01"
 
     import duckdb
 
@@ -50,6 +62,10 @@ def main():
 
     spark = get_spark(app_name="check_entry")
     qs, oracles = ent.queries(), ent.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in (
