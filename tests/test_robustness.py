@@ -177,3 +177,14 @@ def test_empty_stage_resumes_without_recompute(spark, empty_transcripts, tmp_pat
     assert (man["status"] == "complete").all()
     assert mf.stage_complete(spark, out_dir, "e", "triples")
     assert mf.stage_complete(spark, out_dir, "e", "edges")
+
+
+def test_load_vocabulary_line_number_is_id(spark, tmp_path):
+    """S1 semantics (reference load_vocabulary): line number IS the id,
+    reserved tokens first."""
+    from ner_spark.sources.tables import load_vocabulary
+
+    p = tmp_path / "vocab.txt"
+    p.write_text("[PAD]\n[UNK]\n[SEP]\n[SPA]\nalpha\nbeta\n")
+    rows = {r["token"]: r["id"] for r in load_vocabulary(spark, str(p)).collect()}
+    assert rows == {"[PAD]": 0, "[UNK]": 1, "[SEP]": 2, "[SPA]": 3, "alpha": 4, "beta": 5}
