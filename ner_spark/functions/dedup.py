@@ -177,28 +177,37 @@ def near_dup_survivors(
         df, id_col, text_col, threshold, k, max_band_bucket
     )
 
-    # CC works on strings; offset-then-zero-pad so the lexicographic
-    # component minimum equals the numeric minimum for ALL ids in
-    # [-2^62, 2^62) — plain zero-padding would order '-5' before '-7'.
-    _OFFSET = 1 << 62
+    # CC works on strings; encode ids so lexicographic order equals
+    # numeric order over the FULL int64 range: flip the sign bit (signed
+    # order becomes unsigned order) and render as fixed-width hex.
+    # Arithmetic offsets would overflow near the range ends; plain
+    # zero-padding mis-orders negatives.
+    _SIGN = -(1 << 63)
 
-    def pad(c: Column) -> Column:
-        return F.lpad((c.cast("long") + F.lit(_OFFSET)).cast("string"), 20, "0")
+    def enc(c: Column) -> Column:
+        return F.lpad(F.hex(c.cast("long").bitwiseXOR(F.lit(_SIGN))), 16, "0")
 
-    def unpad(c: Column) -> Column:
-        return (c.cast("long") - F.lit(_OFFSET)).cast("long")
-
-    ids = df.select(pad(F.col(id_col)).alias("node_id"))
+    # the encoding has no cheap inverse in-plan, so recover original ids
+    # by joining the (encoded -> original) mapping back — it is exactly
+    # the node table, tiny next to the corpus.
+    m = df.select(F.col(id_col).alias("orig"), enc(F.col(id_col)).alias("node_id"))
     assignment = connected_components(
-        ids,
+        m.select("node_id"),
         pairs.select(
-            pad(F.col("id_a")).alias("src"), pad(F.col("id_b")).alias("dst")
+            enc(F.col("id_a")).alias("src"), enc(F.col("id_b")).alias("dst")
         ),
     )
-    return assignment.select(
-        unpad(F.col("node_id")).alias(id_col),
-        unpad(F.col("component")).alias("canonical_id"),
-        (F.col("node_id") == F.col("component")).alias("is_survivor"),
+    canon = m.select(
+        F.col("node_id").alias("component"), F.col("orig").alias("canonical_id")
+    )
+    return (
+        assignment.join(m, "node_id")
+        .join(canon, "component")
+        .select(
+            F.col("orig").alias(id_col),
+            "canonical_id",
+            (F.col("node_id") == F.col("component")).alias("is_survivor"),
+        )
     )
 
 

@@ -116,30 +116,27 @@ def run_pipeline(
 
     # -- linking: surface nodes + scored link edges ------------------------
     # link_edges() eagerly materializes the node dimension
-    # (localCheckpoint), so don't even construct it when both dependent
-    # stages already published — a resumed run must not pay a linking job
-    # it is about to skip.
-    from ner_spark.operators.manifest import stage_complete
+    # (localCheckpoint), so construct it LAZILY on first actual compute:
+    # run_stage stays the single authority on whether a stage recomputes,
+    # and a fully-resumed run never pays the linking job it skips.
+    _link_memo: dict = {}
 
-    if (
-        cfg.resume
-        and stage_complete(spark, cfg.out_dir, cfg.run_id, "surface_nodes")
-        and stage_complete(spark, cfg.out_dir, cfg.run_id, "link_edges")
-    ):
-        surface_nodes_df = link_edges_df = None  # both stages will skip
-    else:
-        surface_nodes_df, link_edges_df = link_edges(
-            explode_mentions(mentions),
-            threshold=cfg.link_threshold,
-            max_band_bucket=cfg.max_band_bucket,
-        )
+    def _links():
+        if "v" not in _link_memo:
+            _link_memo["v"] = link_edges(
+                explode_mentions(mentions),
+                threshold=cfg.link_threshold,
+                max_band_bucket=cfg.max_band_bucket,
+            )
+        return _link_memo["v"]
+
     surface_nodes = run_stage(
         spark, cfg.out_dir, cfg.run_id, "surface_nodes",
-        lambda: surface_nodes_df, resume=cfg.resume,
+        lambda: _links()[0], resume=cfg.resume,
     )
     links = run_stage(
         spark, cfg.out_dir, cfg.run_id, "link_edges",
-        lambda: link_edges_df, resume=cfg.resume,
+        lambda: _links()[1], resume=cfg.resume,
     )
     out["surface_nodes"], out["link_edges"] = surface_nodes, links
 

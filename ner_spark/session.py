@@ -64,18 +64,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
 
-    # JVM-launch-time confs (driver memory) only apply when THIS call
-    # creates the session; under spark-submit or getOrCreate-reuse the
-    # builder confs are silently inherited/ignored — surface that.
+    # When getOrCreate returns an EXISTING session, runtime SQL confs
+    # (shuffle partitions, Arrow batch size) ARE re-applied by Spark, but
+    # JVM-launch-time confs (spark.driver.memory, master) are silently
+    # ignored — they were fixed when the JVM started (also true under
+    # spark-submit, where the driver is already up before this runs).
+    # getActiveSession is thread-local, so this detection is best-effort.
     existing = SparkSession.getActiveSession()
     spark = b.getOrCreate()
     if existing is not None:
         import warnings
 
         warnings.warn(
-            "get_spark() returned an existing SparkSession; builder confs "
-            "(shuffle partitions, Arrow batch size, driver memory) were NOT "
-            "applied — set them on the original session/spark-submit.",
+            "get_spark() reused an existing SparkSession: runtime SQL confs "
+            "were re-applied, but JVM-launch confs (driver memory, master) "
+            "keep the original session's values.",
             stacklevel=2,
         )
     spark.sparkContext.setLogLevel("WARN")

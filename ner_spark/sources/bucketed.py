@@ -12,7 +12,7 @@ metadata).
 The no-shuffle property is asserted in tests (and only holds while
 ``spark.sql.sources.bucketing.enabled`` stays true and the bucket counts
 match — a mismatch silently degrades to a normal shuffle join, which is
-why ``assert_colocated_join`` exists for plan audits).
+why ``is_exchange_free_join`` exists for plan audits).
 """
 
 from __future__ import annotations
@@ -52,4 +52,4 @@ def is_exchange_free_join(df: DataFrame) -> bool:
     """Plan audit: True iff the physical plan contains a join but no
     Exchange — the signature of a co-located (bucketed) join."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange" not in plan and ("SortMergeJoin" in plan or "Join" in plan)
+    return "Exchange" not in plan and "Join" in plan

@@ -59,14 +59,19 @@ def stream_transcripts(
     return r.parquet(input_dir)
 
 
-def _streaming_mentions(transcripts: DataFrame) -> DataFrame:
+def _streaming_mentions(
+    transcripts: DataFrame, carry: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> DataFrame:
     """Shared stateless prelude: the FUSED tag+extract stage (same
     operator as the batch hot path — one Python boundary) on a streaming
-    DataFrame. Single definition so every streaming entry point keeps the
-    same semantics and physical shape."""
+    DataFrame. Columns are pruned to ``carry`` + text BEFORE the opaque
+    mapInPandas boundary — Catalyst cannot push pruning through it, and
+    unused columns (tool, role) would round-trip through Arrow per turn
+    for nothing."""
     from ner_spark.operators.tagging import tag_and_extract
 
-    return tag_and_extract(transcripts)
+    cols = list(dict.fromkeys([*carry, "text"]))
+    return tag_and_extract(transcripts.select(*cols))
 
 
 def _streaming_pairs(transcripts: DataFrame) -> DataFrame:
@@ -74,7 +79,7 @@ def _streaming_pairs(transcripts: DataFrame) -> DataFrame:
     consumers: (conv_id, turn_idx, ts, pred, obj)."""
     from ner_spark.operators.extraction import distinct_pairs
 
-    m = _streaming_mentions(transcripts)
+    m = _streaming_mentions(transcripts, carry=("conv_id", "turn_idx", "ts"))
     return m.withColumn(
         "pair", F.explode(distinct_pairs(F.col("mentions")))
     ).select(

@@ -125,7 +125,11 @@ def main() -> None:
                 failures.append((name, "unexpected", s))
         cap = spec.get("max_tree_exchanges")
         if cap is not None:
-            n_ex = plan.count("+- Exchange")
+            import re as _re
+
+            # tree nodes render as "+- Exchange", ":- Exchange" (non-last
+            # child of a binary op) or bare "Exchange (" at the root
+            n_ex = len(_re.findall(r"(?:[:+]- |^)Exchange \(", plan, _re.M))
             ok = n_ex <= cap
             status.append(("max Exchanges", str(cap), ok))
             if not ok:
@@ -156,9 +160,11 @@ def main() -> None:
         f"```\n{kg_plan.strip()}\n```\n"
     )
 
+    import re as _re
+
     rel_plan = formatted(extract_relations(m))
     # "formatted" renders each node twice (tree + detail); count tree rows
-    n_exchanges = rel_plan.count("+- Exchange")
+    n_exchanges = len(_re.findall(r"(?:[:+]- |^)Exchange \(", rel_plan, _re.M))
     badge = "✅" if n_exchanges == 1 else "❌"
     if n_exchanges != 1:
         failures.append(("kg_relations_plan", "expected exactly 1 Exchange", n_exchanges))
