@@ -188,3 +188,22 @@ def test_load_vocabulary_line_number_is_id(spark, tmp_path):
     p.write_text("[PAD]\n[UNK]\n[SEP]\n[SPA]\nalpha\nbeta\n")
     rows = {r["token"]: r["id"] for r in load_vocabulary(spark, str(p)).collect()}
     assert rows == {"[PAD]": 0, "[UNK]": 1, "[SEP]": 2, "[SPA]": 3, "alpha": 4, "beta": 5}
+
+
+def test_near_dup_survivors_int64_extremes(spark):
+    """Regression: the id encoding must order correctly at BOTH int64
+    extremes (an arithmetic offset would overflow near 2^62)."""
+    from ner_spark.functions.dedup import near_dup_survivors
+
+    big = (1 << 62) + 7
+    lo = -(1 << 62) - 3
+    df = spark.createDataFrame(
+        [
+            (big, "alpha beta gamma delta epsilon zeta"),
+            (5, "alpha beta gamma delta epsilon eta"),
+            (lo, "alpha beta gamma delta epsilon theta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in near_dup_survivors(df).collect()}
+    assert got == {big: lo, 5: lo, lo: lo}
