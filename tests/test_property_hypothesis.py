@@ -98,3 +98,34 @@ def test_normalize_surface_canonical_form(s):
     assert n == n.lower()
     assert "  " not in n
     assert n == n.strip()
+
+
+MTYPES = ["brand", "product", "color", "person", "org", "place"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(MTYPES),
+            st.sampled_from(["acme", "blue", "widget", "paris", "ada"]),
+            st.integers(min_value=0, max_value=10),
+        ),
+        max_size=6,
+    )
+)
+def test_relate_mentions_upper_triangle_equals_spec(ms):
+    """The upper-triangle implementation equals the quadratic definition
+    (every ordered pair with subj span strictly before obj span, matched
+    against the rule table) on arbitrary mention sets."""
+    got = kg.relate_mentions(ms)
+    sorted_ms = sorted(ms, key=lambda m: (m[2], m[0], m[1]))
+    want = []
+    for a in sorted_ms:
+        for b in sorted_ms:
+            if a is b or a[2] >= b[2]:
+                continue
+            pred = kg.REL_RULES.get((a[0], b[0]))
+            if pred is not None:
+                want.append((a[0], a[1], pred, b[0], b[1]))
+    assert sorted(got) == sorted(want)
