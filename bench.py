@@ -117,8 +117,11 @@ def main() -> None:
     for qname in (
         "dedup_exact",
         "lsh_dup_pairs",
+        "dedup_survivors",
         "simhash_values",
         "ann_topk",
+        "ann_ivf_topk",
+        "multimodal_decode",
         "pricing_summary",
         "top_revenue_nations",
         "window_topk_orders",
