@@ -22,8 +22,11 @@ Scale design (the part the reference, a single-box repo, never had):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ner_spark.kg import (
     BAND_ROWS,
@@ -139,6 +142,17 @@ def jaccard_col(a: Column, b: Column) -> Column:
     )
 
 
+@pandas_udf(T.DoubleType())
+def _pandas_jaccard(a_s: pd.Series, b_s: pd.Series) -> pd.Series:
+    out = []
+    for a, b in zip(a_s, b_s):
+        sa, sb = set(a), set(b)
+        u = len(sa | sb)
+        # int/int division — bit-identical to the JVM size/size double
+        out.append(len(sa & sb) / u if u else 0.0)
+    return pd.Series(out, dtype="float64")
+
+
 # ---------------------------------------------------------------------------
 # stage operators
 # ---------------------------------------------------------------------------
@@ -214,10 +228,24 @@ def candidate_pairs(
     )
 
 
-def score_pairs(pairs_df: DataFrame) -> DataFrame:
-    """Jaccard verification of candidates — the link scorer. Pure
-    built-ins (array_intersect/array_union), no shuffle beyond the join
-    that produced the pairs."""
+def score_pairs(pairs_df: DataFrame, scorer: str = "jvm") -> DataFrame:
+    """Verification of candidate pairs — the entity-link scorer.
+
+    Two interchangeable physical forms of the SAME score (shingle-set
+    Jaccard; asserted bit-identical in tests):
+
+    * ``jvm`` (default): pure built-ins (array_intersect/array_union)
+      inside the join's codegen span — no Python, the fast path;
+    * ``pandas``: an Arrow-batched pandas UDF — the extension point for
+      learned scorers (an embedding-similarity or classifier scorer
+      drops into the same batched signature; the north-star
+      architecture's "pandas-UDF entity-link scorer" slot).
+
+    No shuffle beyond the join that produced the pairs either way."""
+    if scorer == "pandas":
+        return pairs_df.withColumn(
+            "score", _pandas_jaccard(F.col("shingles_a"), F.col("shingles_b"))
+        ).select("node_a", "node_b", "score")
     return pairs_df.withColumn(
         "score", jaccard_col(F.col("shingles_a"), F.col("shingles_b"))
     ).select("node_a", "node_b", "score")
