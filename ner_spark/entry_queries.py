@@ -569,6 +569,40 @@ def q_fingerprints(spark, sf_dir):
     )
 
 
+def _roll_powers_sql() -> str:
+    from ner_spark.functions.text import ROLL_POWERS
+
+    return "[" + ",".join(str(p) for p in reversed(ROLL_POWERS)) + "]"
+
+
+@query(
+    "fingerprint_rolling",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS codes
+               FROM documents),
+    w AS (SELECT doc_id, codes, greatest(len(codes) - 7, 1) AS nw FROM t)
+    SELECT doc_id,
+           CAST(list_min(list_transform(range(0, nw),
+             i -> list_sum(list_transform(range(0, 8),
+                    j -> coalesce(codes[i + j + 1], 0) * ({_roll_powers_sql()})[j + 1]))
+                  % 2305843009213693951)) AS BIGINT) AS fp_rolling
+    FROM w
+    """,
+)
+def q_fingerprint_rolling(spark, sf_dir):
+    """Literal rolling-hash fingerprint: minimum polynomial hash over
+    every 8-char window (base 33 mod 2^61-1 — operand sizing keeps every
+    intermediate in int64 on both engines; ascii() yields identical
+    unicode codepoints in Spark and DuckDB)."""
+    from ner_spark.functions.text import fingerprint_rolling
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint_rolling(F.col("text")).alias("fp_rolling")
+    )
+
+
 # ===========================================================================
 # Sequence encoding (SURVEY §2.2 P1/P2/P4/P5/P7/P8, §2.7 O4)
 # ===========================================================================

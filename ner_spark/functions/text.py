@@ -147,3 +147,48 @@ def fingerprint_minhash(text: Column, ngram: int = 4) -> Column:
 def content_hash(text: Column) -> Column:
     """Exact-dup key: md5 hex of the raw text."""
     return F.md5(text)
+
+
+# polynomial rolling hash: base/window sized so every intermediate fits a
+# signed 64-bit int in Spark, DuckDB and Python alike — char code < 2^21
+# (unicode), 33^7 < 2^36, so code·33^7 < 2^57 and the 8-term sum < 2^60.
+ROLL_BASE = 33
+ROLL_WINDOW = 8
+ROLL_MOD = (1 << 61) - 1
+ROLL_POWERS = [ROLL_BASE**k % ROLL_MOD for k in range(ROLL_WINDOW)]
+
+
+def fingerprint_rolling(text: Column) -> Column:
+    """Winnowing-style fingerprint over a LITERAL rolling hash: the
+    minimum polynomial hash of every ``ROLL_WINDOW``-char window
+    (h = Σ code(cᵢ₊ⱼ)·B^(W-1-j) mod M). Texts shorter than the window
+    hash as one zero-padded window. Row-local higher-order functions."""
+    from ner_spark.functions.colutil import let
+
+    def win_hash(codes: Column, i: Column) -> Column:
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(ROLL_WINDOW - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.coalesce(F.try_element_at(codes, i + j + 1), F.lit(0))
+                * F.element_at(
+                    F.array(*[F.lit(p) for p in reversed(ROLL_POWERS)]), j + 1
+                ),
+            )
+            % F.lit(ROLL_MOD)
+        )
+
+    def body(codes: Column) -> Column:
+        n_windows = F.greatest(F.size(codes) - (ROLL_WINDOW - 1), F.lit(1))
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), n_windows - 1),
+                lambda i: win_hash(codes, i),
+            )
+        )
+
+    codes = F.transform(
+        F.split(text, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    return let(codes, body)
