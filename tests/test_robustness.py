@@ -207,3 +207,16 @@ def test_near_dup_survivors_int64_extremes(spark):
     )
     got = {r["doc_id"]: r["canonical_id"] for r in near_dup_survivors(df).collect()}
     assert got == {big: lo, 5: lo, lo: lo}
+
+
+def test_rolling_hash_edges_unicode_and_empty(spark):
+    """Rolling-hash fingerprint: empty text hashes to 0, short and
+    unicode texts produce the exact cross-engine reference values
+    (ascii() = codepoint in both engines)."""
+    from ner_spark.functions.text import fingerprint_rolling
+
+    df = spark.createDataFrame(
+        [("",), ("ab",), ("北京 test",)], "text string"
+    ).select("text", fingerprint_rolling(F.col("text")).alias("f"))
+    got = {r["text"]: r["f"] for r in df.collect()}
+    assert got == {"": 0, "ab": 4260552829731, "北京 test": 932548459117539}
