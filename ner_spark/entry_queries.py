@@ -1098,8 +1098,9 @@ def q_multimodal_meta(spark, sf_dir):
            CAST(16 + ('0x' || substring(h, 1, 2))::INT % 64 AS INTEGER) AS width,
            CAST(16 + ('0x' || substring(h, 3, 2))::INT % 64 AS INTEGER) AS height,
            CAST(1 + ('0x' || substring(h, 5, 2))::INT % 3 AS INTEGER) AS channels,
-           list_transform(range(0, 8),
-             i -> round(('0x' || substring(h, 2*i + 1, 2))::INT / 255.0, 6)) AS feature
+           array_to_string(list_transform(range(0, 8),
+             i -> CAST(round(round(('0x' || substring(h, 2*i + 1, 2))::INT / 255.0, 6)
+                             * 1000000) AS BIGINT)), ',') AS feature_str
     FROM t
     """,
 )
@@ -1108,11 +1109,29 @@ def q_multimodal_decode(spark, sf_dir):
     (functions/multimodal.py): binary payload → (dims, feature vector)
     through the real mapInPandas batch shape; the oracle recomputes the
     md5-derived dims/features in SQL. Swapping the fake for PIL/ffmpeg
-    changes only the codec call."""
+    changes only the codec call.
+
+    The driver's canonicalizer hashes pandas cells and cannot hash list
+    values, so the query surface serializes the feature vector to a
+    deterministic string (each 6-decimal value scaled to an exact int64,
+    comma-joined); library callers keep the ``array<double>`` column from
+    ``decode_image_batch`` itself."""
     from ner_spark.functions.multimodal import attach_payload, decode_image_batch
 
     d = attach_payload(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-    return decode_image_batch(d.select("doc_id", "payload"), fake=True)
+    decoded = decode_image_batch(d.select("doc_id", "payload"), fake=True)
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.array_join(
+            F.transform(
+                "feature", lambda x: F.round(x * 1000000).cast("long").cast("string")
+            ),
+            ",",
+        ).alias("feature_str"),
+    )
 
 
 @query(
