@@ -265,7 +265,9 @@ def q_token_freq_weights(spark, sf_dir):
     "vocab_ids",
     """
     SELECT token, CAST(row_number() OVER (ORDER BY token) + 3 AS INTEGER) AS id
-    FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) t
+    FROM (SELECT token FROM
+            (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents)
+          WHERE token NOT IN ('[PAD]', '[UNK]', '[SEP]', '[SPA]')) t
     UNION ALL
     SELECT * FROM (VALUES ('[PAD]', 0), ('[UNK]', 1), ('[SEP]', 2), ('[SPA]', 3)) v(token, id)
     """,
@@ -273,18 +275,12 @@ def q_token_freq_weights(spark, sf_dir):
 def q_vocab_ids(spark, sf_dir):
     """S1 vocabulary build (/root/reference/utils.py:9-20): corpus-driven
     ids after the 4 reserved rows [PAD] [UNK] [SEP] [SPA]
-    (/root/reference/data/vocab_char.txt:1-4)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
-    w = Window.orderBy("token")
-    vocab = toks.select(
-        "token", (F.row_number().over(w) + 3).cast("int").alias("id")
-    )
-    reserved = spark.createDataFrame(
-        [("[PAD]", 0), ("[UNK]", 1), ("[SEP]", 2), ("[SPA]", 3)],
-        "token string, id int",
-    )
-    return vocab.unionByName(reserved)
+    (/root/reference/data/vocab_char.txt:1-4). Corpus occurrences of a
+    literal reserved token are excluded so the reserved rows stay the
+    unique key owners."""
+    from ner_spark.operators.encode import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -644,8 +640,10 @@ def q_encode_char_frame(spark, sf_dir):
     "encode_token_ids",
     """
     WITH vtoks AS (
-      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
-      FROM documents WHERE source <> 'src0'),
+      SELECT token FROM (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE source <> 'src0')
+      WHERE token NOT IN ('[PAD]', '[UNK]', '[SEP]', '[SPA]')),
     vocab AS (
       SELECT token, CAST(row_number() OVER (ORDER BY token) + 3 AS INTEGER) AS id
       FROM vtoks

@@ -105,9 +105,11 @@ def connected_components(
     output)."""
     e0 = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if local_threshold is not None:
-        # one job decides AND fetches: limit(threshold+1) returns the
-        # whole edge set when it is small enough, so the probe is not a
-        # separate pass over the (possibly expensive) edge lineage.
+        # materialize the (possibly expensive, e.g. LSH-scored) edge
+        # lineage ONCE before probing: the probe's collect and — when the
+        # graph is over-threshold — the distributed star-contraction loop
+        # both read the checkpointed edges instead of recomputing them.
+        e0 = e0.localCheckpoint(eager=True)
         probe = e0.limit(local_threshold + 1).collect()
         if len(probe) <= local_threshold:
             return _solve_local(nodes, probe, id_col)

@@ -77,7 +77,15 @@ def build_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     rows). The distinct() underneath is a proper distributed aggregation —
     only the final numbered dimension is single-partition."""
     spark = df.sparkSession
-    toks = df.select(F.explode(F.split(text_col, " ")).alias("token")).distinct()
+    # a corpus containing a literal reserved token (e.g. "[SPA]", which
+    # char_tokens_col itself injects) must not produce a duplicate vocab
+    # key — the reserved rows always win, like the reference's vocab file
+    # where they occupy the first 4 lines exactly once
+    toks = (
+        df.select(F.explode(F.split(text_col, " ")).alias("token"))
+        .where(~F.col("token").isin([t for t, _ in RESERVED]))
+        .distinct()
+    )
     w = Window.orderBy("token")
     vocab = toks.select(
         "token", (F.row_number().over(w) + 3).cast("int").alias("id")

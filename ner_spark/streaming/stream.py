@@ -133,23 +133,47 @@ NEW_TRIPLES_SCHEMA = T.StructType(
     ]
 )
 
+# fixed-width state: each seen pair is an 8-byte hash, not the raw
+# 'pred\x01obj' string — per-conversation state is 8 B/fact regardless of
+# mention text length, which is what keeps a hot conversation's state
+# bounded over the stream's lifetime at deployment scale
 _DEDUP_STATE_SCHEMA = T.StructType(
-    [T.StructField("seen", T.ArrayType(T.StringType()), False)]
+    [T.StructField("seen", T.ArrayType(T.LongType()), False)]
 )
 
 
-def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
+def _pair_hash(pred: str, obj: str) -> int:
+    """64-bit truncated md5 of the pair key. Collision odds at n seen
+    pairs ≈ n²/2⁶⁵ (~3e-8 at a million facts in ONE conversation); a
+    collision suppresses a single novel fact from the incremental feed —
+    the batch pipeline, which is the source of truth, still emits it."""
+    import hashlib
+
+    d = hashlib.md5(f"{pred}\x01{obj}".encode("utf-8")).digest()
+    return int.from_bytes(d[:8], "big", signed=True)
+
+
+def streaming_new_triples(
+    transcripts: DataFrame, state_ttl: str | None = None
+) -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):
     emit each conversation's (pred, obj) pair only the FIRST time it is
     ever observed across the stream's lifetime — incremental KG fact
     dedup, so downstream consumers never re-process known facts.
 
-    State = the per-conversation set of seen pair keys, kept in the state
-    store and restored per micro-batch. The stateless tag+extract stages
-    run before the stateful groupBy, so the only stateful shuffle keys on
-    conv_id; a pathologically hot conversation concentrates state but not
-    compute (its turns still tag in parallel upstream — only the pair
-    dedup serializes per conversation, and pairs ≪ turns)."""
+    State = the per-conversation set of seen pair-key hashes, kept in the
+    state store and restored per micro-batch. The stateless tag+extract
+    stages run before the stateful groupBy, so the only stateful shuffle
+    keys on conv_id; a pathologically hot conversation concentrates state
+    but not compute (its turns still tag in parallel upstream — only the
+    pair dedup serializes per conversation, and pairs ≪ turns).
+
+    ``state_ttl`` (e.g. ``"30 days"``) switches to a processing-time
+    timeout that evicts a conversation's state after that idle period —
+    the second half of the state bound: conversations end, and an evicted
+    conversation that somehow resumes may re-emit known facts, which the
+    downstream batch canonicalization dedups anyway. Default (None) keeps
+    exact first-sighting semantics forever."""
     pairs = _streaming_pairs(transcripts).select(
         "conv_id", "turn_idx", "pred", "obj"
     )
@@ -157,6 +181,14 @@ def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
     def dedup(key, pdf_iter, state):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle past the TTL: evict. No input rows accompany a
+            # timeout invocation, so nothing is emitted.
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
+            )
+            return
         conv_id = key[0]
         # GroupState.get is a PROPERTY in PySpark (returns the tuple)
         seen = set(state.get[0]) if state.exists else set()
@@ -170,13 +202,15 @@ def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
                 ["turn_idx", "pred", "obj"]
             )
             for r in pdf.itertuples(index=False):
-                k = f"{r.pred}\x01{r.obj}"
+                k = _pair_hash(r.pred, r.obj)
                 if k not in seen:
                     seen.add(k)
                     out.append(
                         (conv_id, int(r.turn_idx), f"{conv_id}#{int(r.turn_idx)}", r.pred, r.obj)
                     )
         state.update((sorted(seen),))
+        if state_ttl is not None:
+            state.setTimeoutDuration(state_ttl)
         yield pd.DataFrame(
             out, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
         )
@@ -186,7 +220,7 @@ def streaming_new_triples(transcripts: DataFrame) -> DataFrame:
         outputStructType=NEW_TRIPLES_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="NoTimeout" if state_ttl is None else "ProcessingTimeTimeout",
     )
 
 

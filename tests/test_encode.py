@@ -43,6 +43,27 @@ def test_vocab_encode_unk_roundtrip(spark):
     assert by[3] == ("cc", 1, "[UNK]")
 
 
+def test_vocab_reserved_token_in_corpus_no_duplicates(spark):
+    from ner_spark.operators.encode import build_vocab, encode_tokens
+
+    # a corpus that literally contains reserved tokens (char_tokens_col
+    # itself injects [SPA]) must not yield duplicate vocab keys — and the
+    # encode join must not fan rows out
+    corpus = spark.createDataFrame(
+        [(0, "[SPA] aa [UNK]"), (1, "aa [SPA]")], "doc_id int, text string"
+    )
+    vocab = build_vocab(corpus)
+    toks = [r["token"] for r in vocab.collect()]
+    assert len(toks) == len(set(toks)), "duplicate vocab keys"
+    by_tok = {r["token"]: r["id"] for r in vocab.collect()}
+    # reserved ids win; corpus ids start after them
+    assert by_tok["[SPA]"] == 3 and by_tok["[UNK]"] == 1 and by_tok["aa"] == 4
+    enc = encode_tokens(corpus, vocab)
+    assert enc.count() == 5  # one output row per input token, no dup fanout
+    spa = {(r["doc_id"], r["pos"]) for r in enc.where(F.col("token") == "[SPA]").collect()}
+    assert spa == {(0, 0), (1, 1)}
+
+
 def test_strict_label_encode_drops_unknown(spark):
     from ner_spark.operators.encode import build_vocab, encode_labels_strict
 
