@@ -924,6 +924,36 @@ def q_simhash_dup_pairs(spark, sf_dir):
 
 
 @query(
+    "simhash_band_pairs",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 list_transform(string_split(text, ' '), x -> {_h60('x')}) AS hs
+               FROM documents),
+    s AS (SELECT doc_id,
+            CAST(list_sum(list_transform(range(0, 32),
+              b -> CASE WHEN list_sum(list_transform(hs,
+                           h -> CASE WHEN (h & CAST(power(2, b) AS BIGINT)) <> 0 THEN 1 ELSE -1 END)) > 0
+                        THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+          FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_band_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with COMPLETE pigeonhole banding (the
+    scale-path primary): Hamming ≤ 3 via 4 disjoint 8-bit bands — any
+    pair inside the radius matches ≥1 band exactly. The oracle is the
+    UNBLOCKED quadratic truth, so this is a genuine completeness
+    cross-check of the banding, not a restatement of it."""
+    from ner_spark.functions.dedup import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_band_pairs(d, max_hamming=3)
+
+
+@query(
     "token_jaccard_pairs",
     """
     WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents)
@@ -953,6 +983,10 @@ _COS_SQL = """round(
          * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))), 6)"""
 
 
+def _cos2(a: str, b: str) -> str:
+    return _COS_SQL.replace("qv", a).replace("cv", b)
+
+
 @query(
     "embedding_dup_pairs",
     f"""
@@ -969,6 +1003,36 @@ def q_embedding_dup_pairs(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(e, threshold=0.4)
+
+
+_IVF_DUP_SQL_TAIL = """
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, {cos} AS cosine
+    FROM aa a JOIN aa b USING (cell)
+    WHERE a.id < b.id AND {cos} >= 0.4
+    """
+
+
+@query(
+    "embedding_dup_pairs_ivf",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    aa AS (SELECT id, v, cell FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk <= 2)
+    {_IVF_DUP_SQL_TAIL.format(cos=_cos2('a.v', 'b.v'))}
+    """,
+)
+def q_embedding_dup_pairs_ivf(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by IVF Voronoi cell with
+    multi-probe (nprobe=2) — the scale path when no fine-grained label
+    block exists: cell population is controlled by the centroid count,
+    and the second probe catches near-dups straddling a cell boundary."""
+    from ner_spark.functions.similarity import ivf_cosine_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_dup_pairs(e, threshold=0.4, n_cells=16, nprobe=2)
 
 
 @query(
@@ -1019,10 +1083,6 @@ def q_ann_lsh_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 50), k=5, n_planes=8)
-
-
-def _cos2(a: str, b: str) -> str:
-    return _COS_SQL.replace("qv", a).replace("cv", b)
 
 
 @query(

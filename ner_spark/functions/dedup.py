@@ -16,6 +16,8 @@ higher-order functions — no Python, no explode-shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -245,6 +247,59 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return let(F.transform(tokens_col(text), md5_hash60_col), body)
 
 
+def simhash_band_keys_col(simhash: Column, n_bands: int, bits: int = SIMHASH_BITS) -> Column:
+    """The ``n_bands`` pigeonhole band keys of a simhash: band b is the
+    contiguous bit slice [b·w, (b+1)·w) tagged with its index (the last
+    band absorbs the remainder bits). Any two hashes within Hamming
+    distance ``n_bands - 1`` agree exactly on at least one band."""
+    w = bits // n_bands
+
+    def key(b: int) -> Column:
+        start, width = b * w, (bits - b * w if b == n_bands - 1 else w)
+        val = F.shiftright(simhash, start).bitwiseAND(F.lit((1 << width) - 1))
+        return F.concat(F.lit(f"{b}|"), val.cast("string"))
+
+    return F.array(*[key(b) for b in range(n_bands)])
+
+
+def simhash_band_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash with COMPLETE
+    pigeonhole banding: the hash is split into ``max_hamming + 1``
+    disjoint bit bands, and any pair within the radius must match
+    exactly on ≥1 band — so the band self-join finds every qualifying
+    pair (no recall loss, unlike the fixed-prefix block of
+    ``simhash_pairs``) while each band key carries
+    ``bits/(max_hamming+1)`` bits of blocking power. The ``bit_count``
+    verify after the join discards band collisions outside the radius.
+
+    This is the scale-path primary: cost = Σ over band buckets of
+    |bucket|², with buckets ~2^(bits/(k+1)) ways per band instead of one
+    global 2^prefix split."""
+    n_bands = max_hamming + 1
+    s = df.select(
+        F.col(id_col).alias("id"),
+        simhash_col(F.col(text_col)).alias("simhash"),
+    ).withColumn(
+        "band", F.explode_outer(simhash_band_keys_col(F.col("simhash"), n_bands))
+    )
+    a = s.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = s.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair can collide on several bands — dedup before the verify
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -253,7 +308,11 @@ def simhash_pairs(
     prefix_bits: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash, blocked on the top
-    ``prefix_bits`` bits (at scale: multi-probe over rotated prefixes)."""
+    ``prefix_bits`` bits. The prefix block is LOSSY (a pair differing
+    inside the prefix is never considered) and its 2^prefix_bits-way
+    split is too coarse at corpus scale — ``simhash_band_pairs`` is the
+    complete, scale-path variant; this one is kept as the documented
+    cheap filter whose semantics ARE prefix-restricted."""
     s = df.select(
         F.col(id_col).alias("id"),
         simhash_col(F.col(text_col)).alias("simhash"),
@@ -282,10 +341,23 @@ def token_jaccard_pairs(
     text_col: str = "text",
     block_col: str = "lang",
     threshold: float = 0.7,
+    length_buckets: bool = True,
 ) -> DataFrame:
     """Token-set Jaccard near-dup pairs within a blocking key (default:
-    language). Exact within block — the quadratic cost is bounded by the
-    block size, which at scale is further split by length buckets."""
+    language), LOSSLESSLY sub-blocked by distinct-token-count buckets.
+
+    The sub-split is result-preserving, not approximate: J(A,B) ≥ t
+    implies |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so the two
+    set sizes are within a factor 1/t of each other. Bucketing sizes at
+    ⌊log_{1/t} n⌋ therefore puts any qualifying pair at most ONE bucket
+    apart, and emitting each doc into its own bucket plus the next one
+    ("probe up") guarantees every qualifying pair shares a composite
+    (block, bucket) key. A coarse block (a whole language ≈ the corpus at
+    100 TB) thus decomposes into ~geometric length bands whose quadratic
+    cost is bounded by the band population, at the price of ≤2× row
+    duplication into the join. ``length_buckets=False`` recovers the
+    single-key join (useful when the caller's block key is already
+    fine-grained, e.g. an IVF cell)."""
     from ner_spark.operators.linking import jaccard_col
 
     t = df.select(
@@ -293,12 +365,37 @@ def token_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_col(F.col(text_col))).alias("toks"),
     )
-    a = t.select("block", F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
-    b = t.select("block", F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    if length_buckets:
+        # growth factor 1/t: qualifying pairs differ by ≤1 bucket (proof
+        # above); floor over doubles is stable — the bucket id never
+        # reaches the output, it only routes the join
+        g = 1.0 / threshold
+        bucket = F.floor(
+            F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double"))
+            / F.lit(math.log(g))
+        ).cast("long")
+        t = t.withColumn(
+            "bkey",
+            F.explode_outer(
+                F.array(
+                    F.concat_ws("|", "block", bucket.cast("string")),
+                    F.concat_ws("|", "block", (bucket + 1).cast("string")),
+                )
+            ),
+        )
+    else:
+        t = t.withColumn("bkey", F.col("block"))
+    a = t.select("bkey", F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
+    b = t.select("bkey", F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
+    pairs = a.join(b, "bkey").where(F.col("id_a") < F.col("id_b"))
+    if length_buckets:
+        # a pair can meet in up to 2 shared buckets — dedup BEFORE the
+        # O(|A|+|B|) jaccard evaluation, not after
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, "block")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jaccard_col(F.col("t_a"), F.col("t_b")), 6))
+        pairs.withColumn(
+            "jaccard", F.round(jaccard_col(F.col("t_a"), F.col("t_b")), 6)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -119,6 +119,87 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def seed_centroids(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic seed centroids: the first ``n_cells`` vectors by id.
+    (cell: long, cvec: array) — the cheap default; ``kmeans_centroids``
+    refines them when recall matters."""
+    return emb.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell"),
+        F.col(vec_col).alias("cvec"),
+    )
+
+
+def _assign_cells(
+    df: DataFrame, cent: DataFrame, idname: str, vecname: str, nprobe: int = 1
+) -> DataFrame:
+    """Nearest-``nprobe`` Voronoi cell(s) per vector against broadcast
+    centroids. Ties break on lowest cell id over the ROUNDED cosine, so
+    assignment is identical across engines and partitionings.
+
+    nprobe=1 (the corpus side, the big pass) is a ``max_by`` aggregation
+    — one partial+final agg, no per-id sort shuffle. nprobe>1 (the small
+    query side) takes a rank window."""
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", cosine_col(F.col(vecname), F.col("cvec"))
+    )
+    if nprobe == 1:
+        best = scored.groupBy(idname).agg(
+            F.max_by(
+                F.struct(F.col("cell"), F.col(vecname).alias("v")),
+                F.struct(F.col("ccos"), (-F.col("cell")).alias("tb")),
+            ).alias("best")
+        )
+        return best.select(
+            idname, F.col("best.v").alias(vecname), F.col("best.cell").alias("cell")
+        )
+    w = Window.partitionBy(idname).orderBy(F.col("ccos").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .where(F.col("crk") <= nprobe)
+        .select(idname, vecname, "cell")
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over the embedding column, seeded with
+    ``seed_centroids`` (deterministic — no sampling, so every run and
+    both engines agree). Each iteration is one corpus pass: a broadcast
+    nearest-cell assignment (``max_by`` agg) + an element-wise mean per
+    cell (posexplode → (cell, pos) partial-agg mean → re-assembled
+    array). Lineage is truncated per iteration; an emptied cell keeps
+    its previous centroid. Returns (cell, cvec)."""
+    cent = seed_centroids(emb, n_cells, id_col, vec_col)
+    corpus = emb.select(F.col(id_col).alias("kid"), F.col(vec_col).alias("kv"))
+    for _ in range(n_iter):
+        assigned = _assign_cells(corpus, cent, "kid", "kv")
+        means = (
+            assigned.select("cell", F.posexplode("kv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cvec")
+            )
+        )
+        cent = (
+            cent.join(means, "cell", "left")
+            .select("cell", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -126,54 +207,83 @@ def ivf_topk(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus partitioned into ``n_cells``
-    Voronoi cells around deterministic seed centroids (the first
-    ``n_cells`` vectors by id — at production scale the centroids come
-    from a k-means job and only this seeding changes); each query probes
-    its own nearest cell only (nprobe=1).
+    Voronoi cells (deterministic seed centroids by default; pass
+    ``centroids=kmeans_centroids(emb)`` for trained cells); each query
+    probes its ``nprobe`` nearest cells.
 
     Cost: one broadcast pass to assign cells (|corpus|·n_cells cosines,
-    embarrassingly parallel) + a per-cell equi-join — the classic IVF
-    trade vs brute force's |corpus|·|queries|. Assignment ties break on
-    lowest cell id over the ROUNDED cosine, making cells identical
-    across engines and partitionings."""
-    cent = F.broadcast(
-        emb.where(F.col(id_col) < n_cells).select(
-            F.col(id_col).cast("long").alias("cell"),
-            F.col(vec_col).alias("cvec"),
-        )
-    )
-
-    def assign(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        scored = df.crossJoin(cent).withColumn(
-            "ccos", cosine_col(F.col(vecname), F.col("cvec"))
-        )
-        w = Window.partitionBy(idname).orderBy(
-            F.col("ccos").desc(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .where(F.col("crk") == 1)
-            .select(idname, vecname, "cell")
-        )
-
-    c = assign(
+    embarrassingly parallel, folded into a ``max_by`` aggregation — no
+    per-id sort) + a per-cell equi-join — the classic IVF trade vs brute
+    force's |corpus|·|queries|. Raising ``nprobe`` multiplies only the
+    query side's join fan-out, the recall knob benchmarked in BENCH.md."""
+    cent = centroids if centroids is not None else seed_centroids(emb, n_cells, id_col, vec_col)
+    c = _assign_cells(
         emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
         "neighbor_id",
         "cv",
     )
-    q = assign(
+    q = _assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
         "query_id",
         "qv",
+        nprobe=nprobe,
     )
+    # no pair dedup needed: the corpus side is assigned to exactly one
+    # cell, so a (query, neighbor) pair meets in at most one probed cell
     scored = (
         c.join(q, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
     )
     return _rank_topk(scored, k)
+
+
+def ivf_cosine_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked by IVF cell — the
+    scale path when no fine-grained label exists: a coarse label block
+    (≈ the whole corpus at 100 TB) is replaced by ``n_cells`` Voronoi
+    cells whose population the centroid count controls directly.
+
+    Each vector lands in its ``nprobe`` nearest cells (multi-probe:
+    near-dups sitting just across a Voronoi boundary still meet in one
+    of the probed cells, the standard recall repair for cell blocking);
+    pairs sharing any cell are verified by exact cosine ≥ threshold and
+    deduped. Cost = Σ over cells |cell·nprobe|² — quadratic only within
+    a cell, never across the corpus."""
+    cent = centroids if centroids is not None else seed_centroids(emb, n_cells, id_col, vec_col)
+    t = _assign_cells(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cent,
+        "id",
+        "v",
+        nprobe=nprobe,
+    )
+    a = t.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = t.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        # with nprobe probes per vector a pair can meet in up to nprobe
+        # cells — dedup before the O(dim) cosine verify
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 def cosine_dup_pairs(
@@ -183,8 +293,10 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a blocking key (an
-    IVF cell / cluster label). Exact within block."""
+    """Embedding-cosine near-duplicate pairs within a caller-supplied
+    blocking key. Exact within block; when the key is coarse (or absent)
+    use ``ivf_cosine_dup_pairs`` — cell blocking with multi-probe — as
+    the scale path."""
     t = emb.select(
         F.col(block_col).alias("block"),
         F.col(id_col).alias("id"),
