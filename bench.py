@@ -119,6 +119,9 @@ def main() -> None:
         "lsh_dup_pairs",
         "dedup_survivors",
         "simhash_values",
+        "simhash_band_pairs",
+        "token_jaccard_pairs",
+        "embedding_dup_pairs_ivf",
         "ann_topk",
         "ann_ivf_topk",
         "multimodal_decode",
@@ -129,6 +132,43 @@ def main() -> None:
         "quality_scores",
     ):
         run(qname, lambda q=qname: QUERIES[q](spark, sf_dir).count())
+
+    # -- ANN recall@k vs the exact baseline (quality, not latency) ---------
+    # the approximate indexes are only useful if their recall is known;
+    # measured at the bench scale against brute_force_topk ground truth.
+    ann_recall: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from ner_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            kmeans_centroids,
+            lsh_topk,
+        )
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qs = emb.where(F.col("vec_id") < 50)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(emb, qs, k=5).collect()
+        }
+
+        def _recall(df) -> float:
+            got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+            return round(len(got & truth) / len(truth), 4)
+
+        ann_recall["lsh_8planes"] = _recall(lsh_topk(emb, qs, k=5, n_planes=8))
+        ann_recall["ivf_seed_nprobe1"] = _recall(ivf_topk(emb, qs, k=5, n_cells=16))
+        ann_recall["ivf_seed_nprobe2"] = _recall(
+            ivf_topk(emb, qs, k=5, n_cells=16, nprobe=2)
+        )
+        cent = kmeans_centroids(emb, n_cells=16, n_iter=4)
+        ann_recall["ivf_kmeans_nprobe2"] = _recall(
+            ivf_topk(emb, qs, k=5, centroids=cent, nprobe=2)
+        )
+    except Exception as e:  # recall block must never sink the bench
+        ann_recall["error"] = str(e)[:200]
 
     n_turns = t.count()
     mentions.unpersist()
@@ -145,6 +185,7 @@ def main() -> None:
             counts["kg_tag_extract_triples"] / timings["kg_tag_extract_triples"], 1
         ),
         "kg_turns_per_sec": round(n_turns / timings["kg_tag_extract_triples"], 1),
+        "ann_recall_at_5": ann_recall,
     }
 
     # -- scaling evidence: same job, local[8] vs local[32] ----------------
@@ -188,8 +229,8 @@ def main() -> None:
             return mentions_to_triples(build_mentions(t)).count()
 
         n_big_turns = n_turns * repl
-        scaling = {}
-        for k in (n_lo, n_hi):
+
+        def _level(k: int) -> dict:
             s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
             _kg_triples_count(s, fx_dir)  # warm-up: workers + codegen
             # best-of-2: single-shot wall times on a shared box swing
@@ -200,19 +241,35 @@ def main() -> None:
                 n = _count_big(s)
                 runs.append(time.time() - t0)
             dt = min(runs)
-            scaling[f"local{k}"] = {
+            s.stop()
+            return {
                 "sec": round(dt, 3),
                 "sec_runs": [round(x, 3) for x in runs],
                 "triples_per_sec": round(n / dt, 1),
                 "turns_per_sec": round(n_big_turns / dt, 1),
             }
-            s.stop()
+
+        scaling = {f"local{k}": _level(k) for k in (n_lo, n_hi)}
         thr_lo = scaling[f"local{n_lo}"]["turns_per_sec"]
         thr_hi = scaling[f"local{n_hi}"]["turns_per_sec"]
         scaling["efficiency_n_to_4n"] = round(
             (thr_hi / thr_lo) / (n_hi / n_lo), 3
         )
         scaling["input_turns"] = n_big_turns
+
+        # the SATURATED pair (8→32): local[32] schedules 64 runnable
+        # threads (JVM tasks + Python workers) on 32 physical cores, so
+        # this measures box saturation on top of engine scaling — both
+        # numbers are reported so the claim shows the unfavorable pair
+        # too rather than only the clean one (see module docstring).
+        if os.environ.get("SPARK_GRAFT_BENCH_SATURATED", "1") != "0":
+            sat = {f"local{k}": _level(k) for k in (8, 32)}
+            sat["efficiency_8_to_32"] = round(
+                (sat["local32"]["turns_per_sec"] / sat["local8"]["turns_per_sec"])
+                / 4,
+                3,
+            )
+            scaling["saturated_pair"] = sat
         out["scaling"] = scaling
 
     print(json.dumps(out))

@@ -29,6 +29,7 @@ against the vocabulary dimension (broadcast; a vocab is ≤100k rows even at
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,6 +196,78 @@ def subword_pieces_col(tokens: Column, max_piece: int = 4) -> Column:
         )
 
     return let(tokens, build)
+
+
+PIECES_TYPE = "array<struct<word_id:int,piece_idx:int,piece:string>>"
+
+
+def wordpiece_pieces(word: str, vocab, unk: str = UNK, max_chars: int = 200) -> list[str]:
+    """Greedy longest-match-first WordPiece for ONE word (the published
+    BERT tokenization algorithm, reimplemented from its description):
+    repeatedly take the longest vocab entry matching at the cursor,
+    prefixing continuations with ``##``; if no prefix matches, the whole
+    word becomes ``unk``. Plain Python by design — it runs inside the
+    Arrow-batched pandas UDF below, never per-row through Py4J."""
+    if not word:
+        return []
+    if len(word) > max_chars:
+        return [unk]
+    pieces: list[str] = []
+    start = 0
+    while start < len(word):
+        end = len(word)
+        cur = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        pieces.append(cur)
+        start = end
+    return pieces
+
+
+def subword_pieces_udf(tokenizer):
+    """Pluggable tokenizer slot for P9
+    (/root/reference/torch_version/data_tools.py:192-225): given any
+    per-word tokenizer callable ``word -> list[piece]`` (a real WordPiece
+    vocab via ``wordpiece_pieces``, a HF fast tokenizer's per-word
+    closure, …), return an Arrow-batched pandas UDF mapping a token-array
+    column to the SAME ``array<struct<word_id, piece_idx, piece>>`` the
+    deterministic ``subword_pieces_col`` emits — so ``align_labels_col``
+    (first-piece label, continuation −100) composes unchanged on top of
+    either splitter. The deterministic splitter stays the oracle-checked
+    default; this is the injection point a user with a real BERT vocab
+    plugs into."""
+
+    @F.pandas_udf(PIECES_TYPE)
+    def run(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            rows = []
+            for wid, word in enumerate([] if toks is None else toks):
+                for pidx, piece in enumerate(tokenizer(word)):
+                    rows.append(
+                        {"word_id": wid, "piece_idx": pidx, "piece": piece}
+                    )
+            out.append(rows)
+        return pd.Series(out)
+
+    return run
+
+
+def wordpiece_udf(vocab, unk: str = UNK):
+    """``subword_pieces_udf`` specialised to a real WordPiece vocabulary
+    (any set/frozenset of pieces, e.g. the lines of a BERT vocab file).
+    The vocab set ships once per executor inside the serialized UDF —
+    the same distribution story as the tagger weights."""
+    v = frozenset(vocab)
+    return subword_pieces_udf(lambda w: wordpiece_pieces(w, v, unk))
 
 
 def align_labels_col(

@@ -39,6 +39,12 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("rows", T.LongType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("updated_at", T.TimestampType(), False),
+        # configuration/model fingerprint the stage ran under (e.g. the
+        # weights-artifact version): a resume only honors rows whose
+        # fingerprint matches the current run's, so publishing new model
+        # weights invalidates manifests written under the old ones.
+        # Nullable: manifests from before this column read as null ≡ "".
+        T.StructField("fingerprint", T.StringType(), True),
     ]
 )
 
@@ -70,7 +76,8 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
 
 
 def stage_complete(
-    spark: SparkSession, out_dir: str, run_id: str, stage: str
+    spark: SparkSession, out_dir: str, run_id: str, stage: str,
+    fingerprint: str = "",
 ) -> bool:
     m = read_manifest(spark, out_dir)
     done = (
@@ -78,6 +85,7 @@ def stage_complete(
             (F.col("run_id") == run_id)
             & (F.col("stage") == stage)
             & (F.col("status") == "complete")
+            & (F.coalesce(F.col("fingerprint"), F.lit("")) == fingerprint)
         ).limit(1).count()
         > 0
     )
@@ -98,7 +106,8 @@ def _partition_metrics(df: DataFrame) -> DataFrame:
 
 
 def publish_stage(
-    df: DataFrame, out_dir: str, run_id: str, stage: str
+    df: DataFrame, out_dir: str, run_id: str, stage: str,
+    fingerprint: str = "",
 ) -> DataFrame:
     """Write a stage's output + its per-partition manifest rows; return
     the re-read (published) DataFrame so downstream stages consume the
@@ -116,11 +125,13 @@ def publish_stage(
         .withColumn("stage", F.lit(stage))
         .withColumn("status", F.lit("complete"))
         .withColumn("updated_at", F.current_timestamp())
+        .withColumn("fingerprint", F.lit(fingerprint))
         .select([f.name for f in MANIFEST_SCHEMA.fields])
     )
     sentinel = spark.createDataFrame(
-        [(run_id, stage, -1, 0, "complete")],
-        "run_id string, stage string, partition_id int, rows long, status string",
+        [(run_id, stage, -1, 0, "complete", fingerprint)],
+        "run_id string, stage string, partition_id int, rows long, "
+        "status string, fingerprint string",
     ).withColumn("updated_at", F.current_timestamp()).select(
         [f.name for f in MANIFEST_SCHEMA.fields]
     )
@@ -137,8 +148,12 @@ def run_stage(
     stage: str,
     compute,
     resume: bool = True,
+    fingerprint: str = "",
 ) -> DataFrame:
-    """Execute ``compute() -> DataFrame`` under the resume protocol."""
-    if resume and stage_complete(spark, out_dir, run_id, stage):
+    """Execute ``compute() -> DataFrame`` under the resume protocol. A
+    stage only resumes when its manifest row carries the SAME
+    ``fingerprint`` (e.g. the active weights-artifact version) — a
+    version bump forces recompute of every stage in the run."""
+    if resume and stage_complete(spark, out_dir, run_id, stage, fingerprint):
         return spark.read.parquet(stage_data_path(out_dir, run_id, stage))
-    return publish_stage(compute(), out_dir, run_id, stage)
+    return publish_stage(compute(), out_dir, run_id, stage, fingerprint)

@@ -41,8 +41,12 @@ def tag_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavy import inside the worker: weights + memo live per executor
+        from ner_spark.model.artifact import maybe_install_from_runtime
         from ner_spark.model.tagger import tag_tokens_batch
 
+        # artifact weights (--files/--archives/SparkFiles) install once
+        # per worker process; memoized dict lookup afterwards
+        maybe_install_from_runtime()
         for pdf in batches:
             token_lists = [t.split(" ") if t else [] for t in pdf[text_col]]
             pdf = pdf[cols].copy()
@@ -83,9 +87,11 @@ def tag_and_extract(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols = [f.name for f in df.schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ner_spark.model.artifact import maybe_install_from_runtime
         from ner_spark.model.tagger import tag_tokens_batch
         from ner_spark.operators.extraction import mention_dicts
 
+        maybe_install_from_runtime()
         for pdf in batches:
             token_lists = [t.split(" ") if t else [] for t in pdf[text_col]]
             tags_col = tag_tokens_batch(token_lists)

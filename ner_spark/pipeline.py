@@ -94,24 +94,26 @@ def run_pipeline(
     spark: SparkSession, transcripts: DataFrame, cfg: PipelineConfig
 ) -> dict[str, DataFrame]:
     """Run all stages under the manifest/resume protocol; returns the
-    published DataFrames keyed by stage name."""
-    out: dict[str, DataFrame] = {}
+    published DataFrames keyed by stage name. Every stage's manifest row
+    is fingerprinted with the active weights-artifact version, so a
+    model upgrade (new artifact) invalidates resumes of the whole run."""
+    from ner_spark.model.artifact import active_weights_version
 
-    mentions = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "mentions",
-        lambda: build_mentions(transcripts), resume=cfg.resume,
-    )
+    out: dict[str, DataFrame] = {}
+    fp = active_weights_version()
+
+    def _stage(name, compute):
+        return run_stage(
+            spark, cfg.out_dir, cfg.run_id, name, compute,
+            resume=cfg.resume, fingerprint=fp,
+        )
+
+    mentions = _stage("mentions", lambda: build_mentions(transcripts))
     out["mentions"] = mentions
 
-    out["triples"] = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "triples",
-        lambda: mentions_to_triples(mentions), resume=cfg.resume,
-    )
+    out["triples"] = _stage("triples", lambda: mentions_to_triples(mentions))
 
-    relations = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "relations",
-        lambda: extract_relations(mentions), resume=cfg.resume,
-    )
+    relations = _stage("relations", lambda: extract_relations(mentions))
     out["relations"] = relations
 
     # -- linking: surface nodes + scored link edges ------------------------
@@ -130,41 +132,29 @@ def run_pipeline(
             )
         return _link_memo["v"]
 
-    surface_nodes = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "surface_nodes",
-        lambda: _links()[0], resume=cfg.resume,
-    )
-    links = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "link_edges",
-        lambda: _links()[1], resume=cfg.resume,
-    )
+    surface_nodes = _stage("surface_nodes", lambda: _links()[0])
+    links = _stage("link_edges", lambda: _links()[1])
     out["surface_nodes"], out["link_edges"] = surface_nodes, links
 
     # -- canonicalization --------------------------------------------------
-    assignment = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "assignment",
+    assignment = _stage(
+        "assignment",
         lambda: connected_components(
             surface_nodes, links,
             id_col="node_id", src_col="node_a", dst_col="node_b",
         ),
-        resume=cfg.resume,
     )
     out["assignment"] = assignment
 
     # -- graph materialization ---------------------------------------------
-    out["nodes"] = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "nodes",
-        lambda: materialize_nodes(surface_nodes, assignment),
-        resume=cfg.resume,
+    out["nodes"] = _stage(
+        "nodes", lambda: materialize_nodes(surface_nodes, assignment)
     )
-    out["edges"] = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "edges",
-        lambda: materialize_edges(relations, assignment),
-        resume=cfg.resume,
+    out["edges"] = _stage(
+        "edges", lambda: materialize_edges(relations, assignment)
     )
-    out["canonical_triples"] = run_stage(
-        spark, cfg.out_dir, cfg.run_id, "canonical_triples",
+    out["canonical_triples"] = _stage(
+        "canonical_triples",
         lambda: canonicalize_triples(relations, assignment, surface_nodes),
-        resume=cfg.resume,
     )
     return out

@@ -43,6 +43,39 @@ def test_vocab_encode_unk_roundtrip(spark):
     assert by[3] == ("cc", 1, "[UNK]")
 
 
+def test_wordpiece_tokenizer_slot_alignment(spark, tmp_path):
+    """P9 with a REAL WordPiece vocab through the pluggable tokenizer
+    slot: greedy longest-match pieces, first-piece label, continuation
+    −100, whole-word [UNK] — the exact alignment semantics of the
+    reference's fast-tokenizer path
+    (/root/reference/torch_version/data_tools.py:192-225)."""
+    from ner_spark.operators.encode import align_labels_col, wordpiece_udf
+
+    # a tiny WordPiece vocab written/read as a real vocab file would be
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text(
+        "\n".join(["[PAD]", "[UNK]", "un", "##aff", "##able", "##ord", "aff", "form"])
+    )
+    vocab = vocab_file.read_text().splitlines()
+
+    df = spark.createDataFrame(
+        [(0, ["unaffable", "form", "zzz"], [7, 3, 5])],
+        "doc_id int, tokens array<string>, labels array<int>",
+    )
+    pieces = wordpiece_udf(vocab)(F.col("tokens"))
+    out = df.select(
+        align_labels_col(pieces, F.col("labels")).alias("aligned")
+    ).collect()[0]["aligned"]
+    got = [(p["word_id"], p["piece_idx"], p["piece"], p["label_id"]) for p in out]
+    assert got == [
+        (0, 0, "un", 7),        # greedy longest match, first piece labeled
+        (0, 1, "##aff", -100),  # continuation pieces -> ignore sentinel
+        (0, 2, "##able", -100),
+        (1, 0, "form", 3),      # single-piece word keeps its label
+        (2, 0, "[UNK]", 5),     # no prefix match -> whole-word [UNK]
+    ]
+
+
 def test_vocab_reserved_token_in_corpus_no_duplicates(spark):
     from ner_spark.operators.encode import build_vocab, encode_tokens
 

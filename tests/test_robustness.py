@@ -175,8 +175,14 @@ def test_empty_stage_resumes_without_recompute(spark, empty_transcripts, tmp_pat
     # every stage (all empty) has a complete sentinel
     man = mf.read_manifest(spark, out_dir).toPandas()
     assert (man["status"] == "complete").all()
-    assert mf.stage_complete(spark, out_dir, "e", "triples")
-    assert mf.stage_complete(spark, out_dir, "e", "edges")
+    # completeness is fingerprint-scoped: query under the same weights
+    # version the pipeline stamped
+    from ner_spark.model.artifact import active_weights_version
+
+    fp = active_weights_version()
+    assert mf.stage_complete(spark, out_dir, "e", "triples", fingerprint=fp)
+    assert mf.stage_complete(spark, out_dir, "e", "edges", fingerprint=fp)
+    assert not mf.stage_complete(spark, out_dir, "e", "triples", fingerprint="other")
 
 
 def test_load_vocabulary_line_number_is_id(spark, tmp_path):
