@@ -163,6 +163,9 @@ def main() -> None:
         ann_recall["ivf_seed_nprobe2"] = _recall(
             ivf_topk(emb, qs, k=5, n_cells=16, nprobe=2)
         )
+        ann_recall["ivf_seed_nprobe4"] = _recall(
+            ivf_topk(emb, qs, k=5, n_cells=16, nprobe=4)
+        )
         cent = kmeans_centroids(emb, n_cells=16, n_iter=4)
         ann_recall["ivf_kmeans_nprobe2"] = _recall(
             ivf_topk(emb, qs, k=5, centroids=cent, nprobe=2)
@@ -230,13 +233,16 @@ def main() -> None:
 
         n_big_turns = n_turns * repl
 
-        def _level(k: int) -> dict:
+        def _level(k: int, n_runs: int = 3) -> dict:
             s = get_spark(master=f"local[{k}]", app_name=f"ner_spark_scale_{k}")
             _kg_triples_count(s, fx_dir)  # warm-up: workers + codegen
-            # best-of-2: single-shot wall times on a shared box swing
-            # ±20% run-to-run; the minimum is the stable engine signal
+            # best-of-N: single-shot wall times on a shared box swing
+            # ±20% run-to-run; the minimum is the stable engine signal.
+            # The gate pair takes 3 runs (a single slow outlier at one
+            # level would fake an efficiency miss), the informational
+            # saturated pair 2.
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 n = _count_big(s)
                 runs.append(time.time() - t0)
@@ -263,7 +269,7 @@ def main() -> None:
         # numbers are reported so the claim shows the unfavorable pair
         # too rather than only the clean one (see module docstring).
         if os.environ.get("SPARK_GRAFT_BENCH_SATURATED", "1") != "0":
-            sat = {f"local{k}": _level(k) for k in (8, 32)}
+            sat = {f"local{k}": _level(k, n_runs=2) for k in (8, 32)}
             sat["efficiency_8_to_32"] = round(
                 (sat["local32"]["turns_per_sec"] / sat["local8"]["turns_per_sec"])
                 / 4,

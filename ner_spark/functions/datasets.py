@@ -1,0 +1,120 @@
+"""Dataset-hygiene operators for training-data pipelines: deterministic
+train/val splitting and benchmark decontamination.
+
+Both are standard large-corpus LLM-data operations with no reference
+counterpart (the reference's split is pre-made file pairs,
+/root/reference/data/train vs data/test):
+
+* **splits** must be a pure function of the example key — stable across
+  runs, partitionings, and engines — never ``rand()``: re-ingesting a
+  grown corpus must keep every old example on its old side of the split
+  or validation silently contaminates training. Implemented as a 60-bit
+  md5 bucket of the key (the repo's cross-engine hash spec), compared
+  against per-split thresholds.
+
+* **decontamination** removes corpus documents that share long word
+  n-grams with an evaluation set. The corpus side streams (explode to
+  distinct n-gram hashes — linear, map-side), the benchmark side is
+  small and BROADCAST, so the overlap join is shuffle-free; only the
+  final per-document hit aggregation exchanges on doc id. This is the
+  plan that survives 100 TB: no corpus self-join, no benchmark shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.functions.dedup import word_shingles_col
+from ner_spark.operators.linking import md5_hash60_col
+
+SPLIT_BUCKETS = 1000
+
+
+def split_bucket_col(key: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, 1000) from the example key: 60-bit
+    md5 of ``salt|key`` mod 1000. Same integer in DuckDB via
+    ``('0x'||substring(md5(...),1,15))::BIGINT % 1000``."""
+    return F.pmod(
+        md5_hash60_col(F.concat_ws("|", F.lit(salt), key.cast("string"))),
+        F.lit(SPLIT_BUCKETS),
+    )
+
+
+def split_assign_col(key: Column, train_pct: int = 90, salt: str = "split") -> Column:
+    """'train' / 'val' label: buckets below ``train_pct``% go to train.
+    A pure function of the key — growing the corpus never moves an
+    existing example across the split."""
+    return F.when(
+        split_bucket_col(key, salt) < train_pct * SPLIT_BUCKETS // 100,
+        F.lit("train"),
+    ).otherwise(F.lit("val"))
+
+
+def ngram_hashes_col(text: Column, n: int = 8) -> Column:
+    """Distinct 60-bit hashes of the text's word ``n``-grams (the whole
+    text when shorter than ``n`` words) — the unit of contamination
+    matching. Row-local higher-order functions, no Python."""
+    return F.array_distinct(
+        F.transform(word_shingles_col(text, k=n), md5_hash60_col)
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus documents sharing ≥1 word ``n``-gram with the benchmark:
+    (doc_id, n_grams, n_hits, hit_ratio), one row per contaminated doc.
+
+    The benchmark's distinct gram-hash set is broadcast, so the overlap
+    check is a map-side semi-join over the corpus's exploded grams; the
+    only exchange is the per-doc hit count. Callers drop (or flag) the
+    returned ids before training."""
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(ngram_hashes_col(F.col(text_col), n)).alias("g"),
+    )
+    b = F.broadcast(
+        benchmark.select(
+            F.explode_outer(ngram_hashes_col(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # ONE corpus pass: broadcast left join marks contaminated grams, the
+    # per-doc aggregation counts totals and hits together — the n-gram
+    # derivation is never evaluated twice.
+    return (
+        c.join(b, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_hits"),
+        )
+        .where(F.col("n_hits") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus contaminated documents (left-anti on the flagged
+    ids)."""
+    bad = contaminated_docs(corpus, benchmark, n, id_col, text_col).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(bad, id_col, "left_anti")

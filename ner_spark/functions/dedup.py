@@ -214,6 +214,78 @@ def near_dup_survivors(
 
 
 # --------------------------------------------------------------------------
+# skew-split block self-join (shared by the pair generators)
+# --------------------------------------------------------------------------
+
+
+def _salted_block_self_join(
+    t: DataFrame,
+    a_side,
+    b_side,
+    key: str = "bkey",
+    salt_threshold: int = 512,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Self-join ``t`` on its block ``key`` with quadratic-skew splitting.
+
+    A block's pair count is quadratic in its population, and an equi-join
+    evaluates each block's whole C²/2 enumeration inside ONE task — a
+    single hot block (boilerplate-heavy language × dominant length band,
+    a popular simhash band value, …) serializes the query. Blocks above
+    ``salt_threshold`` rows take a salted triangle join instead: each row
+    gets a deterministic salt u ∈ [0, s); the left side joins under
+    (key, u, j) for every j and the right under (key, i, u), spreading
+    the block over s² independently-scheduled join cells of (C/s)² pairs.
+    Each unordered pair still meets exactly once per block (one
+    orientation survives the caller's id_a < id_b filter), so results
+    are identical — asserted by the oracle gate.
+
+    The salted join's INPUT is tiny (rows × s) while its OUTPUT is the
+    quadratic enumeration — AQE sizes partitions by input bytes and
+    would coalesce the whole enumeration back into one task, so the
+    parallelism is pinned with an explicit repartition on the join keys
+    (user-specified numPartitions is exempt from AQE coalescing) that
+    also co-partitions both sides: the join adds no further exchange.
+
+    ``a_side``/``b_side`` rename ``t``'s columns into the left/right
+    aliases; both must keep ``key``, and ``t`` must carry an ``id``
+    column (salt source)."""
+    # consumed three times (block census + light join + heavy join):
+    # persist so the possibly-expensive row derivation (signatures,
+    # shingle sets) runs once. MEMORY_AND_DISK — at corpus scale this is
+    # linear state that spills rather than recomputing three times.
+    t = t.persist()
+    counts = t.groupBy(key).count()
+    heavy_keys = F.broadcast(
+        counts.where(F.col("count") > salt_threshold).select(key)
+    )
+    t_light = t.join(heavy_keys, key, "left_anti")
+    t_heavy = t.join(heavy_keys, key, "left_semi")
+    u = F.pmod(F.hash("id"), F.lit(n_salts))
+    salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+    npart = t.sparkSession.sparkContext.defaultParallelism * 2
+    a_h = a_side(
+        t_heavy.withColumn("sa", u).withColumn("sb", F.explode_outer(salts))
+    ).repartition(npart, key, "sa", "sb")
+    b_h = b_side(
+        t_heavy.withColumn("sa", F.explode_outer(salts)).withColumn("sb", u)
+    ).repartition(npart, key, "sa", "sb")
+    # the light side gets the same treatment on the key alone: its pair
+    # work is bounded per block (≤ salt_threshold²) but AQE would still
+    # coalesce MANY small blocks into one input-tiny, output-huge task;
+    # hash-spreading blocks over pinned partitions bounds a task at
+    # ~Σc²/npart.
+    light = (
+        a_side(t_light)
+        .repartition(npart, key)
+        .join(b_side(t_light).repartition(npart, key), key)
+    )
+    return light.unionByName(
+        a_h.join(b_h, [key, "sa", "sb"]).drop("sa", "sb")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
@@ -281,19 +353,52 @@ def simhash_band_pairs(
     |bucket|², with buckets ~2^(bits/(k+1)) ways per band instead of one
     global 2^prefix split."""
     n_bands = max_hamming + 1
+    bits = SIMHASH_BITS
+    w = bits // n_bands
     s = df.select(
         F.col(id_col).alias("id"),
         simhash_col(F.col(text_col)).alias("simhash"),
-    ).withColumn(
-        "band", F.explode_outer(simhash_band_keys_col(F.col("simhash"), n_bands))
+    ).select(
+        "id",
+        "simhash",
+        F.posexplode_outer(
+            simhash_band_keys_col(F.col("simhash"), n_bands)
+        ).alias("bidx", "band"),
     )
-    a = s.select("band", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = s.select("band", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+
+    def _a(df_: DataFrame) -> DataFrame:
+        return df_.withColumnsRenamed(
+            {"id": "id_a", "simhash": "sh_a", "bidx": "k"}
+        )
+
+    def _b(df_: DataFrame) -> DataFrame:
+        return df_.drop("bidx").withColumnsRenamed(
+            {"id": "id_b", "simhash": "sh_b"}
+        )
+
+    def _band_match(bi: int) -> Column:
+        start = bi * w
+        width = bits - start if bi == n_bands - 1 else w
+        m = ((1 << width) - 1) << start
+        return (
+            F.col("sh_a").bitwiseXOR(F.col("sh_b")).bitwiseAND(F.lit(m)) == 0
+        )
+
+    # first matching band of the pair (exists by construction of the
+    # candidate): keeping only that meeting dedups multi-band collisions
+    # with a scalar expression — no dropDuplicates exchange.
+    expr = None
+    for bi in range(n_bands):
+        expr = (
+            F.when(_band_match(bi), F.lit(bi)) if expr is None
+            else expr.when(_band_match(bi), F.lit(bi))
+        )
+    first_match = F.col("k") == expr
+
     return (
-        a.join(b, "band")
+        _salted_block_self_join(s, _a, _b, key="band")
         .where(F.col("id_a") < F.col("id_b"))
-        # a pair can collide on several bands — dedup before the verify
-        .dropDuplicates(["id_a", "id_b"])
+        .where(first_match)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -342,6 +447,8 @@ def token_jaccard_pairs(
     block_col: str = "lang",
     threshold: float = 0.7,
     length_buckets: bool = True,
+    salt_threshold: int = 512,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Token-set Jaccard near-dup pairs within a blocking key (default:
     language), LOSSLESSLY sub-blocked by distinct-token-count buckets.
@@ -374,24 +481,41 @@ def token_jaccard_pairs(
             F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double"))
             / F.lit(math.log(g))
         ).cast("long")
-        t = t.withColumn(
-            "bkey",
-            F.explode_outer(
-                F.array(
-                    F.concat_ws("|", "block", bucket.cast("string")),
-                    F.concat_ws("|", "block", (bucket + 1).cast("string")),
-                )
-            ),
+        t = (
+            t.withColumn("home", bucket)
+            .withColumn("probe", F.explode_outer(F.array(bucket, bucket + 1)))
+            .withColumn(
+                "bkey", F.concat_ws("|", "block", F.col("probe").cast("string"))
+            )
         )
     else:
-        t = t.withColumn("bkey", F.col("block"))
-    a = t.select("bkey", F.col("id").alias("id_a"), F.col("toks").alias("t_a"))
-    b = t.select("bkey", F.col("id").alias("id_b"), F.col("toks").alias("t_b"))
-    pairs = a.join(b, "bkey").where(F.col("id_a") < F.col("id_b"))
+        t = (
+            t.withColumn("home", F.lit(0))
+            .withColumn("probe", F.lit(0))
+            .withColumn("bkey", F.col("block"))
+        )
+    def _a(df: DataFrame) -> DataFrame:
+        return df.drop("block").withColumnsRenamed(
+            {"id": "id_a", "toks": "t_a", "home": "h_a", "probe": "k"}
+        )
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.drop("block", "probe").withColumnsRenamed(
+            {"id": "id_b", "toks": "t_b", "home": "h_b"}
+        )
+
+    pairs = _salted_block_self_join(
+        t, _a, _b, salt_threshold=salt_threshold, n_salts=n_salts
+    ).where(F.col("id_a") < F.col("id_b"))
     if length_buckets:
-        # a pair can meet in up to 2 shared buckets — dedup BEFORE the
-        # O(|A|+|B|) jaccard evaluation, not after
-        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        # a pair with home buckets (βa, βb) meets exactly at buckets
+        # {βa, βa+1} ∩ {βb, βb+1} — i.e. at max(βa, βb) always, and ALSO
+        # at βa+1 when βa = βb. Keeping only the max(βa, βb) meeting is
+        # therefore an exact, shuffle-free dedup: one scalar comparison
+        # per candidate instead of a dropDuplicates exchange that would
+        # carry both token arrays. (bkey equality fixes the meeting
+        # bucket, carried numerically as k.)
+        pairs = pairs.where(F.col("k") == F.greatest("h_a", "h_b"))
     return (
         pairs.withColumn(
             "jaccard", F.round(jaccard_col(F.col("t_a"), F.col("t_b")), 6)

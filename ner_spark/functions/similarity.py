@@ -277,12 +277,15 @@ def ivf_cosine_dup_pairs(
     return (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        # with nprobe probes per vector a pair can meet in up to nprobe
-        # cells — dedup before the O(dim) cosine verify
-        .dropDuplicates(["id_a", "id_b"])
+        # score FIRST (vectorized, embarrassingly parallel — at worst
+        # nprobe× redundant for multi-cell meetings), filter, and only
+        # then dedup: the dropDuplicates exchange carries slim
+        # (id, id, cosine) rows of the few threshold survivors instead
+        # of both embedding vectors for every candidate.
         .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

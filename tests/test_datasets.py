@@ -1,0 +1,69 @@
+"""Dataset-hygiene operators (functions/datasets.py): deterministic
+splits and benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_split_deterministic_and_stable_under_growth(spark):
+    from ner_spark.functions.datasets import split_assign_col
+
+    small = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    big = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+
+    def assign(df):
+        return {
+            r["doc_id"]: r["split"]
+            for r in df.select(
+                "doc_id", split_assign_col(F.col("doc_id")).alias("split")
+            ).collect()
+        }
+
+    a1, a2, a_big = assign(small), assign(small), assign(big)
+    assert a1 == a2, "split must be deterministic"
+    # purity: growing the corpus never moves an existing example
+    assert all(a_big[k] == v for k, v in a1.items())
+    # ~90/10 (binomial tolerance at n=2000)
+    frac = sum(1 for v in a_big.values() if v == "train") / len(a_big)
+    assert 0.86 < frac < 0.94, frac
+
+
+def test_contamination_flags_and_decontaminate_removes(spark):
+    from ner_spark.functions.datasets import contaminated_docs, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's full 8-gram span -> contaminated
+            (0, "intro words the quick brown fox jumps over the lazy dog and more"),
+            # shares only short fragments -> clean at n=8
+            (1, "the quick brown fox sleeps all day long today"),
+            # clean
+            (2, "completely unrelated text about spark partitions and shuffles"),
+            # shorter than 8 words: whole text is the gram; no match
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r for r in contaminated_docs(corpus, bench, n=8).collect()}
+    assert set(flagged) == {0}
+    assert flagged[0]["n_hits"] >= 1 and 0 < flagged[0]["hit_ratio"] <= 1
+
+    kept = sorted(r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect())
+    assert kept == [1, 2, 3]
+
+
+def test_contamination_short_doc_whole_text_gram(spark):
+    from ner_spark.functions.datasets import contaminated_docs
+
+    bench = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(0, "tiny doc"), (1, "tiny dog")], "doc_id long, text string"
+    )
+    # sub-n texts match as whole-text grams (exact short-doc duplication)
+    flagged = [r["doc_id"] for r in contaminated_docs(corpus, bench, n=8).collect()]
+    assert flagged == [0]

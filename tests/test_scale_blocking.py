@@ -46,6 +46,17 @@ def test_token_jaccard_length_buckets_lossless(spark):
         ), f"length-bucket blocking changed results at threshold {thr}"
 
 
+def test_token_jaccard_salted_skew_split_exact(spark):
+    """Force every block through the salted triangle join (threshold 2):
+    the skew split must be invisible in the results."""
+    from ner_spark.functions.dedup import token_jaccard_pairs
+
+    d = _docs(spark)
+    salted = token_jaccard_pairs(d, threshold=0.5, salt_threshold=2, n_salts=3)
+    plain = token_jaccard_pairs(d, threshold=0.5, salt_threshold=10**9)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_simhash_band_pairs_complete_vs_bruteforce(spark):
     from ner_spark.functions.dedup import simhash_band_pairs, simhash_col
 
