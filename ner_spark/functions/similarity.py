@@ -264,6 +264,8 @@ def ivf_cosine_dup_pairs(
     pairs sharing any cell are verified by exact cosine ≥ threshold and
     deduped. Cost = Σ over cells |cell·nprobe|² — quadratic only within
     a cell, never across the corpus."""
+    from ner_spark.functions.dedup import _salted_block_self_join
+
     cent = centroids if centroids is not None else seed_centroids(emb, n_cells, id_col, vec_col)
     t = _assign_cells(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
@@ -272,10 +274,18 @@ def ivf_cosine_dup_pairs(
         "v",
         nprobe=nprobe,
     )
-    a = t.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    b = t.select("cell", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+
+    def _a(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+
+    # hot Voronoi cells hold the corpus's dense regions — exactly where
+    # the quadratic within-cell enumeration lands on one task without the
+    # skew-split (see dedup._salted_block_self_join).
     return (
-        a.join(b, "cell")
+        _salted_block_self_join(t, _a, _b, key="cell")
         .where(F.col("id_a") < F.col("id_b"))
         # score FIRST (vectorized, embarrassingly parallel — at worst
         # nprobe× redundant for multi-cell meetings), filter, and only

@@ -153,30 +153,11 @@ def _pair_hash(pred: str, obj: str) -> int:
     return int.from_bytes(d[:8], "big", signed=True)
 
 
-def streaming_new_triples(
-    transcripts: DataFrame, state_ttl: str | None = None
-) -> DataFrame:
-    """Custom stateful streaming operator (``applyInPandasWithState``):
-    emit each conversation's (pred, obj) pair only the FIRST time it is
-    ever observed across the stream's lifetime — incremental KG fact
-    dedup, so downstream consumers never re-process known facts.
-
-    State = the per-conversation set of seen pair-key hashes, kept in the
-    state store and restored per micro-batch. The stateless tag+extract
-    stages run before the stateful groupBy, so the only stateful shuffle
-    keys on conv_id; a pathologically hot conversation concentrates state
-    but not compute (its turns still tag in parallel upstream — only the
-    pair dedup serializes per conversation, and pairs ≪ turns).
-
-    ``state_ttl`` (e.g. ``"30 days"``) switches to a processing-time
-    timeout that evicts a conversation's state after that idle period —
-    the second half of the state bound: conversations end, and an evicted
-    conversation that somehow resumes may re-emit known facts, which the
-    downstream batch canonicalization dedups anyway. Default (None) keeps
-    exact first-sighting semantics forever."""
-    pairs = _streaming_pairs(transcripts).select(
-        "conv_id", "turn_idx", "pred", "obj"
-    )
+def _make_dedup(state_ttl_ms: int | None):
+    """The per-group stateful handler behind ``streaming_new_triples``,
+    factored out so the timeout/eviction branches are unit-testable
+    against a fake GroupState (a wall-clock timer cannot be driven
+    deterministically in a test)."""
 
     def dedup(key, pdf_iter, state):
         import pandas as pd
@@ -209,18 +190,53 @@ def streaming_new_triples(
                         (conv_id, int(r.turn_idx), f"{conv_id}#{int(r.turn_idx)}", r.pred, r.obj)
                     )
         state.update((sorted(seen),))
-        if state_ttl is not None:
-            state.setTimeoutDuration(state_ttl)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out, columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
         )
 
+    return dedup
+
+
+def streaming_new_triples(
+    transcripts: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    emit each conversation's (pred, obj) pair only the FIRST time it is
+    ever observed across the stream's lifetime — incremental KG fact
+    dedup, so downstream consumers never re-process known facts.
+
+    State = the per-conversation set of seen pair-key hashes, kept in the
+    state store and restored per micro-batch. The stateless tag+extract
+    stages run before the stateful groupBy, so the only stateful shuffle
+    keys on conv_id; a pathologically hot conversation concentrates state
+    but not compute (its turns still tag in parallel upstream — only the
+    pair dedup serializes per conversation, and pairs ≪ turns).
+
+    ``state_ttl_ms`` (e.g. 30 days = 2_592_000_000) switches to a
+    processing-time timeout (PySpark's ``setTimeoutDuration`` takes int
+    milliseconds) that evicts a conversation's state after that idle
+    period —
+    the second half of the state bound: conversations end, and an evicted
+    conversation that somehow resumes may re-emit known facts, which the
+    downstream batch canonicalization dedups anyway. Default (None) keeps
+    exact first-sighting semantics forever.
+
+    Operational caveat (observed on pyspark 4.1.2): a TTL-armed query
+    does not terminate under ``Trigger.AvailableNow`` — the drain waits
+    on pending processing-time timers. Use the TTL only with continuous
+    or interval triggers (the deployment mode it exists for); the
+    timeout branch is driven directly in tests/test_streaming.py."""
+    pairs = _streaming_pairs(transcripts).select(
+        "conv_id", "turn_idx", "pred", "obj"
+    )
     return pairs.groupBy("conv_id").applyInPandasWithState(
-        dedup,
+        _make_dedup(state_ttl_ms),
         outputStructType=NEW_TRIPLES_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout" if state_ttl is None else "ProcessingTimeTimeout",
+        timeoutConf="NoTimeout" if state_ttl_ms is None else "ProcessingTimeTimeout",
     )
 
 

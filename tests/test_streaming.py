@@ -211,3 +211,63 @@ def test_stateful_new_triples_dedup(spark, stream_dirs, tmp_path):
     pq2.write_table(shifted, os.path.join(stream_dirs["input"], "part-3.parquet"))
     after = drain()
     assert len(after) == n_before  # every re-sent pair suppressed by state
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the handler's branches
+    deterministically (a real processing-time timer can't be forced to
+    fire inside a test without wall-clock races)."""
+
+    def __init__(self, seen=None, timed_out=False):
+        self.exists = seen is not None
+        self.get = (seen,) if seen is not None else None
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_stateful_dedup_handler_ttl_branches():
+    """The TTL plumbing of streaming_new_triples' handler: timers armed
+    in milliseconds after every update; a timed-out invocation evicts
+    the state and emits nothing; an evicted conversation's facts re-emit
+    on resighting (the documented TTL trade)."""
+    import pandas as pd
+
+    from ner_spark.streaming.stream import _make_dedup, _pair_hash
+
+    dedup = _make_dedup(state_ttl_ms=1000)
+    pdf = pd.DataFrame(
+        {"conv_id": ["c"] * 2, "turn_idx": [1, 2], "pred": ["brand", "brand"],
+         "obj": ["ACME", "ACME"]}
+    )
+
+    # fresh conversation: one emission, state updated, timer armed in ms
+    st = _FakeState()
+    out = pd.concat(list(dedup(("c",), iter([pdf]), st)))
+    assert len(out) == 1 and st.timeout_ms == 1000
+    assert st.updated == ([_pair_hash("brand", "ACME")],)
+
+    # known fact suppressed while state lives
+    st2 = _FakeState(seen=list(st.updated[0]))
+    out2 = pd.concat(list(dedup(("c",), iter([pdf]), st2)))
+    assert len(out2) == 0 and st2.timeout_ms == 1000
+
+    # timeout invocation: state evicted, nothing emitted
+    st3 = _FakeState(seen=list(st.updated[0]), timed_out=True)
+    out3 = pd.concat(list(dedup(("c",), iter([]), st3)))
+    assert st3.removed and len(out3) == 0 and st3.updated is None
+
+    # post-eviction resighting re-emits (fresh state again)
+    st4 = _FakeState()
+    out4 = pd.concat(list(dedup(("c",), iter([pdf]), st4)))
+    assert len(out4) == 1
