@@ -974,6 +974,62 @@ def q_token_jaccard_pairs(spark, sf_dir):
 
 
 @query(
+    "repetition_scores",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 greatest(len(toks) - 2, 1) AS n_grams,
+                 len(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                     END) AS n_distinct
+          FROM t)
+    SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(n_distinct AS INTEGER) AS n_distinct,
+           round(1.0 - n_distinct::DOUBLE / n_grams, 6) AS rep_ratio
+    FROM g
+    """,
+)
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filter: fraction of duplicated word
+    3-grams per document (boilerplate / decoding loops score high).
+    Row-local, one scan."""
+    from ner_spark.functions.dedup import word_shingles_col
+    from ner_spark.functions.text import repetition_ratio, tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(1)).cast("int").alias("n_grams"),
+        F.size(word_shingles_col(F.col("text"), k=3)).cast("int").alias("n_distinct"),
+        repetition_ratio(F.col("text"), n=3).alias("rep_ratio"),
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               ('0x' || substring(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+               doc_id ASC) AS rk
+      FROM documents) t
+    WHERE rk <= 40
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic fixed-size per-stratum sample (reservoir-sampling
+    replacement): 40 docs per language by hash order — every run,
+    engine, and partitioning selects the same rows."""
+    from ner_spark.functions.datasets import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", k=40).select("lang", "doc_id")
+
+
+@query(
     "split_train_val",
     f"""
     SELECT doc_id,
@@ -1874,7 +1930,7 @@ _DRIVER_ORDER = [
     "doc_length_stats", "token_freq_weights", "distinct_part_types",
     "events_top_users",
     # -------- position > 50: generic relational (green in r1) + extras --
-    "multimodal_frames",
+    "multimodal_frames", "repetition_scores", "stratified_sample",
     "sessionize", "event_rollup",
     "pricing_summary", "top_revenue_nations", "window_topk_orders",
     "priority_count", "region_order_counts", "supplier_balance_by_nation",

@@ -51,6 +51,31 @@ def split_assign_col(key: Column, train_pct: int = 90, salt: str = "split") -> C
     ).otherwise(F.lit("val"))
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the ``k`` rows of
+    each stratum with the lowest 60-bit md5 of ``salt|id`` (ties broken
+    by id). Hash order is a uniform random order that every run and
+    engine agrees on — the distributed replacement for reservoir
+    sampling, with the same growth stability as the splits: a row
+    already sampled stays sampled until enough lower-hash rows join its
+    stratum. One hash-partition exchange on the stratum key."""
+    from pyspark.sql import Window
+
+    h = md5_hash60_col(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def ngram_hashes_col(text: Column, n: int = 8) -> Column:
     """Distinct 60-bit hashes of the text's word ``n``-grams (the whole
     text when shorter than ``n`` words) — the unit of contamination

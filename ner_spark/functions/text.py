@@ -79,6 +79,20 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of duplicated word ``n``-grams — the classic repetition
+    filter for LLM training corpora (boilerplate, keyword stuffing, and
+    decoding loops all show as a high duplicate-gram fraction):
+    ``1 − distinct/total``, 0 for texts shorter than ``n`` words.
+    Row-local, rounded to 6 decimals (cross-engine spec)."""
+    from ner_spark.functions.dedup import word_shingles_col
+
+    toks = tokens_col(text)
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    distinct = F.size(word_shingles_col(text, k=n))
+    return F.round(1.0 - distinct / total, 6)
+
+
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
     # NOTE: the stopword array must be closed over, not passed as a
     # lambda default — pyspark binds a lambda variable per parameter.

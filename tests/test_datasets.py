@@ -57,6 +57,48 @@ def test_contamination_flags_and_decontaminate_removes(spark):
     assert kept == [1, 2, 3]
 
 
+def test_stratified_sample_deterministic_and_stable(spark):
+    from ner_spark.functions.datasets import stratified_sample
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+
+    def pick(d, k):
+        return {
+            (r["lang"], r["doc_id"])
+            for r in stratified_sample(d, "lang", k=k).collect()
+        }
+
+    s1, s2 = pick(df, 10), pick(df, 10)
+    assert s1 == s2 and len(s1) == 30  # 10 per stratum, deterministic
+    # raising k only ADDS rows (hash order is a fixed total order)
+    assert s1 <= pick(df, 20)
+    # short stratum: returns all of it, no padding
+    tiny = df.where(F.col("doc_id") < 5)
+    assert len(pick(tiny, 10)) == 5
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from ner_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, "buy now " * 30),            # heavy 3-gram repetition
+            (1, " ".join(f"w{i}" for i in range(60))),  # all distinct
+            (2, "too short"),                 # < n tokens -> 0
+        ],
+        "doc_id long, text string",
+    )
+    r = {
+        row["doc_id"]: row["r"]
+        for row in df.select(
+            "doc_id", repetition_ratio(F.col("text")).alias("r")
+        ).collect()
+    }
+    assert r[0] > 0.9 and r[1] == 0.0 and r[2] == 0.0
+
+
 def test_contamination_short_doc_whole_text_gram(spark):
     from ner_spark.functions.datasets import contaminated_docs
 
