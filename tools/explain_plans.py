@@ -141,6 +141,24 @@ CHECKS = {
             "of threshold survivors, never the embedding vectors."
         ),
     ),
+    "repetition_scores": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "The repetition filter (duplicated n-gram fraction) is one "
+            "codegen span over the scan — zero shuffles, zero Python."
+        ),
+    ),
+    "stratified_sample": dict(
+        requires=["Window"],
+        forbids=["Python"],
+        note=(
+            "Deterministic per-stratum sampling: one hash-partition "
+            "exchange on the stratum key, then a rank window over the "
+            "md5 order — the reservoir-sampling replacement whose "
+            "output is identical at any parallelism."
+        ),
+    ),
     "contamination_check": dict(
         requires=["Broadcast"],
         forbids=["Python"],
