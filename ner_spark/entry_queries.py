@@ -993,17 +993,22 @@ def q_token_jaccard_pairs(spark, sf_dir):
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition filter: fraction of duplicated word
     3-grams per document (boilerplate / decoding loops score high).
-    Row-local, one scan."""
+    Row-local, one scan; the ratio reuses the two count columns instead
+    of re-deriving the shingle set (same arithmetic as
+    functions/text.py:repetition_ratio, which library callers use
+    standalone)."""
     from ner_spark.functions.dedup import word_shingles_col
-    from ner_spark.functions.text import repetition_ratio, tokens_col
+    from ner_spark.functions.text import tokens_col
 
     d = _t(spark, sf_dir, "documents")
     toks = tokens_col(F.col("text"))
-    return d.select(
+    counted = d.select(
         "doc_id",
         F.greatest(F.size(toks) - 2, F.lit(1)).cast("int").alias("n_grams"),
         F.size(word_shingles_col(F.col("text"), k=3)).cast("int").alias("n_distinct"),
-        repetition_ratio(F.col("text"), n=3).alias("rep_ratio"),
+    )
+    return counted.withColumn(
+        "rep_ratio", F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 6)
     )
 
 
@@ -1922,15 +1927,18 @@ _DRIVER_ORDER = [
     # similarity search + multimodal + metric
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "multimodal_meta", "multimodal_decode", "micro_f1",
-    # text-analysis + dataset-hygiene functions
+    # text-analysis + dataset-hygiene functions (all new or never
+    # driver-recorded take priority over r1-proven generic queries)
     "tokenize_counts", "quality_scores", "lang_id",
     "fingerprints", "fingerprint_rolling",
     "split_train_val", "contamination_check",
-    # §2 aggregation/limit operators over the event/doc tables
-    "doc_length_stats", "token_freq_weights", "distinct_part_types",
-    "events_top_users",
-    # -------- position > 50: generic relational (green in r1) + extras --
-    "multimodal_frames", "repetition_scores", "stratified_sample",
+    "repetition_scores", "stratified_sample", "multimodal_frames",
+    # §2 aggregation operator representative
+    "token_freq_weights",
+    # -------- position > 50: NOT recorded by the external driver -------
+    # Everything below was value-hash-green in CORRECTNESS_r01 and stays
+    # covered by the local mirror gate (tools/check_entry.py, all 61).
+    "doc_length_stats", "distinct_part_types", "events_top_users",
     "sessionize", "event_rollup",
     "pricing_summary", "top_revenue_nations", "window_topk_orders",
     "priority_count", "region_order_counts", "supplier_balance_by_nation",

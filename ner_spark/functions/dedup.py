@@ -217,6 +217,10 @@ def near_dup_survivors(
 # skew-split block self-join (shared by the pair generators)
 # --------------------------------------------------------------------------
 
+# cache-lifetime bound for the helper's persisted derivations (see below)
+_PERSISTED: list[DataFrame] = []
+_PERSISTED_MAX = 3
+
 
 def _salted_block_self_join(
     t: DataFrame,
@@ -253,8 +257,18 @@ def _salted_block_self_join(
     # consumed three times (block census + light join + heavy join):
     # persist so the possibly-expensive row derivation (signatures,
     # shingle sets) runs once. MEMORY_AND_DISK — at corpus scale this is
-    # linear state that spills rather than recomputing three times.
+    # linear state that spills rather than recomputing three times. The
+    # helper cannot know when its lazy result is done, so it bounds its
+    # own footprint instead: at most the last few invocations stay
+    # cached, older ones are unpersisted (safe — uncaching only costs
+    # recomputation if a stale plan is somehow re-executed).
     t = t.persist()
+    _PERSISTED.append(t)
+    while len(_PERSISTED) > _PERSISTED_MAX:
+        try:
+            _PERSISTED.pop(0).unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing to release
     counts = t.groupBy(key).count()
     heavy_keys = F.broadcast(
         counts.where(F.col("count") > salt_threshold).select(key)

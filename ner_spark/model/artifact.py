@@ -37,7 +37,11 @@ _INSTALLED: dict = {"version": BUILTIN_VERSION, "checked": False}
 
 
 def save_weights(path: str, version: str = BUILTIN_VERSION) -> str:
-    """Serialize the tagger's full parameter set to ``path`` (.npz).
+    """Serialize the tagger's ACTIVE parameter set to ``path`` (.npz) —
+    the transitions/gazetteer/scalars currently installed (artifact or
+    builtin), so a save after ``install_weights`` round-trips exactly
+    the model that is running, never a mix of installed scalars with
+    builtin tables.
 
     Contents: the (n_tags, n_tags) float32 CRF transitions (the analogue
     of the learned ``transitions:0`` tensor the reference's ONNX export
@@ -46,10 +50,11 @@ def save_weights(path: str, version: str = BUILTIN_VERSION) -> str:
     from ner_spark.fixtures.gazetteer import token_roles
     from ner_spark.model import tagger
 
+    active_roles = tagger._TOKEN_ROLES if tagger._TOKEN_ROLES is not None else token_roles()
     toks: list[str] = []
     types: list[int] = []
     initials: list[bool] = []
-    for tok, roles in sorted(token_roles().items()):
+    for tok, roles in sorted(active_roles.items()):
         for type_idx, is_initial in roles:
             toks.append(tok)
             types.append(type_idx)
@@ -57,7 +62,7 @@ def save_weights(path: str, version: str = BUILTIN_VERSION) -> str:
     np.savez(
         path,
         version=np.array(version),
-        transitions=tagger.transitions(),
+        transitions=np.asarray(tagger._TRANSITIONS, dtype=np.float32),
         gaz_token=np.array(toks, dtype=object),
         gaz_type=np.array(types, dtype=np.int32),
         gaz_initial=np.array(initials, dtype=bool),
@@ -154,3 +159,39 @@ def active_weights_version() -> str:
     """The version the DRIVER resolves for manifest fingerprinting —
     same resolution order the executors use."""
     return maybe_install_from_runtime()
+
+
+def verify_executor_weights(spark) -> str:
+    """Assert every executor worker resolves the SAME weights version as
+    the driver, via a tiny mapInPandas probe across all cores.
+
+    The failure this guards: the driver sees ``NER_SPARK_WEIGHTS`` (set
+    after JVM launch, or a path not shipped with ``--files``) and stamps
+    its version into every manifest row, while the executors silently
+    fall back to the builtin generator — publishing builtin output
+    fingerprinted as the custom version. Called by ``run_pipeline``
+    whenever a non-builtin version is active; costs one trivial job."""
+    import pandas as pd
+
+    driver_v = active_weights_version()
+    n = spark.sparkContext.defaultParallelism
+
+    def probe(batches):
+        from ner_spark.model.artifact import maybe_install_from_runtime
+
+        v = maybe_install_from_runtime()
+        for pdf in batches:
+            yield pd.DataFrame({"v": [v] * len(pdf)})
+
+    seen = {
+        r["v"]
+        for r in spark.range(n).repartition(n).mapInPandas(probe, "v string").collect()
+    }
+    if seen != {driver_v}:
+        raise RuntimeError(
+            f"weights-version mismatch: driver resolved {driver_v!r} but "
+            f"executor workers resolved {sorted(seen)!r} — ship the "
+            f"artifact with --files/--archives (or spark.executorEnv) so "
+            f"every worker loads the same model"
+        )
+    return driver_v

@@ -109,6 +109,12 @@ def connected_components(
         # lineage ONCE before probing: the probe's collect and — when the
         # graph is over-threshold — the distributed star-contraction loop
         # both read the checkpointed edges instead of recomputing them.
+        # Lifetime/fault notes: localCheckpoint blocks are reclaimed by
+        # the ContextCleaner when the DataFrame is garbage-collected, and
+        # are NOT fault-tolerant — an executor loss mid-computation fails
+        # the job, which the manifest protocol answers by recomputing the
+        # stage on resume (the documented trade for not paying the edge
+        # lineage twice).
         e0 = e0.localCheckpoint(eager=True)
         probe = e0.limit(local_threshold + 1).collect()
         if len(probe) <= local_threshold:

@@ -79,17 +79,36 @@ def stage_complete(
     spark: SparkSession, out_dir: str, run_id: str, stage: str,
     fingerprint: str = "",
 ) -> bool:
-    m = read_manifest(spark, out_dir)
-    done = (
-        m.where(
-            (F.col("run_id") == run_id)
-            & (F.col("stage") == stage)
-            & (F.col("status") == "complete")
-            & (F.coalesce(F.col("fingerprint"), F.lit("")) == fingerprint)
-        ).limit(1).count()
-        > 0
+    """A stage is complete iff its LATEST manifest activity is a
+    ``complete`` publish under the SAME fingerprint. The manifest is
+    append-only, so a re-publish under a different fingerprint cannot
+    retract the old rows — instead every publish first appends a
+    ``superseded`` marker (see ``publish_stage``), and completeness
+    requires the matching complete rows to be NEWER than any marker:
+    a rollback to an earlier fingerprint after a re-publish correctly
+    recomputes instead of serving the newer fingerprint's data, and a
+    crash between the marker and the new complete rows leaves the stage
+    incomplete rather than pointing old rows at torn new data."""
+    m = read_manifest(spark, out_dir).where(
+        (F.col("run_id") == run_id) & (F.col("stage") == stage)
     )
-    return done and _dir_exists(spark, stage_data_path(out_dir, run_id, stage))
+    row = m.agg(
+        F.max(
+            F.when(
+                (F.col("status") == "complete")
+                & (F.coalesce(F.col("fingerprint"), F.lit("")) == fingerprint),
+                F.col("updated_at"),
+            )
+        ).alias("last_ok"),
+        F.max(
+            F.when(F.col("status") == "superseded", F.col("updated_at"))
+        ).alias("last_marker"),
+    ).collect()[0]
+    if row["last_ok"] is None:
+        return False
+    if row["last_marker"] is not None and row["last_marker"] >= row["last_ok"]:
+        return False
+    return _dir_exists(spark, stage_data_path(out_dir, run_id, stage))
 
 
 def stage_data_path(out_dir: str, run_id: str, stage: str) -> str:
@@ -117,6 +136,19 @@ def publish_stage(
     one and would recompute on every resume."""
     spark = df.sparkSession
     path = stage_data_path(out_dir, run_id, stage)
+    # write-audit-publish step 0: retract any prior completeness BEFORE
+    # touching the data dir. The manifest is append-only, so this is a
+    # 'superseded' marker row; stage_complete requires complete rows to
+    # be newer than the latest marker, which (a) invalidates an older
+    # fingerprint's rows the moment a re-publish starts and (b) leaves
+    # the stage incomplete if we crash mid-overwrite.
+    spark.createDataFrame(
+        [(run_id, stage, -1, 0, "superseded", fingerprint)],
+        "run_id string, stage string, partition_id int, rows long, "
+        "status string, fingerprint string",
+    ).withColumn("updated_at", F.current_timestamp()).select(
+        [f.name for f in MANIFEST_SCHEMA.fields]
+    ).write.mode("append").parquet(manifest_path(out_dir))
     df.write.mode("overwrite").parquet(path)
     published = spark.read.parquet(path)
     metrics = (

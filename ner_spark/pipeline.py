@@ -97,10 +97,19 @@ def run_pipeline(
     published DataFrames keyed by stage name. Every stage's manifest row
     is fingerprinted with the active weights-artifact version, so a
     model upgrade (new artifact) invalidates resumes of the whole run."""
-    from ner_spark.model.artifact import active_weights_version
+    from ner_spark.model.artifact import (
+        BUILTIN_VERSION,
+        active_weights_version,
+        verify_executor_weights,
+    )
 
     out: dict[str, DataFrame] = {}
     fp = active_weights_version()
+    if fp != BUILTIN_VERSION:
+        # custom artifact: one trivial job proves every executor worker
+        # resolves the same version the manifest is about to be stamped
+        # with (guards the --files-forgotten / env-not-shipped case)
+        verify_executor_weights(spark)
 
     def _stage(name, compute):
         return run_stage(

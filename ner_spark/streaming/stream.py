@@ -136,7 +136,12 @@ NEW_TRIPLES_SCHEMA = T.StructType(
 # fixed-width state: each seen pair is an 8-byte hash, not the raw
 # 'pred\x01obj' string — per-conversation state is 8 B/fact regardless of
 # mention text length, which is what keeps a hot conversation's state
-# bounded over the stream's lifetime at deployment scale
+# bounded over the stream's lifetime at deployment scale.
+# STATE FORMAT v2 (array<long>; v1 stored raw strings): a checkpoint
+# written under v1 is NOT restorable — Spark's state store rejects the
+# schema change loudly. Deployments upgrading across this boundary must
+# start a fresh checkpoint (the batch pipeline is the source of truth;
+# the only cost is one-time re-emission of known facts).
 _DEDUP_STATE_SCHEMA = T.StructType(
     [T.StructField("seen", T.ArrayType(T.LongType()), False)]
 )

@@ -153,8 +153,10 @@ def test_manifest_resume_idempotent(spark, fixtures_small, tmp_path_factory):
 
     man = mf.read_manifest(spark, out_dir).toPandas()
     assert set(man["stage"]) >= {"mentions", "triples", "relations", "assignment", "nodes", "edges"}
-    assert (man["status"] == "complete").all()
+    # each publish = one 'superseded' retraction marker + 'complete' rows
+    assert set(man["status"]) == {"complete", "superseded"}
     # per-partition lineage: row counts per stage match the published data
+    # (markers and sentinels carry rows=0, so the sum is the data count)
     for stage in ["triples", "relations"]:
         total = int(man.loc[man["stage"] == stage, "rows"].sum())
         assert total == len(res1[stage])

@@ -174,7 +174,10 @@ def test_empty_stage_resumes_without_recompute(spark, empty_transcripts, tmp_pat
     run_pipeline(spark, empty_transcripts, PipelineConfig(out_dir=out_dir, run_id="e"))
     # every stage (all empty) has a complete sentinel
     man = mf.read_manifest(spark, out_dir).toPandas()
-    assert (man["status"] == "complete").all()
+    # every stage publish = one 'superseded' retraction marker + its
+    # 'complete' rows; nothing may be left in-flight
+    assert set(man["status"]) == {"complete", "superseded"}
+    assert (man[man["status"] == "complete"].groupby("stage").size() > 0).all()
     # completeness is fingerprint-scoped: query under the same weights
     # version the pipeline stamped
     from ner_spark.model.artifact import active_weights_version

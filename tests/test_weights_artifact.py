@@ -125,3 +125,8 @@ def test_manifest_fingerprint_invalidates_on_version_bump(spark, tmp_path, fixtu
     assert calls["n"] == 2, "bumped fingerprint must recompute"
     run_stage(spark, out, "r", "s", compute, fingerprint="w2")
     assert calls["n"] == 2
+    # ROLLBACK: w1's old complete rows must not resurrect — the data dir
+    # now holds w2's output, so serving it under w1 would be the exact
+    # stale-model bug the fingerprint exists to prevent
+    run_stage(spark, out, "r", "s", compute, fingerprint="w1")
+    assert calls["n"] == 3, "rolled-back fingerprint must recompute"
