@@ -105,6 +105,24 @@ def test_spark_files_distribution_end_to_end(tmp_path, fixtures_small, builtin_w
     assert json.loads(line)["triples"] == 0  # muted model ⇒ no mentions at all
 
 
+def test_inspect_weights_tool(tmp_path, builtin_weights):
+    """tools/inspect_weights.py — the reference check_ckpt.py analogue:
+    describes an artifact's tensors and the builtin fallback."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import inspect_weights
+
+    from ner_spark.model.artifact import save_weights
+
+    b = inspect_weights.describe(None)
+    assert b["source"] == "builtin" and b["transitions"]["shape"] == [17, 17]
+
+    p = save_weights(str(tmp_path / "w.npz"), version="w-inspect")
+    d = inspect_weights.describe(p)
+    assert d["version"] == "w-inspect"
+    assert d["transitions"]["dtype"] == "float32"
+    assert d["gazetteer_entries"] >= d["gazetteer_tokens"] > 0
+
+
 def test_manifest_fingerprint_invalidates_on_version_bump(spark, tmp_path, fixtures_small):
     """Per the fixture-version rule: a stage published under weights
     fingerprint w1 must NOT resume under w2 — and must resume under w1."""
