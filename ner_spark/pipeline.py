@@ -63,8 +63,19 @@ STAGES = (
 
 def ingest(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Range-repartition on (conv_id, turn_idx): deterministic co-location
-    of conversation slices without serializing hot conversations."""
-    n = num_partitions or transcripts.sparkSession.sparkContext.defaultParallelism
+    of conversation slices without serializing hot conversations.
+
+    Default partition count is 2× the core count, NOT 1×: one-task-per-
+    core runs the whole stage as a single wave, so any straggler task
+    (skewed range, page-cache miss, one slow core) extends the stage by
+    its full overhang — measured as ±15% wall-time noise on the scaling
+    bench. Two waves of half-size tasks let the scheduler absorb
+    stragglers at negligible per-task overhead (4× was measured stabler
+    still but ~15% slower from task fan-out costs — BENCH.md); the range
+    co-location property is unchanged (just more ranges)."""
+    n = num_partitions or (
+        transcripts.sparkSession.sparkContext.defaultParallelism * 2
+    )
     return transcripts.repartitionByRange(n, "conv_id", "turn_idx")
 
 
