@@ -217,9 +217,13 @@ def near_dup_survivors(
 # skew-split block self-join (shared by the pair generators)
 # --------------------------------------------------------------------------
 
-# cache-lifetime bound for the helper's persisted derivations (see below)
+# cache-lifetime bound for the helper's persisted derivations (see
+# below). The cap must comfortably exceed the number of pair queries a
+# harness might BUILD lazily before executing any of them — evicting a
+# persist whose plan has not run yet silently recomputes the derivation
+# three times. 8 slots covers every current call site twice over.
 _PERSISTED: list[DataFrame] = []
-_PERSISTED_MAX = 3
+_PERSISTED_MAX = 8
 
 
 def _salted_block_self_join(

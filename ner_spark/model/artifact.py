@@ -162,19 +162,26 @@ def active_weights_version() -> str:
 
 
 def verify_executor_weights(spark) -> str:
-    """Assert every executor worker resolves the SAME weights version as
-    the driver, via a tiny mapInPandas probe across all cores.
+    """Assert the executor workers resolve the SAME weights version as
+    the driver, via a tiny mapInPandas probe, and return that version.
 
-    The failure this guards: the driver sees ``NER_SPARK_WEIGHTS`` (set
-    after JVM launch, or a path not shipped with ``--files``) and stamps
-    its version into every manifest row, while the executors silently
-    fall back to the builtin generator — publishing builtin output
-    fingerprinted as the custom version. Called by ``run_pipeline``
-    whenever a non-builtin version is active; costs one trivial job."""
+    The failure this guards (either direction): the driver resolves an
+    artifact the executors lack (env var set post-launch, ``--files``
+    forgotten), or ``spark.executorEnv`` points executors at an artifact
+    the driver never resolved — both would publish data under the wrong
+    manifest fingerprint. Called unconditionally by ``run_pipeline``;
+    costs one trivial job.
+
+    Coverage is a SAMPLE of the worker pool (4 probe rows per core —
+    round-robin repartitioning doesn't guarantee one row per worker, let
+    alone per node), which reliably catches the homogeneous failure
+    modes above; a per-node divergence (node-local artifact path missing
+    on some hosts) needs the artifact shipped via ``--files``, which
+    cannot diverge per node."""
     import pandas as pd
 
     driver_v = active_weights_version()
-    n = spark.sparkContext.defaultParallelism
+    n = spark.sparkContext.defaultParallelism * 4
 
     def probe(batches):
         from ner_spark.model.artifact import maybe_install_from_runtime

@@ -108,19 +108,16 @@ def run_pipeline(
     published DataFrames keyed by stage name. Every stage's manifest row
     is fingerprinted with the active weights-artifact version, so a
     model upgrade (new artifact) invalidates resumes of the whole run."""
-    from ner_spark.model.artifact import (
-        BUILTIN_VERSION,
-        active_weights_version,
-        verify_executor_weights,
-    )
+    from ner_spark.model.artifact import verify_executor_weights
 
     out: dict[str, DataFrame] = {}
-    fp = active_weights_version()
-    if fp != BUILTIN_VERSION:
-        # custom artifact: one trivial job proves every executor worker
-        # resolves the same version the manifest is about to be stamped
-        # with (guards the --files-forgotten / env-not-shipped case)
-        verify_executor_weights(spark)
+    # one trivial probe job proves the executor workers resolve the SAME
+    # weights version the manifest is about to be stamped with. Runs
+    # unconditionally: the mismatch can point either way (driver sees an
+    # artifact the executors lack, OR spark.executorEnv points executors
+    # at an artifact the driver never resolved — both would publish data
+    # under the wrong fingerprint).
+    fp = verify_executor_weights(spark)
 
     def _stage(name, compute):
         return run_stage(

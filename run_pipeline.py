@@ -70,16 +70,13 @@ def main() -> None:
         spark.stop()
         return
 
-    from ner_spark.model.artifact import (
-        BUILTIN_VERSION,
-        active_weights_version,
-        verify_executor_weights,
-    )
+    from ner_spark.model.artifact import verify_executor_weights
     from ner_spark.operators.extraction import mentions_to_triples
     from ner_spark.pipeline import build_mentions
 
-    if active_weights_version() != BUILTIN_VERSION:
-        verify_executor_weights(spark)
+    # unconditional: a driver/executor weights mismatch can point either
+    # way, and this slice writes the triples a user consumes
+    verify_executor_weights(spark)
     triples = mentions_to_triples(build_mentions(t))
     out = os.path.join(args.output, "triples")
     triples.write.mode("overwrite").parquet(out)

@@ -175,9 +175,10 @@ def test_empty_stage_resumes_without_recompute(spark, empty_transcripts, tmp_pat
     # every stage (all empty) has a complete sentinel
     man = mf.read_manifest(spark, out_dir).toPandas()
     # every stage publish = one 'superseded' retraction marker + its
-    # 'complete' rows; nothing may be left in-flight
+    # 'complete' rows; nothing may be left in-flight: EVERY stage that
+    # appears in the manifest must have reached a complete publish
     assert set(man["status"]) == {"complete", "superseded"}
-    assert (man[man["status"] == "complete"].groupby("stage").size() > 0).all()
+    assert set(man.loc[man["status"] == "complete", "stage"]) == set(man["stage"])
     # completeness is fingerprint-scoped: query under the same weights
     # version the pipeline stamped
     from ner_spark.model.artifact import active_weights_version

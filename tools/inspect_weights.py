@@ -23,8 +23,6 @@ sys.path.insert(0, REPO)
 
 
 def describe(path: str | None = None) -> dict:
-    import numpy as np
-
     from ner_spark.model import tagger
     from ner_spark.model.artifact import (
         BUILTIN_VERSION,
@@ -32,35 +30,30 @@ def describe(path: str | None = None) -> dict:
         load_weights,
     )
 
-    if path is None:
-        path = _runtime_artifact_path()
-    if path is None:
-        t = tagger.transitions()
+    def tensor_stats(t) -> dict:
         return {
-            "source": "builtin",
-            "version": BUILTIN_VERSION,
-            "transitions": {
-                "shape": list(t.shape),
-                "dtype": str(t.dtype),
-                "mean": round(float(t.mean()), 6),
-                "min": round(float(t.min()), 6),
-                "max": round(float(t.max()), 6),
-            },
-            "n_tags": tagger.N_TAGS,
-            "tag_names": tagger.TAG_NAMES,
-        }
-    w = load_weights(path)
-    t = w["transitions"]
-    return {
-        "source": path,
-        "version": w["version"],
-        "transitions": {
             "shape": list(t.shape),
             "dtype": str(t.dtype),
             "mean": round(float(t.mean()), 6),
             "min": round(float(t.min()), 6),
             "max": round(float(t.max()), 6),
-        },
+        }
+
+    if path is None:
+        path = _runtime_artifact_path()
+    if path is None:
+        return {
+            "source": "builtin",
+            "version": BUILTIN_VERSION,
+            "transitions": tensor_stats(tagger.transitions()),
+            "n_tags": tagger.N_TAGS,
+            "tag_names": tagger.TAG_NAMES,
+        }
+    w = load_weights(path)
+    return {
+        "source": path,
+        "version": w["version"],
+        "transitions": tensor_stats(w["transitions"]),
         "gazetteer_tokens": len(w["roles"]),
         "gazetteer_entries": int(sum(len(v) for v in w["roles"].values())),
         "scalars": {
