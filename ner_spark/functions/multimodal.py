@@ -105,10 +105,15 @@ def decode_image_batch(
 def sample_frames(df: DataFrame, n_frames_col: str = "n_frames", every: int = 10) -> DataFrame:
     """Frame-sampling plumbing: given per-row frame counts, emit the
     sampled frame indexes (0, every, 2·every, …) as an array column —
-    the JVM-side skeleton a video pipeline hangs its decode UDF on."""
+    the JVM-side skeleton a video pipeline hangs its decode UDF on.
+    A row with no frames samples nothing (empty array, not [0])."""
     return df.withColumn(
         "sampled_frames",
-        F.sequence(
-            F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every)
+        F.when(
+            F.col(n_frames_col) <= 0, F.array().cast("array<int>")
+        ).otherwise(
+            F.sequence(
+                F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every)
+            ).cast("array<int>")
         ),
     )

@@ -96,3 +96,39 @@ def test_edge_inputs_parallelism_invariant(spark, edge_df):
         ).collect()
     }
     assert one == many
+
+
+def test_null_text_through_hygiene_and_pair_ops(spark):
+    """Null/empty text rows must flow through the dataset-hygiene and
+    pair operators without errors and without fabricating matches."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.functions.datasets import contaminated_docs
+    from ner_spark.functions.dedup import token_jaccard_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, "en", None), (1, "en", ""), (2, "en", "a b c d"), (3, "en", "a b c d")],
+        "doc_id long, lang string, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in token_jaccard_pairs(corpus, threshold=0.7).collect()
+    }
+    assert pairs == {(2, 3)}  # null/empty rows never pair
+
+    bench = spark.createDataFrame([(9, "a b c d")], "doc_id long, text string")
+    flagged = {r["doc_id"] for r in contaminated_docs(corpus, bench, n=8).collect()}
+    assert flagged == {2, 3}  # whole-text gram match; null/empty unflagged
+
+
+def test_sample_frames_zero_frames_empty(spark):
+    from pyspark.sql import functions as F
+
+    from ner_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(0, 0), (1, 1), (2, 25)], "doc_id long, n_frames int")
+    got = {
+        r["doc_id"]: r["sampled_frames"]
+        for r in sample_frames(df, every=10).collect()
+    }
+    assert got == {0: [], 1: [0], 2: [0, 10, 20]}
