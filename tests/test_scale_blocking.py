@@ -76,6 +76,38 @@ def test_simhash_band_pairs_complete_vs_bruteforce(spark):
     assert banded == brute, "pigeonhole banding lost or invented pairs"
 
 
+def test_simhash_banding_complete_randomized(spark):
+    """Randomized corpora (several seeds, cluster structures, lengths):
+    pigeonhole banding must equal the brute-force Hamming truth on every
+    one — guards band-boundary arithmetic beyond the crafted fixture."""
+    from ner_spark.functions.dedup import simhash_band_pairs, simhash_col
+
+    for seed in (3, 17, 91):
+        rng = random.Random(seed)
+        words = [f"t{i}" for i in range(80)]
+        rows = []
+        for i in range(40):
+            base = rng.sample(words, rng.randint(1, 25))
+            if i % 3 and rows:  # mutate a previous doc -> near-dups
+                prev = rows[rng.randrange(len(rows))][1].split(" ")
+                base = prev[: max(1, len(prev) - 1)] + [f"x{i}"]
+            rows.append((i, " ".join(base)))
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        banded = sorted(map(tuple, simhash_band_pairs(d, max_hamming=3).collect()))
+        sh = {
+            r["doc_id"]: r["s"]
+            for r in d.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()
+        }
+        ids = sorted(sh)
+        brute = sorted(
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= 3
+        )
+        assert banded == brute, f"seed {seed}: banding diverged from truth"
+
+
 def _embeddings(spark, n=60, dim=8):
     rng = random.Random(11)
     rows = []
