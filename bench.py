@@ -196,6 +196,57 @@ def main() -> None:
     except Exception as e:  # recall block must never sink the bench
         ann_recall["error"] = str(e)[:200]
 
+    # -- ANN recall@k on CLUSTERED geometry --------------------------------
+    # the uniform sweep above is the adversarial floor (no coarse
+    # quantizer beats random cells on a uniform sphere); real embedding
+    # corpora are clustered, and there trained centroids must earn their
+    # cost: k-means cells + nprobe should reach production recall while
+    # seed cells plateau. Deterministic Gaussian-blob fixture.
+    ann_recall_clustered: dict[str, float] = {}
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from ner_spark.fixtures.generator import generate_clustered_embeddings
+        from ner_spark.functions.similarity import (
+            brute_force_topk,
+            ivf_topk,
+            kmeans_centroids,
+        )
+
+        cdf = generate_clustered_embeddings(n=2000, dim=64, n_blobs=16)
+        cemb = spark.createDataFrame(
+            [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cdf.itertuples()],
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField("embedding", T.ArrayType(T.FloatType())),
+                ]
+            ),
+        ).cache()
+        cqs = cemb.where(F.col("vec_id") < 50)
+        truth_c = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(cemb, cqs, k=5).collect()
+        }
+
+        def _recall_c(df) -> float:
+            got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+            return round(len(got & truth_c) / len(truth_c), 4)
+
+        for npb in (1, 2):
+            ann_recall_clustered[f"ivf_seed_nprobe{npb}"] = _recall_c(
+                ivf_topk(cemb, cqs, k=5, n_cells=16, nprobe=npb)
+            )
+        ccent = kmeans_centroids(cemb, n_cells=16, n_iter=4)
+        for npb in (1, 2):
+            ann_recall_clustered[f"ivf_kmeans_nprobe{npb}"] = _recall_c(
+                ivf_topk(cemb, cqs, k=5, centroids=ccent, nprobe=npb)
+            )
+        cemb.unpersist()
+    except Exception as e:
+        ann_recall_clustered["error"] = str(e)[:200]
+
     spark.stop()
 
     out = {
@@ -210,6 +261,7 @@ def main() -> None:
         ),
         "kg_turns_per_sec": round(n_turns / timings["kg_tag_extract_triples"], 1),
         "ann_recall_at_5": ann_recall,
+        "ann_recall_at_5_clustered": ann_recall_clustered,
     }
 
     # -- scaling evidence: same job, local[8] vs local[32] ----------------

@@ -369,14 +369,20 @@ def q_supplier_balance_by_nation(spark, sf_dir):
     """,
 )
 def q_events_top_users(spark, sf_dir):
-    """Global top-k with deterministic ties (O3 sampling-limit analogue)."""
+    """Global top-k with deterministic ties (O3 sampling-limit analogue).
+
+    orderBy(...).limit(10) compiles to TakeOrderedAndProject — each
+    partition keeps its local top-10 and only those reach the driver, so
+    no single-partition exchange ever sees the full user dimension. The
+    row_number window that assigns ranks runs AFTER the limit, over at
+    most 10 rows, so its single partition is bounded by k, not by data.
+    """
     e = _t(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    return (
-        counts.select("user_id", "n_events", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= 10)
-    )
+    order = [F.col("n_events").desc(), F.col("user_id").asc()]
+    top = counts.orderBy(*order).limit(10)
+    w = Window.orderBy(*order)
+    return top.select("user_id", "n_events", F.row_number().over(w).alias("rk"))
 
 
 @query(
@@ -1900,16 +1906,21 @@ def q_kg_bioes_pairs(spark, sf_dir):
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
-# order and records at most the FIRST 50 (round 1 recorded exactly the
-# first 50 of 54, dropping kg_turn_stats/kg_prf/kg_stream_triples/
-# kg_bioes_pairs). Re-key the dicts so the gate always covers the
-# operator-critical surface: the KG pipeline queries, corpus scans,
-# encodes, dedup/similarity (incl. this round's new blocking variants),
-# multimodal, text functions, and the §2 aggregation operators. The
-# tail holds generic relational queries already proven green in
-# CORRECTNESS_r01 whose operators are also exercised by earlier entries.
+# order and records at most the FIRST 50 (rounds 1 and 2 each recorded
+# exactly 50). Rotate the order each round so the UNION of driver
+# records covers every query: this round the 11 relational queries that
+# have never had a driver row (they were positions 51-61 in round 2,
+# mirror-verified only) enumerate FIRST, followed by any queries new in
+# round 3. The tail holds queries already value-hash-green in
+# CORRECTNESS_r02 whose operators remain covered by the local mirror
+# gate (tools/check_entry.py runs all of them).
 _DRIVER_ORDER = [
-    # KG pipeline (the headline surface; includes the 4 unrecorded in r1)
+    # never driver-recorded (r1/r2 positions >50) — record these in r3
+    "doc_length_stats", "distinct_part_types", "events_top_users",
+    "sessionize", "event_rollup",
+    "pricing_summary", "top_revenue_nations", "window_topk_orders",
+    "priority_count", "region_order_counts", "supplier_balance_by_nation",
+    # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
     "kg_graph_edges", "kg_canonical_triples", "kg_noisy_triples",
@@ -1924,24 +1935,17 @@ _DRIVER_ORDER = [
     "simhash_values", "simhash_dup_pairs", "simhash_band_pairs",
     "token_jaccard_pairs", "embedding_dup_pairs",
     "embedding_dup_pairs_ivf",
-    # similarity search + multimodal + metric
+    # similarity search
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
+    # -------- position > 50: NOT recorded by the external driver -------
+    # Everything below was value-hash-green in CORRECTNESS_r02 and stays
+    # covered by the local mirror gate (tools/check_entry.py, all of it).
     "multimodal_meta", "multimodal_decode", "micro_f1",
-    # text-analysis + dataset-hygiene functions (all new or never
-    # driver-recorded take priority over r1-proven generic queries)
     "tokenize_counts", "quality_scores", "lang_id",
     "fingerprints", "fingerprint_rolling",
     "split_train_val", "contamination_check",
     "repetition_scores", "stratified_sample", "multimodal_frames",
-    # §2 aggregation operator representative
     "token_freq_weights",
-    # -------- position > 50: NOT recorded by the external driver -------
-    # Everything below was value-hash-green in CORRECTNESS_r01 and stays
-    # covered by the local mirror gate (tools/check_entry.py, all 61).
-    "doc_length_stats", "distinct_part_types", "events_top_users",
-    "sessionize", "event_rollup",
-    "pricing_summary", "top_revenue_nations", "window_topk_orders",
-    "priority_count", "region_order_counts", "supplier_balance_by_nation",
 ]
 
 _unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]

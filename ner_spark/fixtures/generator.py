@@ -99,3 +99,47 @@ SF_TURNS = {"sf0.001": 900, "sf0.01": 9_000, "sf0.1": 90_000}
 
 def turns_for_sf(sf_name: str) -> int:
     return SF_TURNS.get(sf_name, 9_000)
+
+
+# ---------------------------------------------------------------------------
+# clustered embeddings (ANN recall evidence)
+# ---------------------------------------------------------------------------
+
+CLUSTER_SEED = 20260817
+
+
+def generate_clustered_embeddings(
+    n: int = 2000,
+    dim: int = 64,
+    n_blobs: int = 16,
+    sigma: float = 0.15,
+    seed: int = CLUSTER_SEED,
+) -> pd.DataFrame:
+    """Deterministic Gaussian-blob embeddings: ``n_blobs`` seeded unit
+    centers, each point = center + sigma*noise, re-normalized.
+
+    The driver-generated embeddings table is near-uniform on the sphere —
+    the regime where NO coarse quantizer can beat random cells, so an IVF
+    recall sweep on it cannot show trained centroids earning their cost
+    (BENCH_r02: kmeans 0.528 <= seed 0.540). Real text/image embedding
+    corpora are heavily clustered; this fixture is the deterministic
+    stand-in that lets the bench demonstrate the k-means + nprobe recall
+    path on clustered geometry. Pure function of its arguments — no wall
+    clock, byte-stable across runs. Columns: (vec_id, embedding, blob);
+    blob assignment is iid-random per point, so vec_id order carries no
+    blob structure (seed_centroids' first-n rows are a fair random init).
+    """
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_blobs, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    blob = rng.randint(0, n_blobs, size=n)
+    pts = centers[blob] + sigma * rng.randn(n, dim)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    pts = pts.astype(np.float32)
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [pts[i] for i in range(n)],
+            "blob": blob.astype(np.int32),
+        }
+    )

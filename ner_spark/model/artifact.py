@@ -148,10 +148,15 @@ def maybe_install_from_runtime() -> str:
     so it must be a dict lookup after the first call). Returns the
     active weights version either way."""
     if not _INSTALLED["checked"]:
-        _INSTALLED["checked"] = True
         p = _runtime_artifact_path()
         if p is not None:
+            # ``checked`` flips only AFTER a successful install: if the
+            # load raises once (corrupt/transient read), a retried task in
+            # the same reused Python worker must retry the load — or keep
+            # raising — never silently fall back to builtin weights and
+            # emit mixed-model output.
             install_weights(load_weights(p))
+        _INSTALLED["checked"] = True
     return _INSTALLED["version"]
 
 

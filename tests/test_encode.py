@@ -165,3 +165,52 @@ def test_token_id_lookup_both_strategies(spark):
         assert tb.token_id_lookup(df, vocab).collect()[0]["token_ids"] == [4, 5, 1]
     finally:
         tb.MAP_LITERAL_MAX_VOCAB = old
+
+
+def test_wordpiece_real_reference_vocab_alignment(spark):
+    """P9 against the reference's OWN WordPiece vocabulary file
+    (/root/reference/bert_model/vocab.txt, the published bert-base-chinese
+    vocab the reference's BERT path loads) — not a synthetic toy vocab.
+    The pinned golden was derived with an independent greedy
+    longest-match implementation of the published algorithm and verified
+    against the vocab file by hand: CJK chars are single pieces,
+    'playing' -> play + ##ing, 'transformer' has no long prefix in this
+    Chinese-centric vocab and shatters, a non-BMP char has no match at
+    all -> whole-word [UNK]."""
+    import os
+
+    from ner_spark.operators.encode import align_labels_col, wordpiece_udf
+
+    vocab_path = "/root/reference/bert_model/vocab.txt"
+    if not os.path.exists(vocab_path):
+        import pytest
+
+        pytest.skip("reference vocab not present")
+    with open(vocab_path, encoding="utf-8") as f:
+        vocab = f.read().splitlines()
+    assert len(vocab) > 20000  # the real 21k-entry file, not a stub
+
+    df = spark.createDataFrame(
+        [(0, ["模", "型", "playing", "transformer", "\U0001d6fc", "2026"],
+          [1, 2, 3, 4, 5, 6])],
+        "doc_id int, tokens array<string>, labels array<int>",
+    )
+    pieces = wordpiece_udf(vocab)(F.col("tokens"))
+    out = df.select(
+        align_labels_col(pieces, F.col("labels")).alias("aligned")
+    ).collect()[0]["aligned"]
+    got = [(p["word_id"], p["piece_idx"], p["piece"], p["label_id"]) for p in out]
+    assert got == [
+        (0, 0, "模", 1),
+        (1, 0, "型", 2),
+        (2, 0, "play", 3),
+        (2, 1, "##ing", -100),
+        (3, 0, "t", 4),
+        (3, 1, "##ran", -100),
+        (3, 2, "##s", -100),
+        (3, 3, "##form", -100),
+        (3, 4, "##er", -100),
+        (4, 0, "[UNK]", 5),
+        (5, 0, "202", 6),
+        (5, 1, "##6", -100),
+    ]
