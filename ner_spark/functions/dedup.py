@@ -226,6 +226,27 @@ _PERSISTED: list[DataFrame] = []
 _PERSISTED_MAX = 8
 
 
+def release_persisted_blocks() -> int:
+    """Explicitly unpersist every block-derivation DataFrame the salted
+    self-join helper has cached, returning how many were released.
+
+    The 8-slot LRU above bounds the footprint within a burst of pair
+    queries, but a long-lived driver (notebook, service) would otherwise
+    hold up to 8 persisted derivations in executor storage memory long
+    after the queries finish. Call this from query/batch teardown
+    (bench.py and run_pipeline do) once the pair results are
+    materialized; unpersisting is always safe — re-executing a stale
+    plan merely recomputes."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass  # owning session already stopped — nothing to release
+    return n
+
+
 def _salted_block_self_join(
     t: DataFrame,
     a_side,
@@ -357,6 +378,8 @@ def simhash_band_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    salt_threshold: int = 512,
+    n_salts: int = 8,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash with COMPLETE
     pigeonhole banding: the hash is split into ``max_hamming + 1``
@@ -414,7 +437,10 @@ def simhash_band_pairs(
     first_match = F.col("k") == expr
 
     return (
-        _salted_block_self_join(s, _a, _b, key="band")
+        _salted_block_self_join(
+            s, _a, _b, key="band",
+            salt_threshold=salt_threshold, n_salts=n_salts,
+        )
         .where(F.col("id_a") < F.col("id_b"))
         .where(first_match)
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
@@ -492,12 +518,19 @@ def token_jaccard_pairs(
     )
     if length_buckets:
         # growth factor 1/t: qualifying pairs differ by ≤1 bucket (proof
-        # above); floor over doubles is stable — the bucket id never
-        # reaches the output, it only routes the join
+        # above). The bucket id never reaches the output — it only routes
+        # the join — but the ≤1-apart guarantee must survive float error:
+        # for sizes EXACTLY a factor g apart, log rounding could land one
+        # quotient just below an integer and the other just above the
+        # next, placing homes 2 apart and dropping a qualifying pair. The
+        # +1e-9 nudge dwarfs double log error (~1e-14 absolute here) while
+        # staying far below the smallest real quotient gap, making the
+        # floor robust on the boundary.
         g = 1.0 / threshold
         bucket = F.floor(
             F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double"))
             / F.lit(math.log(g))
+            + F.lit(1e-9)
         ).cast("long")
         t = (
             t.withColumn("home", bucket)

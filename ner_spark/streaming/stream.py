@@ -169,10 +169,22 @@ def _make_dedup(state_ttl_ms: int | None):
 
         if state.hasTimedOut:
             # idle past the TTL: evict. No input rows accompany a
-            # timeout invocation, so nothing is emitted.
+            # timeout invocation, so nothing is emitted. The empty frame
+            # carries EXPLICIT dtypes matching NEW_TRIPLES_SCHEMA — an
+            # untyped empty frame is all-object, and Arrow's schema
+            # coercion of object->int32 for turn_idx on a live query is
+            # exactly the kind of edge this branch must not leave to
+            # chance (it fires only on real timers, never in AvailableNow
+            # tests).
             state.remove()
             yield pd.DataFrame(
-                [], columns=["conv_id", "turn_idx", "subj", "pred", "obj"]
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "turn_idx": pd.Series([], dtype="int32"),
+                    "subj": pd.Series([], dtype="object"),
+                    "pred": pd.Series([], dtype="object"),
+                    "obj": pd.Series([], dtype="object"),
+                }
             )
             return
         conv_id = key[0]
@@ -243,6 +255,54 @@ def streaming_new_triples(
         outputMode="append",
         timeoutConf="NoTimeout" if state_ttl_ms is None else "ProcessingTimeTimeout",
     )
+
+
+def run_new_triples_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_ttl_ms: int | None = None,
+    available_now: bool = True,
+):
+    """Start the stateful first-sighting dedup stream against a landing
+    dir, enforcing the TTL/trigger compatibility rule IN CODE:
+
+    On pyspark 4.1.2 a TTL-armed (ProcessingTimeTimeout) query under
+    ``Trigger.AvailableNow`` never terminates — the drain waits on
+    pending processing-time timers (pinned by
+    tests/test_streaming.py::test_ttl_available_now_incompatibility_pinned).
+    A docstring caveat is not a safe failure mode for the bounded-state
+    deployment path, so this runner refuses the combination up front
+    instead of hanging the caller. TTL mode requires a continuous or
+    interval trigger (``available_now=False``).
+
+    Returns the started StreamingQuery. With ``available_now`` (TTL off)
+    the call blocks until the backlog drains, mirroring
+    ``run_triples_stream``; otherwise the caller owns the query
+    lifecycle."""
+    if available_now and state_ttl_ms is not None:
+        raise ValueError(
+            "state_ttl_ms requires a continuous/interval trigger: "
+            "Trigger.AvailableNow never terminates with pending "
+            "processing-time timers on pyspark 4.1.2 — run with "
+            "available_now=False (long-lived query), or drop the TTL "
+            "for drain-and-stop semantics"
+        )
+    triples = streaming_new_triples(
+        stream_transcripts(spark, input_dir), state_ttl_ms=state_ttl_ms
+    )
+    w = (
+        triples.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return w.start()
 
 
 def run_triples_stream(

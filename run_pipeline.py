@@ -67,6 +67,9 @@ def main() -> None:
                     }
                 )
             )
+        from ner_spark.functions.dedup import release_persisted_blocks
+
+        release_persisted_blocks()  # free block-derivation caches
         spark.stop()
         return
 

@@ -271,3 +271,90 @@ def test_stateful_dedup_handler_ttl_branches():
     st4 = _FakeState()
     out4 = pd.concat(list(dedup(("c",), iter([pdf]), st4)))
     assert len(out4) == 1
+
+
+def test_dedup_timeout_empty_frame_is_schema_typed():
+    """The eviction branch's empty frame must carry NEW_TRIPLES_SCHEMA's
+    dtypes explicitly (turn_idx int32) — an all-object empty frame would
+    leave Arrow coercion of object->int32 to chance on a live
+    interval-trigger query, the one path AvailableNow tests never walk."""
+    import pandas as pd
+
+    from ner_spark.streaming.stream import _make_dedup
+
+    dedup = _make_dedup(state_ttl_ms=1000)
+    st = _FakeState(seen=[1, 2], timed_out=True)
+    out = pd.concat(list(dedup(("c",), iter([]), st)))
+    assert list(out.columns) == ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    assert str(out["turn_idx"].dtype) == "int32"
+    assert str(out["conv_id"].dtype) == "object"
+
+
+def test_ttl_available_now_incompatibility_pinned(spark, stream_dirs, tmp_path):
+    """PINNED pyspark 4.1.2 behavior: a TTL-armed
+    (ProcessingTimeTimeout) query under Trigger.AvailableNow does NOT
+    terminate — the drain waits on pending processing-time timers. This
+    test drives the raw combination and asserts the non-termination
+    within a bounded window (then stops the query); if a future pyspark
+    fixes the semantics this assertion flips and the guard in
+    run_new_triples_stream should be revisited. The guard itself must
+    refuse the combination up front rather than hang the caller."""
+    import pytest
+
+    from ner_spark.streaming.stream import (
+        run_new_triples_stream,
+        stream_transcripts,
+        streaming_new_triples,
+    )
+
+    # the safe failure mode: refused in code, not documented-and-hoped
+    with pytest.raises(ValueError, match="AvailableNow|interval trigger"):
+        run_new_triples_stream(
+            spark,
+            stream_dirs["input"],
+            str(tmp_path / "out_guard"),
+            str(tmp_path / "ckpt_guard"),
+            state_ttl_ms=3_600_000,
+            available_now=True,
+        )
+
+    # the raw behavior, pinned: AvailableNow + TTL never drains
+    q = (
+        streaming_new_triples(
+            stream_transcripts(spark, stream_dirs["input"]),
+            state_ttl_ms=3_600_000,
+        )
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out_pin"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_pin"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        terminated = q.awaitTermination(25)
+        assert terminated is False, (
+            "pyspark now terminates AvailableNow with pending timers — "
+            "re-evaluate the run_new_triples_stream guard"
+        )
+    finally:
+        q.stop()
+
+
+def test_run_new_triples_stream_drains_without_ttl(spark, stream_dirs, tmp_path):
+    """The guarded runner's happy path: TTL off + AvailableNow drains and
+    emits each fact once (same semantics as the raw query)."""
+    from ner_spark.streaming.stream import run_new_triples_stream
+
+    sink = str(tmp_path / "out_ok")
+    run_new_triples_stream(
+        spark,
+        stream_dirs["input"],
+        sink,
+        str(tmp_path / "ckpt_ok"),
+    )
+    rows = [
+        (r["conv_id"], r["pred"], r["obj"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert len(rows) == len(set(rows)) > 0

@@ -148,3 +148,126 @@ def test_manifest_fingerprint_invalidates_on_version_bump(spark, tmp_path, fixtu
     # stale-model bug the fingerprint exists to prevent
     run_stage(spark, out, "r", "s", compute, fingerprint="w1")
     assert calls["n"] == 3, "rolled-back fingerprint must recompute"
+
+
+def test_convert_external_permuted_npz_roundtrip(tmp_path, builtin_weights):
+    """External-model ingestion (the reference's runtime path loads a
+    trained artifact and extracts the learned transition tensor,
+    /root/reference/predict.py:4-24): an ONNX-output-shaped npz whose
+    transitions are listed in a DIFFERENT tag order must convert into an
+    artifact that, once installed, is bit-identical to the builtin model
+    — proving the tag-order re-alignment is exactly inverted."""
+    from ner_spark.model import tagger
+    from ner_spark.model.artifact import install_weights, load_weights
+    from ner_spark.model.convert import convert_external_artifact
+
+    texts = [["ACME", "Ltd", "sells", "red", "Ceramic", "mugs"], ["yuki", "tanaka"]]
+    before = tagger.tag_tokens_batch(texts)
+
+    # external dump: builtin transitions under a reversed tag order
+    perm = list(range(len(tagger.TAG_NAMES)))[::-1]
+    ext_tags = [tagger.TAG_NAMES[i] for i in perm]
+    ext_trans = tagger.transitions()[np.ix_(perm, perm)].astype(np.float64)
+    src = str(tmp_path / "external_model.npz")
+    np.savez(src, transitions=ext_trans, tags=np.array(ext_tags, dtype=object))
+
+    out = convert_external_artifact(src, str(tmp_path / "w.npz"), version="w-ext1")
+    w = load_weights(out)
+    assert w["version"] == "w-ext1"
+    assert np.array_equal(w["transitions"], tagger.transitions())
+    install_weights(w)
+    assert tagger.tag_tokens_batch(texts) == before
+
+
+def test_convert_external_json_and_validation(tmp_path, builtin_weights):
+    from ner_spark.model import tagger
+    from ner_spark.model.artifact import install_weights, load_weights
+    from ner_spark.model.convert import convert_external_artifact
+
+    texts = [["ACME", "Ltd", "sells", "red", "Ceramic", "mugs"]]
+    before = tagger.tag_tokens_batch(texts)
+
+    # json export with perturbed transitions: converts AND changes output
+    t = tagger.transitions().astype(np.float64)
+    t[0, 0] += 50.0  # O->O becomes overwhelming: runs collapse to O
+    src = str(tmp_path / "m.json")
+    with open(src, "w") as f:
+        json.dump({"transitions": t.tolist(), "tags": list(tagger.TAG_NAMES)}, f)
+    out = convert_external_artifact(src, str(tmp_path / "w.npz"), version="w-ext2")
+    install_weights(load_weights(out))
+    assert tagger.tag_tokens_batch(texts) != before
+
+    # validation: wrong tag set / bad shape / non-finite all refused
+    np.savez(str(tmp_path / "bad1.npz"), transitions=t[:3, :3])
+    with pytest.raises(ValueError, match="refusing to guess|shape"):
+        convert_external_artifact(
+            str(tmp_path / "bad1.npz"), str(tmp_path / "o.npz"), version="x"
+        )
+    np.savez(
+        str(tmp_path / "bad2.npz"),
+        transitions=t,
+        tags=np.array(["nope"] * len(tagger.TAG_NAMES), dtype=object),
+    )
+    with pytest.raises(ValueError, match="duplicate|lacks"):
+        convert_external_artifact(
+            str(tmp_path / "bad2.npz"), str(tmp_path / "o.npz"), version="x"
+        )
+    t2 = t.copy()
+    t2[1, 1] = np.inf
+    np.savez(str(tmp_path / "bad3.npz"), transitions=t2, tags=np.array(list(tagger.TAG_NAMES), dtype=object))
+    with pytest.raises(ValueError, match="finite"):
+        convert_external_artifact(
+            str(tmp_path / "bad3.npz"), str(tmp_path / "o.npz"), version="x"
+        )
+
+
+def test_converted_artifact_drives_manifest_fingerprint(
+    spark, tmp_path, fixtures_small, builtin_weights
+):
+    """Ingesting a converted artifact bumps the manifest fingerprint: a
+    stage published under the converted version must resume under it and
+    recompute under builtin — the model-upgrade invalidation rule on the
+    real converted-artifact path."""
+    from ner_spark.model import artifact, tagger
+    from ner_spark.model.convert import convert_external_artifact
+    from ner_spark.operators.manifest import run_stage
+
+    src = str(tmp_path / "ext.npz")
+    np.savez(
+        src,
+        transitions=tagger.transitions().astype(np.float64),
+        tags=np.array(list(tagger.TAG_NAMES), dtype=object),
+    )
+    p = convert_external_artifact(src, str(tmp_path / "w.npz"), version="w-conv")
+    os.environ[artifact.ENV_VAR] = p
+    try:
+        artifact.reset_builtin()  # force re-resolution through the env var
+        v = artifact.active_weights_version()
+        assert v == "w-conv"
+
+        calls = {"n": 0}
+
+        def compute():
+            calls["n"] += 1
+            return spark.read.parquet(
+                f"{fixtures_small}/transcripts.parquet"
+            ).limit(5)
+
+        out = str(tmp_path / "m")
+        run_stage(spark, out, "r", "s", compute, fingerprint=v)
+        run_stage(spark, out, "r", "s", compute, fingerprint=v)
+        assert calls["n"] == 1, "same converted fingerprint must resume"
+    finally:
+        del os.environ[artifact.ENV_VAR]
+        artifact.reset_builtin()
+    run_stage(
+        spark, str(tmp_path / "m"), "r", "s",
+        lambda: spark.read.parquet(f"{fixtures_small}/transcripts.parquet").limit(5),
+        fingerprint=artifact.active_weights_version(),
+    )
+    # builtin fingerprint != w-conv -> the stage recomputed (no assert on
+    # calls: fresh closure) — assert via manifest refusing the OLD rows
+    from ner_spark.operators.manifest import stage_complete
+
+    assert stage_complete(spark, str(tmp_path / "m"), "r", "s", fingerprint=artifact.active_weights_version())
+    assert not stage_complete(spark, str(tmp_path / "m"), "r", "s", fingerprint="w-conv")

@@ -141,6 +141,19 @@ CHECKS = {
             "of threshold survivors, never the embedding vectors."
         ),
     ),
+    "events_top_users": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=[],
+        note=(
+            "Global top-k compiles to TakeOrderedAndProject: each scan "
+            "task keeps its local top-10 and only those rows reach the "
+            "driver — no single-partition exchange ever sees the full "
+            "user dimension. The rank-assigning Window sits ABOVE the "
+            "limit, so its one partition holds at most k=10 rows (bounded "
+            "by the constant, not the data) — the round-2 global "
+            "unpartitioned Window over every distinct user is gone."
+        ),
+    ),
     "repetition_scores": dict(
         requires=[],
         forbids=["Exchange", "Python"],
