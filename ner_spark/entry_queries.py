@@ -1902,6 +1902,68 @@ def q_kg_bioes_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "pack_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n,
+             sum(len(string_split(coalesce(text, ''), ' ')))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len(string_split(coalesce(text, ''), ' ')) AS off
+      FROM documents),
+    e AS (
+      SELECT doc_id, n, off,
+             unnest(range(CAST(off // 512 AS BIGINT),
+                          CAST((off + n - 1) // 512 + 1 AS BIGINT))) AS pack_id
+      FROM t)
+    SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(greatest(pack_id * 512 - off, 0) AS BIGINT) AS tok_start,
+           CAST(least((pack_id + 1) * 512 - off, n) AS BIGINT) AS tok_end
+    FROM e
+    """,
+)
+def q_pack_windows(spark, sf_dir):
+    """Sequence packing (concat-and-chunk pretraining windows): the
+    corpus as one token stream in doc_id order, sliced into 512-token
+    packs, docs splitting at pack boundaries. The oracle is the naive
+    global-window prefix sum; the Spark implementation computes the SAME
+    offsets with a two-level bucketed prefix sum so no window ever sees
+    more than bucket_size rows in a partition (functions/pack.py)."""
+    from ner_spark.functions.pack import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@query(
+    "tfidf_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * (ln((n.n_docs + 1) / (dfq.df + 1)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per document — corpus-statistics relevance
+    scoring (training-data curation: boilerplate terms score near zero,
+    document-specific content rises). Smoothed idf, deterministic
+    (score desc, term asc) ties; the rank window is PARTITIONED by doc
+    (functions/text.py:tfidf_top_terms)."""
+    from ner_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -1920,6 +1982,8 @@ _DRIVER_ORDER = [
     "sessionize", "event_rollup",
     "pricing_summary", "top_revenue_nations", "window_topk_orders",
     "priority_count", "region_order_counts", "supplier_balance_by_nation",
+    # new in round 3 — need their first driver row
+    "pack_windows", "tfidf_terms",
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",

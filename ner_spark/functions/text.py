@@ -206,3 +206,62 @@ def fingerprint_rolling(text: Column) -> Column:
         F.split(text, ""), lambda ch: F.ascii(ch).cast("long")
     )
     return let(codes, body)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-``k`` TF-IDF terms per document.
+
+    Spec (identical in the SQL oracle): terms are lowercased whitespace
+    tokens; tf = occurrences in the doc, df = documents containing the
+    term, idf = ln((N+1)/(df+1)) + 1 (smoothed, always > 0), score =
+    round(tf · idf, 6); rank per doc by (score desc, term asc) — a total
+    order, so output is engine- and partitioning-invariant.
+
+    Plan shape: explode → (doc, term) count (one shuffle on the pair
+    key) → term document-frequency aggregated FROM the tf frame (no
+    second corpus pass) → term-keyed join → per-doc rank window
+    (partitioned: bounded by the doc's distinct terms, never global).
+    N arrives as a broadcast 1-row dimension, not a driver collect, so
+    the whole operator is one lazy plan."""
+    from pyspark.sql import DataFrame, Window
+
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )

@@ -1,0 +1,83 @@
+"""Sequence packing (functions/pack.py) and TF-IDF (functions/text.py):
+invariants beyond the DuckDB-oracle hash gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pack_sequences_budget_and_coverage(spark):
+    """Every pack except the last holds exactly `budget` tokens; each
+    doc's slices are contiguous, disjoint, and cover [0, n) in order."""
+    from ner_spark.functions.pack import pack_sequences
+
+    texts = ["w " * k for k in (3, 700, 12, 1, 513, 40, 511, 2)]
+    texts = [t.strip() for t in texts]
+    out = pack_sequences(_docs(spark, texts), budget=512).collect()
+
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], 0)
+        by_pack[r["pack_id"]] += r["tok_end"] - r["tok_start"]
+    packs = sorted(by_pack)
+    assert packs == list(range(len(packs)))  # dense pack ids from 0
+    assert all(by_pack[p] == 512 for p in packs[:-1])
+    assert 0 < by_pack[packs[-1]] <= 512
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["pack_id"], r["tok_start"], r["tok_end"])
+        )
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        slices = sorted(by_doc[i])
+        assert slices[0][1] == 0 and slices[-1][2] == n
+        for (pa, _sa, ea), (pb, sb, _eb) in zip(slices, slices[1:]):
+            assert pb == pa + 1 and sb == ea  # contiguous, adjacent packs
+
+
+def test_pack_sequences_bucket_size_invariant(spark):
+    """The two-level prefix sum is layout-independent: any bucket_size
+    yields byte-identical output (the scale knob changes the plan, never
+    the result)."""
+    from ner_spark.functions.pack import pack_sequences
+
+    texts = [f"{'tok ' * (7 * i % 90 + 1)}".strip() for i in range(200)]
+    d = _docs(spark, texts)
+    a = sorted(map(tuple, pack_sequences(d, budget=128, bucket_size=4096).collect()))
+    b = sorted(map(tuple, pack_sequences(d, budget=128, bucket_size=7).collect()))
+    c = sorted(map(tuple, pack_sequences(d, budget=128, bucket_size=1).collect()))
+    assert a == b == c
+
+
+def test_tfidf_ranks_specific_terms_over_boilerplate(spark):
+    """A term appearing in every doc (idf floor) must rank below a
+    doc-unique term at equal tf; hand-checked top term on a tiny corpus."""
+    from ner_spark.functions.text import tfidf_top_terms
+
+    d = _docs(
+        spark,
+        [
+            "the cat sat",
+            "the dog ran",
+            "the cat cat purred",
+        ],
+    )
+    rows = tfidf_top_terms(d, k=2).collect()
+    top = {r["doc_id"]: [] for r in rows}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rk"])):
+        top[r["doc_id"]].append(r["term"])
+    # 'the' is in all 3 docs (df=3, idf = ln(4/4)+1 = 1, the floor);
+    # doc-unique terms (df=1, idf = ln(2)+1) outrank it
+    assert top[0][0] in {"cat", "sat"} and top[0] != ["the", "the"]
+    assert "the" not in top[0][:1] and "the" not in top[1][:1]
+    # doc 2: 'cat' tf=2 df=2 -> 2*(ln(4/3)+1)=2.575; unique 'purred'
+    # 1*(ln(2)+1)=1.693; boilerplate 'the' = 1.0
+    assert top[2][0] == "cat" and top[2][1] == "purred"

@@ -154,6 +154,30 @@ CHECKS = {
             "unpartitioned Window over every distinct user is gone."
         ),
     ),
+    "pack_windows": dict(
+        requires=["BroadcastHashJoin", "hashpartitioning(bucket"],
+        forbids=["Python"],
+        note=(
+            "Sequence packing's global prefix sum is two-level: the only "
+            "SinglePartition exchange carries the BUCKET dimension (one "
+            "slim row per 4096 docs), bucket offsets broadcast back, and "
+            "the corpus-sized running-sum Window is hash-partitioned by "
+            "bucket (asserted) — no window task ever holds more than "
+            "bucket_size rows. The naive formulation (the DuckDB oracle) "
+            "is one global-order window over the whole corpus."
+        ),
+    ),
+    "tfidf_terms": dict(
+        requires=["windowspecdefinition(doc_id"],
+        forbids=["Python"],
+        note=(
+            "TF-IDF: document frequency aggregates FROM the tf frame "
+            "(no second corpus scan), corpus size joins as a broadcast "
+            "1-row dimension, and the top-k rank window is PARTITIONED "
+            "by doc_id (asserted) — bounded by a doc's distinct terms, "
+            "never global."
+        ),
+    ),
     "repetition_scores": dict(
         requires=[],
         forbids=["Exchange", "Python"],
