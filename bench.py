@@ -195,6 +195,12 @@ def main() -> None:
             return round(len(got & truth) / len(truth), 4)
 
         ann_recall["lsh_8planes"] = _recall(lsh_topk(emb, qs, k=5, n_planes=8))
+        # multi-table LSH (standard recall repair): 4 disjoint 4-plane
+        # banks, candidates = union over tables — ~25% of brute-force
+        # candidate cost at this corpus size
+        ann_recall["lsh_4p_4tables"] = _recall(
+            lsh_topk(emb, qs, k=5, n_planes=4, n_tables=4)
+        )
         ann_recall["ivf_seed_nprobe1"] = _recall(ivf_topk(emb, qs, k=5, n_cells=16))
         ann_recall["ivf_seed_nprobe2"] = _recall(
             ivf_topk(emb, qs, k=5, n_cells=16, nprobe=2)
@@ -225,6 +231,7 @@ def main() -> None:
             brute_force_topk,
             ivf_topk,
             kmeans_centroids,
+            lsh_topk,
         )
 
         cdf = generate_clustered_embeddings(n=2000, dim=64, n_blobs=16)
@@ -256,6 +263,9 @@ def main() -> None:
             ann_recall_clustered[f"ivf_kmeans_nprobe{npb}"] = _recall_c(
                 ivf_topk(cemb, cqs, k=5, centroids=ccent, nprobe=npb)
             )
+        ann_recall_clustered["lsh_4p_4tables"] = _recall_c(
+            lsh_topk(cemb, cqs, k=5, n_planes=4, n_tables=4)
+        )
         cemb.unpersist()
     except Exception as e:
         ann_recall_clustered["error"] = str(e)[:200]

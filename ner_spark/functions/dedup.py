@@ -254,6 +254,7 @@ def _salted_block_self_join(
     key: str = "bkey",
     salt_threshold: int = 512,
     n_salts: int = 8,
+    max_salts: int = 2048,
 ) -> DataFrame:
     """Self-join ``t`` on its block ``key`` with quadratic-skew splitting.
 
@@ -268,6 +269,17 @@ def _salted_block_self_join(
     Each unordered pair still meets exactly once per block (one
     orientation survives the caller's id_a < id_b filter), so results
     are identical — asserted by the oracle gate.
+
+    The salt count is ADAPTIVE per block: s_b = ceil(C_b/salt_threshold)
+    clamped to [n_salts, max_salts], computed from the same block census
+    that classifies heavy keys and joined back as a broadcast column. A
+    fixed s would only divide a block's quadratic cost by s² — a
+    million-row block at s=8 still lands 15 G-pair cells on single
+    tasks; scaling s with the block bounds every cell at
+    ~max(salt_threshold, C_b/max_salts)² pairs regardless of block size
+    (the row-duplication cost, C_b·s_b ≈ C_b²/salt_threshold input
+    rows, is proportional to sqrt of the pair output — negligible next
+    to the enumeration it parallelizes).
 
     The salted join's INPUT is tiny (rows × s) while its OUTPUT is the
     quadratic enumeration — AQE sizes partitions by input bytes and
@@ -295,19 +307,31 @@ def _salted_block_self_join(
         except Exception:
             pass  # owning session already stopped — nothing to release
     counts = t.groupBy(key).count()
-    heavy_keys = F.broadcast(
-        counts.where(F.col("count") > salt_threshold).select(key)
+    heavy = counts.where(F.col("count") > salt_threshold).select(
+        key,
+        F.least(
+            F.greatest(
+                F.ceil(F.col("count") / salt_threshold).cast("int"),
+                F.lit(n_salts),
+            ),
+            F.lit(max_salts),
+        ).alias("_ns"),
     )
-    t_light = t.join(heavy_keys, key, "left_anti")
-    t_heavy = t.join(heavy_keys, key, "left_semi")
-    u = F.pmod(F.hash("id"), F.lit(n_salts))
-    salts = F.sequence(F.lit(0), F.lit(n_salts - 1))
+    t_light = t.join(F.broadcast(heavy.select(key)), key, "left_anti")
+    # inner join attaches the per-block salt count
+    t_heavy = t.join(F.broadcast(heavy), key)
+    u = F.pmod(F.hash("id"), F.col("_ns"))
+    salts = F.sequence(F.lit(0), F.col("_ns") - 1)
     npart = t.sparkSession.sparkContext.defaultParallelism * 2
     a_h = a_side(
-        t_heavy.withColumn("sa", u).withColumn("sb", F.explode_outer(salts))
+        t_heavy.withColumn("sa", u)
+        .withColumn("sb", F.explode_outer(salts))
+        .drop("_ns")
     ).repartition(npart, key, "sa", "sb")
     b_h = b_side(
-        t_heavy.withColumn("sa", F.explode_outer(salts)).withColumn("sb", u)
+        t_heavy.withColumn("sa", F.explode_outer(salts))
+        .withColumn("sb", u)
+        .drop("_ns")
     ).repartition(npart, key, "sa", "sb")
     # the light side gets the same treatment on the key alone: its pair
     # work is bounded per block (≤ salt_threshold²) but AQE would still
@@ -380,6 +404,7 @@ def simhash_band_pairs(
     max_hamming: int = 3,
     salt_threshold: int = 512,
     n_salts: int = 8,
+    max_salts: int = 2048,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash with COMPLETE
     pigeonhole banding: the hash is split into ``max_hamming + 1``
@@ -440,6 +465,7 @@ def simhash_band_pairs(
         _salted_block_self_join(
             s, _a, _b, key="band",
             salt_threshold=salt_threshold, n_salts=n_salts,
+            max_salts=max_salts,
         )
         .where(F.col("id_a") < F.col("id_b"))
         .where(first_match)
@@ -493,6 +519,7 @@ def token_jaccard_pairs(
     length_buckets: bool = True,
     salt_threshold: int = 512,
     n_salts: int = 8,
+    max_salts: int = 2048,
 ) -> DataFrame:
     """Token-set Jaccard near-dup pairs within a blocking key (default:
     language), LOSSLESSLY sub-blocked by distinct-token-count buckets.
@@ -556,7 +583,8 @@ def token_jaccard_pairs(
         )
 
     pairs = _salted_block_self_join(
-        t, _a, _b, salt_threshold=salt_threshold, n_salts=n_salts
+        t, _a, _b, salt_threshold=salt_threshold, n_salts=n_salts,
+        max_salts=max_salts,
     ).where(F.col("id_a") < F.col("id_b"))
     if length_buckets:
         # a pair with home buckets (βa, βb) meets exactly at buckets

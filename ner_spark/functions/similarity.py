@@ -77,15 +77,22 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
-def sign_bucket_col(vec: Column, n_planes: int = 8) -> Column:
-    """LSH bucket id from the signs of the first ``n_planes`` coordinates
-    (axis-aligned hyperplanes — deterministic and engine-portable; a
-    random-rotation variant plugs in by pre-multiplying the vectors)."""
+def sign_bucket_col(
+    vec: Column, n_planes: int = 8, offset: Column | int = 0
+) -> Column:
+    """LSH bucket id from the signs of ``n_planes`` coordinates starting
+    at ``offset`` (axis-aligned hyperplanes — deterministic and
+    engine-portable; a random-rotation variant plugs in by
+    pre-multiplying the vectors). ``offset`` may be a column, which is
+    how the multi-table variant derives each table's disjoint plane
+    bank from the exploded table index."""
+    off = offset if isinstance(offset, Column) else F.lit(offset)
     return F.aggregate(
         F.transform(
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
             lambda i: F.when(
-                F.element_at(vec, i + 1) >= 0, F.pow(F.lit(2.0), i).cast("long")
+                F.element_at(vec, (off + i + 1).cast("int")) >= 0,
+                F.pow(F.lit(2.0), i).cast("long"),
             ).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
@@ -98,23 +105,50 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
-    bucket. Per-bucket join ⇒ cost |bucket|·|queries-in-bucket| instead
-    of |corpus|·|queries|; recall depends on bucket granularity
-    (n_planes) — report it against ``brute_force_topk`` in benchmarks."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", sign_bucket_col(F.col("qv"), n_planes))
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", sign_bucket_col(F.col("cv"), n_planes))
+    bucket(s). Per-bucket join ⇒ cost |bucket|·|queries-in-bucket|
+    instead of |corpus|·|queries|; recall depends on bucket granularity
+    (n_planes) — report it against ``brute_force_topk`` in benchmarks.
+
+    ``n_tables`` > 1 is the standard LSH recall repair: each table
+    buckets on a DISJOINT bank of ``n_planes`` coordinates (table t →
+    coordinates [t·n_planes, (t+1)·n_planes); requires dim ≥
+    n_tables·n_planes), and a pair is a candidate if it collides in ANY
+    table — one-table miss probability p becomes pᴸ. Cost grows
+    linearly in L (each side duplicates into L bucket streams); a
+    (query, neighbor) pair meeting in several tables is deduped on slim
+    scored rows before ranking, so multi-table results at L=1 are
+    byte-identical to the single-table plan."""
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    tbl = F.explode_outer(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+
+    def _side(df: DataFrame, idname: str, vecname: str) -> DataFrame:
+        s = df.select(
+            F.col(id_col).alias(idname), F.col(vec_col).alias(vecname), tbl
+        )
+        return s.withColumn(
+            "bucket",
+            sign_bucket_col(
+                F.col(vecname), n_planes, offset=F.col("tbl") * n_planes
+            ),
+        )
+
+    q = _side(queries, "query_id", "qv")
+    c = _side(emb, "neighbor_id", "cv")
     scored = (
-        c.join(q, "bucket")
+        c.join(q, ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # score inside the join, then dedup multi-table meetings on slim
+        # (query, neighbor, cosine) rows — exchanges never carry vectors
+        # (house ordering; see ivf_cosine_dup_pairs)
         .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rank_topk(scored, k)
 

@@ -228,3 +228,34 @@ def test_kmeans_beats_seed_centroids_on_clustered_embeddings(spark):
     assert km_np2 >= seed_np2, (seed_np2, km_np2)
     # and the trained path must reach production recall at bounded cost
     assert km_np2 >= 0.9, km_np2
+
+
+def test_lsh_multi_table_recall_monotone_and_l1_identical(spark):
+    """Multi-table LSH: candidates are a UNION over tables, so raising
+    n_tables can only improve overlap with the exact top-k (same
+    superset argument as IVF multi-probe); and n_tables=1 must be
+    byte-identical to the original single-table plan."""
+    from ner_spark.fixtures.generator import generate_clustered_embeddings
+    from ner_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    cdf = generate_clustered_embeddings(n=400, dim=32, n_blobs=8)
+    e = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in cdf.itertuples()],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    q = e.where(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(e, q, k=3).collect()
+    }
+
+    def run(L):
+        return lsh_topk(e, q, k=3, n_planes=4, n_tables=L)
+
+    recalls = {}
+    for L in (1, 2, 4):
+        got = {(r["query_id"], r["neighbor_id"]) for r in run(L).collect()}
+        recalls[L] = len(got & truth) / len(truth)
+    e.unpersist()
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] > recalls[1], recalls  # the tables actually add candidates

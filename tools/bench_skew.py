@@ -117,6 +117,18 @@ def main() -> None:
     ap.add_argument(
         "--skip", default="", help="comma list of families to skip: jaccard,simhash"
     )
+    ap.add_argument(
+        "--no-naive",
+        action="store_true",
+        help="skip the unsalted legs (a big hot block's naive plan can run half an hour in one task)",
+    )
+    ap.add_argument("--salt-threshold", type=int, default=512)
+    ap.add_argument(
+        "--fixed-salts",
+        type=int,
+        default=0,
+        help="also run with the salt count FORCED to this value (max_salts=n_salts=K) to compare fixed vs adaptive salting",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
@@ -137,32 +149,63 @@ def main() -> None:
     docs.count()
 
     naive = args.hot + args.tail + 1  # salt_threshold above any block size
+    st = args.salt_threshold
+    fs = args.fixed_salts
     todo = []
     if "jaccard" not in skip:
-        todo += [
+        if not args.no_naive:
+            todo.append(
+                (
+                    "token_jaccard_naive",
+                    lambda: token_jaccard_pairs(docs, salt_threshold=naive).count(),
+                )
+            )
+        if fs:
+            todo.append(
+                (
+                    f"token_jaccard_fixed{fs}",
+                    lambda: token_jaccard_pairs(
+                        docs, salt_threshold=st, n_salts=fs, max_salts=fs
+                    ).count(),
+                )
+            )
+        todo.append(
             (
-                "token_jaccard_naive",
-                lambda: token_jaccard_pairs(docs, salt_threshold=naive).count(),
-            ),
-            ("token_jaccard_salted", lambda: token_jaccard_pairs(docs).count()),
-        ]
+                "token_jaccard_salted",
+                lambda: token_jaccard_pairs(docs, salt_threshold=st).count(),
+            )
+        )
     if "simhash" not in skip:
-        todo += [
+        if not args.no_naive:
+            todo.append(
+                (
+                    "simhash_bands_naive",
+                    lambda: simhash_band_pairs(docs, salt_threshold=naive).count(),
+                )
+            )
+        if fs:
+            todo.append(
+                (
+                    f"simhash_bands_fixed{fs}",
+                    lambda: simhash_band_pairs(
+                        docs, salt_threshold=st, n_salts=fs, max_salts=fs
+                    ).count(),
+                )
+            )
+        todo.append(
             (
-                "simhash_bands_naive",
-                lambda: simhash_band_pairs(docs, salt_threshold=naive).count(),
-            ),
-            ("simhash_bands_salted", lambda: simhash_band_pairs(docs).count()),
-        ]
+                "simhash_bands_salted",
+                lambda: simhash_band_pairs(docs, salt_threshold=st).count(),
+            )
+        )
     results = []
     for name, fn in todo:
         results.append(measure(spark, name, fn))
         release_persisted_blocks()
 
-    by = {r["query"]: r for r in results}
     for fam in ("token_jaccard", "simhash_bands"):
-        if f"{fam}_naive" in by:
-            assert by[f"{fam}_naive"]["rows"] == by[f"{fam}_salted"]["rows"]
+        counts_ = {r["rows"] for r in results if r["query"].startswith(fam)}
+        assert len(counts_) <= 1, f"{fam}: plans disagree on output rows {counts_}"
     out = {
         "metric": "skew_salting_task_bound",
         "hot_block_rows": args.hot,
