@@ -226,6 +226,22 @@ _PERSISTED: list[DataFrame] = []
 _PERSISTED_MAX = 8
 
 
+def register_persist(df: DataFrame) -> DataFrame:
+    """Persist a block/band derivation consumed by several join branches
+    and register it in the bounded LRU below; returns the persisted
+    frame. Shared by the dedup pair generators and the entity-linking
+    band join (both re-derive an expensive row-local pass — signatures,
+    shingle sets — once per consumer otherwise)."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSISTED_MAX:
+        try:
+            _PERSISTED.pop(0).unpersist()
+        except Exception:
+            pass  # owning session already stopped — nothing to release
+    return df
+
+
 def release_persisted_blocks() -> int:
     """Explicitly unpersist every block-derivation DataFrame the salted
     self-join helper has cached, returning how many were released.
@@ -299,13 +315,7 @@ def _salted_block_self_join(
     # own footprint instead: at most the last few invocations stay
     # cached, older ones are unpersisted (safe — uncaching only costs
     # recomputation if a stale plan is somehow re-executed).
-    t = t.persist()
-    _PERSISTED.append(t)
-    while len(_PERSISTED) > _PERSISTED_MAX:
-        try:
-            _PERSISTED.pop(0).unpersist()
-        except Exception:
-            pass  # owning session already stopped — nothing to release
+    t = register_persist(t)
     counts = t.groupBy(key).count()
     heavy = counts.where(F.col("count") > salt_threshold).select(
         key,

@@ -248,8 +248,17 @@ def scored_candidate_pairs(
     row-local) score k times instead of shuffling its arrays once — the
     right trade at scale where the dedup exchange dominates.
     """
-    b = sig_df.select(
-        F.col("node_id"), F.col("shingles"), F.explode_outer("bands").alias("band")
+    from ner_spark.functions.dedup import register_persist
+
+    # the exploded band frame feeds BOTH join sides (plus the optional
+    # bucket census); without a persist each consumer re-runs the whole
+    # signature pass (md5 per shingle + minhash + band keys) over the
+    # node dimension — measured ~2x the band-join cost at sf0.1. Same
+    # bounded-LRU registry as the dedup pair generators.
+    b = register_persist(
+        sig_df.select(
+            F.col("node_id"), F.col("shingles"), F.explode_outer("bands").alias("band")
+        )
     )
     if max_band_bucket is not None:
         sizes = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)

@@ -52,9 +52,17 @@ def test_token_jaccard_salted_skew_split_exact(spark):
     from ner_spark.functions.dedup import token_jaccard_pairs
 
     d = _docs(spark)
+    plain = sorted(
+        map(tuple, token_jaccard_pairs(d, threshold=0.5, salt_threshold=10**9).collect())
+    )
+    # adaptive path: s_b = ceil(C/2) clamped below by n_salts=3
     salted = token_jaccard_pairs(d, threshold=0.5, salt_threshold=2, n_salts=3)
-    plain = token_jaccard_pairs(d, threshold=0.5, salt_threshold=10**9)
-    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert sorted(map(tuple, salted.collect())) == plain
+    # max_salts clamp engaged (every heavy block capped at s_b=4)
+    capped = token_jaccard_pairs(
+        d, threshold=0.5, salt_threshold=2, n_salts=3, max_salts=4
+    )
+    assert sorted(map(tuple, capped.collect())) == plain
 
 
 def test_simhash_band_pairs_complete_vs_bruteforce(spark):
