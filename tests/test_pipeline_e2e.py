@@ -1,6 +1,9 @@
 """M1 end-to-end slice: transcripts → tag (mapInPandas) → extract → triples,
 gated against the plain-Python oracle goldens (SURVEY §5.2 #2/#3)."""
 
+import json
+import os
+
 import pandas as pd
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -139,3 +142,40 @@ def test_full_pipeline_canonical_triples_stage(spark, fixtures_small, tmp_path_f
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_spark_submit_py_files_zip_channel(tmp_path, fixtures_small):
+    """The north-rule submission channel, end-to-end: package ner_spark
+    into dist/ner_spark.zip (tools/make_pyfiles.py), then spark-submit
+    run_pipeline.py from a DIRECTORY OUTSIDE THE REPO with PYTHONPATH
+    stripped — the driver and every executor can only import the package
+    from the distributed zip. Triple count must equal the golden."""
+    import shutil
+    import subprocess
+    import sys
+
+    import duckdb
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    zip_path = make_pyfiles.build(str(tmp_path / "ner_spark.zip"))
+    shutil.copy(os.path.join(REPO, "run_pipeline.py"), tmp_path)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    r = subprocess.run(
+        [
+            "spark-submit", "--master", "local[2]",
+            "--py-files", zip_path,
+            "run_pipeline.py",
+            "--input", f"{fixtures_small}/transcripts.parquet",
+            "--output", str(tmp_path / "out"), "--show", "0",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith('{"stage"')][0]
+    golden = duckdb.sql(
+        f"select count(*) from '{fixtures_small}/reference_triples.parquet'"
+    ).fetchone()[0]
+    assert json.loads(line)["triples"] == golden
