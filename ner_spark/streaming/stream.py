@@ -174,8 +174,8 @@ def _make_dedup(state_ttl_ms: int | None):
             # untyped empty frame is all-object, and Arrow's schema
             # coercion of object->int32 for turn_idx on a live query is
             # exactly the kind of edge this branch must not leave to
-            # chance (it fires only on real timers, never in AvailableNow
-            # tests).
+            # chance. Exercised on a REAL interval-trigger query by
+            # tests/test_streaming.py::test_ttl_eviction_live_interval_trigger.
             state.remove()
             yield pd.DataFrame(
                 {

@@ -358,3 +358,79 @@ def test_run_new_triples_stream_drains_without_ttl(spark, stream_dirs, tmp_path)
         for r in spark.read.parquet(sink).collect()
     ]
     assert len(rows) == len(set(rows)) > 0
+
+
+def test_ttl_eviction_live_interval_trigger(spark, stream_dirs, tmp_path):
+    """The REAL ProcessingTimeTimeout path on a live interval-trigger
+    query (closing the round-2 ADVICE gap: the timeout branch was only
+    ever driven against a fake GroupState): facts emit once, the
+    conversation idles past the TTL — empty micro-batches keep running
+    because pending timers request them — the timer fires, the eviction
+    branch's dtype-explicit empty frame crosses Arrow on the live query
+    (a schema coercion bug here would kill the query), state evicts, and
+    re-sent facts re-emit. Generous polling bounds keep this stable on a
+    loaded box."""
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq2
+
+    from ner_spark.streaming.stream import (
+        stream_transcripts,
+        streaming_new_triples,
+    )
+
+    root = tmp_path / "ttl_live"
+    in_dir = root / "in"
+    in_dir.mkdir(parents=True)
+    src = pq2.read_table(os.path.join(stream_dirs["input"], "part-0.parquet"))
+    small = src.slice(0, 120)
+    pq2.write_table(small, str(in_dir / "a.parquet"))
+
+    q = (
+        streaming_new_triples(
+            stream_transcripts(spark, str(in_dir)), state_ttl_ms=1500
+        )
+        .writeStream.format("parquet")
+        .option("path", str(root / "out"))
+        .option("checkpointLocation", str(root / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def sink_count():
+        try:
+            return spark.read.parquet(str(root / "out")).count()
+        except Exception:
+            return 0
+
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and sink_count() == 0:
+            time.sleep(1)
+        n1 = sink_count()
+        assert n1 > 0, "stream never emitted the first batch"
+
+        time.sleep(8)  # idle far past the 1.5 s TTL: timers fire, state evicts
+
+        shifted = small.set_column(
+            small.schema.get_field_index("turn_idx"),
+            "turn_idx",
+            pc.add(small.column("turn_idx"), 500000).cast(pa.int32()),
+        )
+        pq2.write_table(shifted, str(in_dir / "b.parquet"))
+        deadline = time.time() + 90
+        n2 = n1
+        while time.time() < deadline and n2 <= n1:
+            time.sleep(1)
+            n2 = sink_count()
+        assert q.exception() is None, q.exception()
+        # evicted state ⇒ the re-sent facts are novel again (the
+        # documented TTL trade; downstream canonicalization dedups)
+        assert n2 > n1, "no re-emission after TTL — state never evicted"
+    finally:
+        q.stop()
+        shutil.rmtree(str(root), ignore_errors=True)
