@@ -133,6 +133,21 @@ def main() -> None:
     # single-shot vs 5.5-5.8 s steady state measured interleaved).
     run("kg_link_cc", _link_cc, best_of=2)
 
+    # graph analytics timed over a cached canonical edge table so the
+    # numbers isolate the graph operators, not the upstream tag/link/CC
+    # chain (which the rows above already measure).
+    from ner_spark.operators.graph import degree_stats, materialize_edges, pagerank
+
+    _nodes, _edges = link_edges(explode_mentions(mentions))
+    _assign = connected_components(
+        _nodes, _edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    kg_edges = materialize_edges(extract_relations(mentions).distinct(), _assign).cache()
+    kg_edges.count()
+    run("kg_degree_stats", lambda: degree_stats(kg_edges).count())
+    run("kg_pagerank", lambda: pagerank(kg_edges).count())
+    kg_edges.unpersist()
+
     # release the cached mentions BEFORE the training-data queries: the
     # 90k-row mention-struct cache is dead weight for them, and the
     # resulting memory pressure measured as a 3-6× slowdown of the
@@ -153,6 +168,8 @@ def main() -> None:
         "ann_topk",
         "ann_ivf_topk",
         "multimodal_decode",
+        "pii_scan",
+        "pii_redact",
         "pricing_summary",
         "top_revenue_nations",
         "window_topk_orders",

@@ -1965,6 +1965,173 @@ def q_tfidf_terms(spark, sf_dir):
 
 
 # ===========================================================================
+# PII scan / redaction (corpus-release hygiene — functions/pii.py)
+# ===========================================================================
+
+
+def _pii_scan_oracle() -> str:
+    from ner_spark.functions.pii import pii_count_sql, pii_inject_sql
+
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, {pii_inject_sql("text", "doc_id")} AS text
+      FROM documents)
+    SELECT doc_id,
+           {pii_count_sql("text")}
+    FROM injected
+    """
+
+
+@query("pii_scan", _pii_scan_oracle())
+def q_pii_scan(spark, sf_dir):
+    """Per-document PII match counts (email/phone/SSN/IPv4/card) over
+    the deterministically PII-injected corpus. Pure JVM regexp_count
+    projection — narrow, codegen'd, zero shuffle; scales linearly with
+    input bytes (functions/pii.py)."""
+    from ner_spark.functions.pii import pii_count_cols, pii_inject_col
+
+    d = _t(spark, sf_dir, "documents")
+    injected = pii_inject_col(F.col("text"), F.col("doc_id"))
+    return d.select("doc_id", *pii_count_cols(injected))
+
+
+def _pii_redact_oracle() -> str:
+    from ner_spark.functions.pii import pii_inject_sql, pii_redact_sql
+
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, {pii_inject_sql("text", "doc_id")} AS text
+      FROM documents)
+    SELECT doc_id, {pii_redact_sql("text")} AS redacted
+    FROM injected
+    """
+
+
+@query("pii_redact", _pii_redact_oracle())
+def q_pii_redact(spark, sf_dir):
+    """Redacted corpus text: every PII match replaced by its typed
+    token, in the fixed substitution order (functions/pii.py:
+    REDACT_ORDER rationale). Narrow regexp_replace chain, no Python,
+    no shuffle — the exact shape a 100-TB release scrub needs."""
+    from ner_spark.functions.pii import pii_inject_col, redact_col
+
+    d = _t(spark, sf_dir, "documents")
+    injected = pii_inject_col(F.col("text"), F.col("doc_id"))
+    return d.select("doc_id", redact_col(injected).alias("redacted"))
+
+
+# ===========================================================================
+# Graph analytics over the materialized KG (operators/graph.py)
+# ===========================================================================
+
+
+def _kg_edges(spark, sf_dir) -> DataFrame:
+    """Canonical KG edge table (same chain as q_kg_graph_edges)."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_edges
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return materialize_edges(extract_relations(m).distinct(), a)
+
+
+@query(
+    "kg_degree_stats",
+    f"""
+    WITH e AS (
+      SELECT src_entity, dst_entity, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    endpoints AS (
+      SELECT src_entity AS entity_id,
+             CAST(1 AS BIGINT) AS o, w AS wo,
+             CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS wi
+      FROM e
+      UNION ALL
+      SELECT dst_entity,
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT), w
+      FROM e)
+    SELECT entity_id,
+           CAST(sum(o) AS BIGINT) AS out_deg,
+           CAST(sum(i) AS BIGINT) AS in_deg,
+           CAST(sum(wo) AS BIGINT) AS w_out,
+           CAST(sum(wi) AS BIGINT) AS w_in
+    FROM endpoints GROUP BY entity_id
+    """,
+)
+def q_kg_degree_stats(spark, sf_dir):
+    """Per-entity degree/weight profile of the canonical KG — the
+    Spark union+single-hash-agg plan (operators/graph.py:degree_stats)
+    checked against a DuckDB aggregation over the union-find oracle's
+    golden edge table."""
+    from ner_spark.operators.graph import degree_stats
+
+    return degree_stats(_kg_edges(spark, sf_dir))
+
+
+def _kg_pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in pure DuckDB SQL over the
+    golden edge table — a genuinely independent second engine for the
+    iterative operator. Float sub-expressions mirror the Spark side
+    bit-for-bit (teleport numerator is the Python-computed double); the
+    pr_micro integer grid absorbs summation-order noise (see
+    operators/graph.py:pagerank)."""
+    tele_num = repr(1.0 - damping)  # same double the Spark driver computes
+    edges = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    ctes = [
+        f"""e AS (
+      SELECT src_entity AS s, dst_entity AS d, CAST(n_turns AS DOUBLE) AS w
+      FROM read_parquet('{edges}'))""",
+        """outw AS (SELECT s, sum(w) AS w_out FROM e GROUP BY s)""",
+        """nodes AS (SELECT s AS x FROM e UNION SELECT d FROM e)""",
+        """trans AS (
+      SELECT e.s, e.d, e.w / o.w_out AS frac FROM e JOIN outw o ON e.s = o.s)""",
+        """n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)""",
+        """pr0 AS (SELECT x, 1.0 / (SELECT nn FROM n) AS pr FROM nodes)""",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""dang{k} AS (
+      SELECT coalesce(sum(pr), 0) / (SELECT nn FROM n) AS dm
+      FROM pr{k} WHERE x NOT IN (SELECT s FROM outw))"""
+        )
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT nodes.x,
+             CAST({tele_num} AS DOUBLE) / (SELECT nn FROM n)
+             + CAST({damping!r} AS DOUBLE)
+               * (coalesce(c.c, CAST(0 AS DOUBLE)) + (SELECT dm FROM dang{k}))
+             AS pr
+      FROM nodes LEFT JOIN (
+        SELECT t.d, sum(p.pr * t.frac) AS c
+        FROM trans t JOIN pr{k} p ON t.s = p.x GROUP BY t.d) c
+      ON nodes.x = c.d)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT x AS entity_id,
+           CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pr_micro
+    FROM pr{iters}
+    """
+
+
+@query("kg_pagerank", _kg_pagerank_oracle())
+def q_kg_pagerank(spark, sf_dir):
+    """Weighted PageRank (5 iterations, dangling-mass redistribution)
+    over the canonical KG, on the 10^-6 integer grid — Spark's
+    iterative join-agg loop (operators/graph.py:pagerank) vs an
+    unrolled pure-SQL restatement in DuckDB."""
+    from ner_spark.operators.graph import pagerank
+
+    return pagerank(_kg_edges(spark, sf_dir))
+
+
+# ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
@@ -1984,6 +2151,7 @@ _DRIVER_ORDER = [
     "priority_count", "region_order_counts", "supplier_balance_by_nation",
     # new in round 3 — need their first driver row
     "pack_windows", "tfidf_terms",
+    "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
@@ -1994,16 +2162,19 @@ _DRIVER_ORDER = [
     "tsv_corpus_scan", "json_corpus_scan", "vocab_ids",
     "stable_doc_order", "encode_char_frame", "encode_token_ids",
     "encode_wlf", "encode_subword_align",
-    # dedup families
-    "dedup_exact", "minhash_bands", "lsh_dup_pairs", "dedup_survivors",
-    "simhash_values", "simhash_dup_pairs", "simhash_band_pairs",
-    "token_jaccard_pairs", "embedding_dup_pairs",
+    # dedup families (minhash_bands / simhash_values / simhash_dup_pairs /
+    # embedding_dup_pairs are r02-green and rotate below the cap to make
+    # room for the four new round-3 queries above)
+    "dedup_exact", "lsh_dup_pairs", "dedup_survivors",
+    "simhash_band_pairs", "token_jaccard_pairs",
     "embedding_dup_pairs_ivf",
     # similarity search
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     # -------- position > 50: NOT recorded by the external driver -------
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
+    "minhash_bands", "simhash_values", "simhash_dup_pairs",
+    "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",
     "tokenize_counts", "quality_scores", "lang_id",
     "fingerprints", "fingerprint_rolling",

@@ -79,3 +79,126 @@ def materialize_edges(relations: DataFrame, assignment: DataFrame) -> DataFrame:
         .groupBy("src_entity", F.col("pred"), "dst_entity")
         .agg(F.countDistinct("conv_id", "turn_idx").alias("n_turns"))
     )
+
+
+# --------------------------------------------------------------------------
+# Graph analytics over the materialized KG (degree profile, PageRank)
+# --------------------------------------------------------------------------
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-entity degree profile of the canonical edge table:
+    (entity_id, out_deg, in_deg, w_out, w_in) where w_* sum the
+    ``n_turns`` edge weights.
+
+    Plan: both endpoint roles are unioned into one slim
+    (entity_id, out, w_out, in, w_in) stream and reduced by a single
+    hash aggregate — one shuffle over 2|E| rows with map-side partial
+    aggregation, no join. At 10^12 edges this is the minimal-movement
+    plan: the only exchange is keyed on entity_id (high-cardinality,
+    skew bounded by the hottest entity's degree, which AQE skew-split
+    handles on the agg's sort-based fallback).
+    """
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    w = F.col("n_turns").cast("long")
+    out_part = edges.select(
+        F.col("src_entity").alias("entity_id"),
+        one.alias("o"), w.alias("wo"), zero.alias("i"), zero.alias("wi"),
+    )
+    in_part = edges.select(
+        F.col("dst_entity").alias("entity_id"),
+        zero.alias("o"), zero.alias("wo"), one.alias("i"), w.alias("wi"),
+    )
+    return (
+        out_part.unionByName(in_part)
+        .groupBy("entity_id")
+        .agg(
+            F.sum("o").alias("out_deg"),
+            F.sum("i").alias("in_deg"),
+            F.sum("wo").alias("w_out"),
+            F.sum("wi").alias("w_in"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    weight: str = "n_turns",
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over the canonical KG, with
+    dangling mass redistributed uniformly: (entity_id, pr_micro) where
+    pr_micro = floor(pr·10⁶ + 0.5) — the integer grid makes the result
+    identical across engines and partitionings (per-sum float noise is
+    ~10⁻¹⁵ relative and damping contracts it; the 10⁻⁶ grid is 9 orders
+    coarser).
+
+    Scale shape: the (src, dst, frac) transition frame is built once
+    (one join against the out-weight aggregate) and persisted; each
+    iteration is one hash-join of the slim rank vector against it, one
+    aggregate, and one full reduction to a scalar (dangling mass) —
+    exactly the communication pattern of distributed PageRank. Ranks
+    are localCheckpointed per iteration so the plan stays one-iteration
+    deep instead of compounding K joins into one Catalyst tree.
+
+    The two driver-side scalars (node count, per-iteration dangling
+    mass) are full reductions to one number each — they do not move
+    data to the driver beyond a single row.
+    """
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("s").agg(F.sum("w").alias("w_out"))
+    nodes = (
+        e.select(F.col("s").alias("x"))
+        .unionByName(e.select(F.col("d").alias("x")))
+        .distinct()
+        .persist()
+    )
+    trans = (
+        e.join(out_w, "s")
+        .select("s", "d", (F.col("w") / F.col("w_out")).alias("frac"))
+        .persist()
+    )
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("s").alias("x")), "x", "left_anti"
+    ).persist()
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes
+
+    pr = nodes.select("x", F.lit(1.0 / n_nodes).alias("pr")).localCheckpoint()
+    try:
+        for _ in range(iters):
+            dang_row = (
+                pr.join(dangling_nodes, "x").agg(F.sum("pr")).collect()[0][0]
+            )
+            dang = (dang_row or 0.0) / n_nodes
+            contrib = (
+                trans.join(pr, trans.s == pr.x)
+                .groupBy("d")
+                .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
+            )
+            pr = (
+                nodes.join(contrib, nodes.x == contrib.d, "left")
+                .select(
+                    "x",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dang))
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        nodes.unpersist()
+        trans.unpersist()
+        dangling_nodes.unpersist()
+    return pr.select(
+        F.col("x").alias("entity_id"),
+        F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)).alias("pr_micro"),
+    )

@@ -1,0 +1,78 @@
+"""Graph analytics over the KG edge table (operators/graph.py:
+degree_stats, pagerank) against hand-computed / plain-Python oracles."""
+
+import pytest
+
+from ner_spark.operators.graph import degree_stats, pagerank
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        ("a", "p", "b", 2),
+        ("a", "q", "c", 1),
+        ("b", "p", "c", 3),
+        ("c", "p", "d", 1),  # d is dangling (no out-edges)
+    ]
+    return spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+
+
+def test_degree_stats(edges):
+    got = {
+        r["entity_id"]: (r["out_deg"], r["in_deg"], r["w_out"], r["w_in"])
+        for r in degree_stats(edges).collect()
+    }
+    assert got == {
+        "a": (2, 0, 3, 0),
+        "b": (1, 1, 3, 2),
+        "c": (1, 2, 1, 4),
+        "d": (0, 1, 0, 1),
+    }
+
+
+def _pagerank_reference(edge_rows, iters=5, damping=0.85):
+    """Plain-Python restatement of the operator spec (same dangling
+    redistribution, same float grid)."""
+    out_w: dict = {}
+    for s, _p, _d, w in edge_rows:
+        out_w[s] = out_w.get(s, 0.0) + float(w)
+    nodes = sorted({s for s, *_ in edge_rows} | {d for _s, _p, d, _w in edge_rows})
+    n = len(nodes)
+    teleport = (1.0 - damping) / n
+    pr = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dang = sum(pr[x] for x in nodes if x not in out_w) / n
+        contrib = {x: 0.0 for x in nodes}
+        for s, _p, d, w in edge_rows:
+            contrib[d] += pr[s] * (float(w) / out_w[s])
+        pr = {x: teleport + damping * (contrib[x] + dang) for x in nodes}
+    import math
+
+    return {x: math.floor(v * 1e6 + 0.5) for x, v in pr.items()}
+
+
+def test_pagerank_matches_reference(edges):
+    rows = [
+        ("a", "p", "b", 2),
+        ("a", "q", "c", 1),
+        ("b", "p", "c", 3),
+        ("c", "p", "d", 1),
+    ]
+    want = _pagerank_reference(rows)
+    got = {r["entity_id"]: r["pr_micro"] for r in pagerank(edges).collect()}
+    assert got == want
+
+
+def test_pagerank_mass_conserved(edges):
+    got = {r["entity_id"]: r["pr_micro"] for r in pagerank(edges).collect()}
+    # dangling redistribution keeps total probability mass at 1 (grid
+    # rounding bounds the drift to < 1 ulp per node)
+    assert abs(sum(got.values()) - 1_000_000) <= len(got)
+
+
+def test_pagerank_dangling_gets_teleport_plus_inflow(edges):
+    got = {r["entity_id"]: r["pr_micro"] for r in pagerank(edges).collect()}
+    # d only receives; a only sends (a's rank = teleport + dangling share)
+    assert got["d"] > got["a"]

@@ -196,6 +196,24 @@ CHECKS = {
             "output is identical at any parallelism."
         ),
     ),
+    "pii_scan": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "PII match counting is one codegen span over the documents "
+            "scan — regexp_count runs JVM-side, zero shuffles, zero "
+            "Python. The release scrub scales linearly with input bytes "
+            "at any cluster size."
+        ),
+    ),
+    "pii_redact": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "The regexp_replace redaction chain is likewise a pure "
+            "narrow projection — no shuffle, no Python boundary."
+        ),
+    ),
     "contamination_check": dict(
         requires=["Broadcast"],
         forbids=["Python"],
@@ -288,6 +306,26 @@ def main() -> None:
         "(explode + self-join on (conv_id, turn_idx)) would add two "
         "full-table shuffles.\n\n"
         f"```\n{rel_plan.strip()}\n```\n"
+    )
+
+    # graph analytics over the materialized edge table (isolated from the
+    # upstream tag/link/CC chain by reading the golden edges directly)
+    from ner_spark.operators.graph import degree_stats
+
+    edges_golden = os.path.join(REPO, ".fixtures", "sf0.01", "edges.parquet")
+    deg_plan = formatted(degree_stats(spark.read.parquet(edges_golden)))
+    n_deg_ex = len(_re.findall(r"(?:[:+]- |^)Exchange \(", deg_plan, _re.M))
+    deg_ok = n_deg_ex == 1 and "Python" not in deg_plan and "Union" in deg_plan
+    if not deg_ok:
+        failures.append(("kg_degree_stats_plan", "1 Exchange + Union, no Python", n_deg_ex))
+    sections.append(
+        f"## kg degree profile (degree_stats) {'✅' if deg_ok else '❌'}\n\n"
+        "Both endpoint roles union into one slim 5-column stream and "
+        "reduce through a single hash aggregate: exactly ONE Exchange "
+        "(asserted), keyed on entity_id, with map-side partial "
+        "aggregation — no join, no Python. At 10^12 edges this is the "
+        "minimal-movement plan.\n\n"
+        f"```\n{deg_plan.strip()}\n```\n"
     )
 
     header = (
