@@ -170,6 +170,7 @@ def main() -> None:
         "multimodal_decode",
         "pii_scan",
         "pii_redact",
+        "events_asof_view",
         "pricing_summary",
         "top_revenue_nations",
         "window_topk_orders",

@@ -1965,6 +1965,51 @@ def q_tfidf_terms(spark, sf_dir):
 
 
 # ===========================================================================
+# As-of (temporal) join — operators/asof.py
+# ===========================================================================
+
+
+@query(
+    "events_asof_view",
+    """
+    WITH probe AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+    ref AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           r.ts AS ref_ts, r.value AS ref_value
+    FROM probe p ASOF LEFT JOIN ref r
+      ON p.user_id = r.user_id AND p.ts >= r.ts
+    """,
+)
+def q_events_asof_view(spark, sf_dir):
+    """Every click joined to the user's most recent at-or-before view
+    (NULLs when none precedes it) — the trades→quotes as-of pattern.
+    Spark side is the union+sorted-window composition (operators/
+    asof.py: one key-hash exchange, O(1) window state, no range-join
+    blow-up); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — a
+    genuinely independent second implementation of the semantics."""
+    from ner_spark.operators.asof import asof_join, latest_per_key_ts
+
+    e = _t(spark, sf_dir, "events")
+    probe = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    ref = latest_per_key_ts(
+        e.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        key="user_id",
+        ts_col="ts",
+        payload=["value"],
+        pick_by="event_id",
+    )
+    return asof_join(probe, ref, key="user_id", ts_col="ts", payload=["value"])
+
+
+# ===========================================================================
 # PII scan / redaction (corpus-release hygiene — functions/pii.py)
 # ===========================================================================
 
@@ -2152,6 +2197,7 @@ _DRIVER_ORDER = [
     # new in round 3 — need their first driver row
     "pack_windows", "tfidf_terms",
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
+    "events_asof_view",
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",

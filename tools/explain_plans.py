@@ -196,6 +196,21 @@ CHECKS = {
             "output is identical at any parallelism."
         ),
     ),
+    "events_asof_view": dict(
+        requires=["Window", "Union"],
+        forbids=["Join", "CartesianProduct", "Python"],
+        max_tree_exchanges=2,
+        note=(
+            "The as-of (temporal) join compiles to NO join operator at "
+            "all (asserted): both sides union into one stream, one "
+            "key-hash Exchange feeds a sorted window that carries the "
+            "latest reference struct forward with O(1) state. The naive "
+            "range-join formulation explodes to O(|L|x|R|) rows per key "
+            "before reducing; this plan moves each input row exactly "
+            "once (2 Exchanges total: the reference (key,ts) dedup agg "
+            "+ the window partition)."
+        ),
+    ),
     "pii_scan": dict(
         requires=[],
         forbids=["Exchange", "Python"],
