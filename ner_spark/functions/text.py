@@ -265,3 +265,49 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def ngram_topk(
+    df,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-wide top-``k`` word n-grams with occurrence and document
+    frequencies — the heavy-hitter scan that surfaces boilerplate
+    (navigation chrome, license headers, template sentences) for
+    removal before training.
+
+    Spec (identical in the SQL oracle): tokens are lowercased
+    single-space splits (the tokens_col convention shared with TF-IDF);
+    a doc with fewer than ``n`` tokens (or NULL text) contributes
+    nothing; rank by (n_occurrences desc, gram asc) — a total order.
+
+    Plan shape: the n-gram enumeration is ROW-LOCAL (sequence +
+    transform + slice inside codegen, then one explode over the scan);
+    the only shuffle is the gram-keyed hash aggregate, and map-side
+    partial aggregation collapses each partition's duplicate grams
+    before the exchange — exactly what makes a heavy-hitter count
+    survive skew (the hottest gram arrives as one partial row per map
+    task, not one row per occurrence). The final top-k is
+    TakeOrderedAndProject (bounded by k), never a global sort of the
+    gram dimension."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+    counts = exploded.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram").asc()
+    ).limit(k)

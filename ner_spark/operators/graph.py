@@ -202,3 +202,62 @@ def pagerank(
         F.col("x").alias("entity_id"),
         F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)).alias("pr_micro"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """Total triangle count of the undirected, deduplicated KG:
+    one row ``(n_triangles)``.
+
+    Algorithm: degree-oriented wedge closing. Every undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher one, so
+    each triangle {u,v,w} generates its single wedge at the minimum
+    vertex and is counted exactly once. Orienting by degree is what
+    makes this survive scale-up: wedge generation at a vertex costs
+    out-degree², and the degree orientation caps every out-degree at
+    O(√m) — total wedge volume O(m^1.5) regardless of how skewed the
+    natural degree distribution is (a celebrity node's million
+    neighbors generate their wedges at the LOW-degree endpoints, not
+    at the hub). The naive a<b<c id-ordered 3-way join (the SQL
+    oracle) has no such bound and dies on the first hub.
+
+    Joins: wedge self-join on the oriented source, then one semi-join
+    of the slim (v, w) wedge pairs against the undirected edge set.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the lower (deg, id) endpoint to the higher
+    oriented = (
+        und.join(deg.withColumnsRenamed({"x": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"x": "b", "deg": "deg_b"}), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = w1.join(w2, "u").where(F.col("p") < F.col("q"))
+    closed = wedges.join(
+        und,
+        (F.least("p", "q") == F.col("a")) & (F.greatest("p", "q") == F.col("b")),
+        "left_semi",
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
