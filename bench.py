@@ -136,7 +136,12 @@ def main() -> None:
     # graph analytics timed over a cached canonical edge table so the
     # numbers isolate the graph operators, not the upstream tag/link/CC
     # chain (which the rows above already measure).
-    from ner_spark.operators.graph import degree_stats, materialize_edges, pagerank
+    from ner_spark.operators.graph import (
+        degree_stats,
+        materialize_edges,
+        pagerank,
+        triangle_count,
+    )
 
     _nodes, _edges = link_edges(explode_mentions(mentions))
     _assign = connected_components(
@@ -146,6 +151,7 @@ def main() -> None:
     kg_edges.count()
     run("kg_degree_stats", lambda: degree_stats(kg_edges).count())
     run("kg_pagerank", lambda: pagerank(kg_edges).count())
+    run("kg_triangles", lambda: triangle_count(kg_edges).count())
     kg_edges.unpersist()
 
     # release the cached mentions BEFORE the training-data queries: the
@@ -176,6 +182,9 @@ def main() -> None:
         "window_topk_orders",
         "sessionize",
         "quality_scores",
+        "ngram_topk",
+        "tfidf_terms",
+        "pack_windows",
     ):
         run(
             qname,

@@ -1608,6 +1608,48 @@ def q_kg_graph_edges(spark, sf_dir):
 
 
 @query(
+    "kg_incremental_edges",
+    f"""
+    SELECT src_entity, pred, dst_entity, n_turns
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+    """,
+)
+def q_kg_incremental_edges(spark, sf_dir):
+    """Incremental KG maintenance vs the batch golden: history (even
+    conv-hash half) is batch-built into carried state, then the odd half
+    merges as a delta (operators/incremental.py:incremental_update —
+    algebraic surface merge, new-node-restricted band join, old
+    assignment replayed as star edges into CC, edge weights re-aggregated
+    from the relations fact). The oracle is the SAME golden edge table as
+    ``kg_graph_edges`` — a value-hash match proves the two-phase
+    incremental build is bit-identical to the from-scratch batch build,
+    which is what lets a 10^12-turn deployment absorb a day's
+    conversations without re-tagging a year of history."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.incremental import incremental_update
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    half_a = m.where(F.crc32("conv_id") % 2 == 0)
+    half_b = m.where(F.crc32("conv_id") % 2 == 1)
+
+    ex_a = explode_mentions(half_a)
+    nodes_a, edges_a = link_edges(ex_a)
+    assign_a = connected_components(
+        nodes_a, edges_a, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    state = incremental_update(
+        nodes_a,
+        assign_a,
+        extract_relations(half_a).distinct(),
+        explode_mentions(half_b),
+        extract_relations(half_b).distinct(),
+    )
+    return state["edges"]
+
+
+@query(
     "kg_canonical_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2260,13 +2302,15 @@ _DRIVER_ORDER = [
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
-    "kg_graph_edges", "kg_canonical_triples", "kg_noisy_triples",
+    "kg_graph_edges", "kg_incremental_edges",
+    "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # corpus scans + vocabulary/encoding
+    # corpus scans + vocabulary/encoding (encode_wlf is r02-green and
+    # rotates below the cap for kg_incremental_edges)
     "tsv_corpus_scan", "json_corpus_scan", "vocab_ids",
     "stable_doc_order", "encode_char_frame", "encode_token_ids",
-    "encode_wlf", "encode_subword_align",
+    "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
     # simhash_values / simhash_dup_pairs / embedding_dup_pairs are
     # r02-green and rotate below the cap to make room for the seven new
@@ -2279,7 +2323,7 @@ _DRIVER_ORDER = [
     # -------- position > 50: NOT recorded by the external driver -------
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
-    "dedup_exact", "lsh_dup_pairs",
+    "dedup_exact", "lsh_dup_pairs", "encode_wlf",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",
