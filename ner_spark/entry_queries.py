@@ -1676,6 +1676,43 @@ def q_kg_canonical_triples(spark, sf_dir):
 
 
 @query(
+    "kg_edge_temporal",
+    f"""
+    SELECT ct.subj AS src_entity, ct.pred, ct.obj AS dst_entity,
+           CAST(min(epoch(t.ts)) AS BIGINT) AS first_ep,
+           CAST(max(epoch(t.ts)) AS BIGINT) AS last_ep,
+           count(*) AS n_turns
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') ct
+    JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') t
+      USING (conv_id, turn_idx)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_kg_edge_temporal(spark, sf_dir):
+    """Edge provenance windows — first/last assertion epoch + distinct-
+    turn support per canonical edge (operators/graph.py:
+    edge_temporal_profile). The temporal backbone for as-of KG queries
+    and staleness audits."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.graph import edge_temporal_profile
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    fx = _fx(sf_dir)
+    m = _mentions(spark, fx)
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    ct = canonicalize_triples(extract_relations(m), a, nodes)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+    return edge_temporal_profile(ct, t)
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2302,13 +2339,14 @@ _DRIVER_ORDER = [
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
-    "kg_graph_edges", "kg_incremental_edges",
+    "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # corpus scans + vocabulary/encoding (encode_wlf is r02-green and
-    # rotates below the cap for kg_incremental_edges)
-    "tsv_corpus_scan", "json_corpus_scan", "vocab_ids",
+    # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan
+    # are r02-green and rotate below the cap for kg_incremental_edges /
+    # kg_edge_temporal)
+    "json_corpus_scan", "vocab_ids",
     "stable_doc_order", "encode_char_frame", "encode_token_ids",
     "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
@@ -2323,7 +2361,7 @@ _DRIVER_ORDER = [
     # -------- position > 50: NOT recorded by the external driver -------
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
-    "dedup_exact", "lsh_dup_pairs", "encode_wlf",
+    "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",

@@ -76,3 +76,43 @@ def test_pagerank_dangling_gets_teleport_plus_inflow(edges):
     got = {r["entity_id"]: r["pr_micro"] for r in pagerank(edges).collect()}
     # d only receives; a only sends (a's rank = teleport + dangling share)
     assert got["d"] > got["a"]
+
+
+def test_edge_temporal_profile(spark):
+    from datetime import datetime
+
+    from ner_spark.operators.graph import edge_temporal_profile
+
+    ct = spark.createDataFrame(
+        [
+            ("c1", 0, "e1", "makes", "e2"),
+            ("c1", 2, "e1", "makes", "e2"),  # same edge, later turn
+            ("c2", 0, "e1", "makes", "e2"),  # same edge, other conv
+            ("c2", 1, "e3", "based_in", "e4"),
+        ],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    t = spark.createDataFrame(
+        [
+            ("c1", 0, datetime(2026, 1, 1, 10, 0, 0)),
+            ("c1", 2, datetime(2026, 1, 1, 10, 5, 0)),
+            ("c2", 0, datetime(2026, 1, 3, 9, 0, 0)),
+            ("c2", 1, datetime(2026, 1, 3, 9, 1, 0)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    got = {
+        (r["src_entity"], r["pred"], r["dst_entity"]): (
+            r["first_ep"],
+            r["last_ep"],
+            r["n_turns"],
+        )
+        for r in edge_temporal_profile(ct, t).collect()
+    }
+    e1 = int(datetime(2026, 1, 1, 10, 0, 0).timestamp())
+    e2 = int(datetime(2026, 1, 3, 9, 0, 0).timestamp())
+    e3 = int(datetime(2026, 1, 3, 9, 1, 0).timestamp())
+    assert got == {
+        ("e1", "makes", "e2"): (e1, e2, 3),
+        ("e3", "based_in", "e4"): (e3, e3, 1),
+    }
