@@ -150,8 +150,12 @@ def main() -> None:
     kg_edges = materialize_edges(extract_relations(mentions).distinct(), _assign).cache()
     kg_edges.count()
     run("kg_degree_stats", lambda: degree_stats(kg_edges).count())
-    run("kg_pagerank", lambda: pagerank(kg_edges).count())
-    run("kg_triangles", lambda: triangle_count(kg_edges).count())
+    # best_of=2: both are multi-stage jobs over a tiny cached graph —
+    # the first call pays codegen/JIT for every new stage shape (measured
+    # 3.0→0.9 s / 4.1→2.4 s steady state); the second run measures the
+    # operators.
+    run("kg_pagerank", lambda: pagerank(kg_edges).count(), best_of=2)
+    run("kg_triangles", lambda: triangle_count(kg_edges).count(), best_of=2)
     kg_edges.unpersist()
 
     # release the cached mentions BEFORE the training-data queries: the

@@ -199,7 +199,10 @@ def incremental_update(
         max_band_bucket=max_band_bucket,
     )
     assignment = incremental_assignment(surfaces, old_assignment, new_edges)
-    relations = old_relations.unionByName(delta_relations).distinct()
+    # duplicates preserved — the batch pipeline's relations stage keeps
+    # per-turn list semantics; consumers (materialize_edges,
+    # canonicalize_triples) dedup internally where their spec requires it
+    relations = old_relations.unionByName(delta_relations)
     return {
         "surfaces": surfaces,
         "assignment": assignment,

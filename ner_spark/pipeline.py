@@ -175,3 +175,100 @@ def run_pipeline(
         lambda: canonicalize_triples(relations, assignment, surface_nodes),
     )
     return out
+
+
+def run_incremental(
+    spark: SparkSession,
+    delta_transcripts: DataFrame,
+    cfg: PipelineConfig,
+    base_run_id: str,
+) -> dict[str, DataFrame]:
+    """Merge a delta of NEW conversations into a prior run's published
+    KG state, producing a full new run (same stage layout as
+    ``run_pipeline``) that the next delta chains from — without
+    re-tagging history (operators/incremental.py has the exactness
+    argument; tests prove bit-identity with a batch rebuild).
+
+    Carried state is read from ``base_run_id``'s published
+    ``surface_nodes`` / ``assignment`` / ``relations`` stages, and the
+    base stages must be complete under the SAME weights fingerprint as
+    this session resolves: a model upgrade between base and delta would
+    otherwise silently merge two models' extractions into one KG — the
+    fingerprint gate turns that into a loud error (re-run the base with
+    the new artifact instead).
+
+    Stage semantics under the new ``cfg.run_id``: ``mentions`` and
+    ``triples`` are DELTA-scoped (this run's expensive tagging output;
+    the corpus-wide view is their union across the chain), while
+    ``relations``/``surface_nodes``/``assignment``/``nodes``/``edges``/
+    ``canonical_triples`` are corpus-cumulative — exactly what the next
+    ``run_incremental`` consumes. ``link_edges`` is not published: the
+    incremental path only scores pairs touching new nodes (old
+    connectivity arrives via the assignment's star edges), so there is
+    no corpus-cumulative link-edge table to publish — connectivity lives
+    in ``assignment``.
+    """
+    from ner_spark.model.artifact import verify_executor_weights
+    from ner_spark.operators.incremental import incremental_update
+    from ner_spark.operators.manifest import stage_complete, stage_data_path
+
+    fp = verify_executor_weights(spark)
+
+    def _base(stage: str) -> DataFrame:
+        if not stage_complete(
+            spark, cfg.out_dir, base_run_id, stage, fingerprint=fp
+        ):
+            raise RuntimeError(
+                f"base run '{base_run_id}' stage '{stage}' is not complete "
+                f"under weights fingerprint '{fp}' — the base must be a "
+                "finished run of the SAME model artifact (re-run it after "
+                "a model upgrade; incremental merge across model versions "
+                "would mix extractions)"
+            )
+        return spark.read.parquet(
+            stage_data_path(cfg.out_dir, base_run_id, stage)
+        )
+
+    old_surfaces = _base("surface_nodes")
+    old_assignment = _base("assignment")
+    old_relations = _base("relations")
+
+    out: dict[str, DataFrame] = {}
+
+    def _stage(name, compute):
+        return run_stage(
+            spark, cfg.out_dir, cfg.run_id, name, compute,
+            resume=cfg.resume, fingerprint=fp,
+        )
+
+    mentions_d = _stage("mentions", lambda: build_mentions(delta_transcripts))
+    out["mentions"] = mentions_d
+    out["triples"] = _stage("triples", lambda: mentions_to_triples(mentions_d))
+
+    inc = incremental_update(
+        old_surfaces,
+        old_assignment,
+        old_relations,
+        explode_mentions(mentions_d),
+        extract_relations(mentions_d),
+        threshold=cfg.link_threshold,
+        max_band_bucket=cfg.max_band_bucket,
+    )
+    relations = _stage("relations", lambda: inc["relations"])
+    out["relations"] = relations
+    surfaces = _stage("surface_nodes", lambda: inc["surfaces"])
+    out["surface_nodes"] = surfaces
+    assignment = _stage("assignment", lambda: inc["assignment"])
+    out["assignment"] = assignment
+
+    out["nodes"] = _stage(
+        "nodes", lambda: materialize_nodes(surfaces, assignment)
+    )
+    out["edges"] = _stage(
+        "edges", lambda: materialize_edges(relations, assignment)
+    )
+    out["canonical_triples"] = _stage(
+        "canonical_triples",
+        lambda: canonicalize_triples(relations, assignment, surfaces),
+    )
+    return out

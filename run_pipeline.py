@@ -35,10 +35,18 @@ def main() -> None:
     ap.add_argument(
         "--stages",
         default="extract",
-        help="'extract' (default: fused tag+extract → triples) or 'all' "
-        "(every manifest stage incl. linking, CC, graph materialization)",
+        help="'extract' (default: fused tag+extract → triples), 'all' "
+        "(every manifest stage incl. linking, CC, graph materialization) "
+        "or 'incremental' (merge --input as a DELTA of new conversations "
+        "into --base-run-id's published state; requires --base-run-id)",
     )
     ap.add_argument("--run-id", default="run-0")
+    ap.add_argument(
+        "--base-run-id",
+        default=None,
+        help="for --stages incremental: the completed run whose "
+        "surface_nodes/assignment/relations stages carry the KG state",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--show", type=int, default=5)
     args = ap.parse_args()
@@ -48,15 +56,20 @@ def main() -> None:
     spark = get_spark(master=args.master, app_name="ner_spark_pipeline")
     t = spark.read.parquet(args.input)
 
-    if args.stages == "all":
-        from ner_spark.pipeline import PipelineConfig, run_pipeline
+    if args.stages in ("all", "incremental"):
+        from ner_spark.pipeline import PipelineConfig, run_incremental, run_pipeline
 
         cfg = PipelineConfig(
             out_dir=args.output, run_id=args.run_id, resume=not args.no_resume
         )
         from ner_spark.operators.manifest import stage_data_path
 
-        out = run_pipeline(spark, t, cfg)
+        if args.stages == "incremental":
+            if not args.base_run_id:
+                ap.error("--stages incremental requires --base-run-id")
+            out = run_incremental(spark, t, cfg, base_run_id=args.base_run_id)
+        else:
+            out = run_pipeline(spark, t, cfg)
         for stage, df in out.items():
             print(
                 json.dumps(

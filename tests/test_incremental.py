@@ -153,3 +153,65 @@ def test_delta_merging_two_old_entities(spark):
     }
     brand_edges = {k: v for k, v in merged.items() if "brand|" in k[0]}
     assert brand_edges and all(v == 1 for v in brand_edges.values())
+
+
+def test_run_incremental_pipeline_matches_batch(spark, tmp_path):
+    """The spark-submit surface: batch run over history, incremental run
+    over the delta, full batch run over everything — incremental
+    published tables must equal the full batch's."""
+    from ner_spark.pipeline import PipelineConfig, run_incremental, run_pipeline
+
+    fx = build_fixtures("sf0.001")
+    t = spark.read.parquet(f"{fx}/transcripts.parquet")
+    hist = t.where(F.crc32("conv_id") % 2 == 0)
+    delta = t.where(F.crc32("conv_id") % 2 == 1)
+
+    out = str(tmp_path / "kg")
+    run_pipeline(spark, hist, PipelineConfig(out_dir=out, run_id="base"))
+    inc = run_incremental(
+        spark, delta, PipelineConfig(out_dir=out, run_id="day1"),
+        base_run_id="base",
+    )
+    full = run_pipeline(
+        spark, t, PipelineConfig(out_dir=str(tmp_path / "kg_full"), run_id="full")
+    )
+    for stage in ("assignment", "nodes", "edges", "canonical_triples"):
+        assert _rows(inc[stage]) == _rows(full[stage]), stage
+    # delta-scoped stages carry only the delta's conversations
+    assert _rows(inc["triples"]) == _rows(
+        full["triples"].join(
+            delta.select("conv_id").distinct(), "conv_id", "left_semi"
+        )
+    )
+
+    # chaining: day1's published state feeds day2 (an empty delta) and
+    # the cumulative tables ride through unchanged
+    day2 = run_incremental(
+        spark, t.where(F.lit(False)),
+        PipelineConfig(out_dir=out, run_id="day2"), base_run_id="day1",
+    )
+    assert _rows(day2["edges"]) == _rows(full["edges"])
+
+
+def test_run_incremental_rejects_fingerprint_mismatch(spark, tmp_path):
+    """A base run published under a different weights fingerprint must
+    refuse to merge — silently mixing two models' extractions is the
+    failure mode the gate exists for."""
+    import pytest as _pytest
+
+    from ner_spark.operators.manifest import publish_stage
+    from ner_spark.pipeline import PipelineConfig, run_incremental
+
+    fx = build_fixtures("sf0.001")
+    t = spark.read.parquet(f"{fx}/transcripts.parquet")
+    out = str(tmp_path / "kg")
+    # forge a 'base' whose stages were published under another model
+    for stage in ("surface_nodes", "assignment", "relations"):
+        publish_stage(
+            t.limit(1), out, "base", stage, fingerprint="other-model-v9"
+        )
+    with _pytest.raises(RuntimeError, match="fingerprint"):
+        run_incremental(
+            spark, t.limit(0),
+            PipelineConfig(out_dir=out, run_id="day1"), base_run_id="base",
+        )
