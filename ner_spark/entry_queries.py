@@ -1713,6 +1713,53 @@ def q_kg_edge_temporal(spark, sf_dir):
 
 
 @query(
+    "kg_entity_pmi",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT conv_id, turn_idx,
+             least(subj, obj) AS a, greatest(subj, obj) AS b
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+      WHERE subj <> obj),
+    nab AS (SELECT a, b, count(*) AS n_turns FROM pairs GROUP BY a, b),
+    ent AS (
+      SELECT e, count(*) AS n_e FROM (
+        SELECT DISTINCT a AS e, conv_id, turn_idx FROM pairs
+        UNION
+        SELECT DISTINCT b AS e, conv_id, turn_idx FROM pairs)
+      GROUP BY e),
+    tot AS (SELECT count(*) AS n FROM (SELECT DISTINCT conv_id, turn_idx FROM pairs))
+    SELECT nab.a AS entity_a, nab.b AS entity_b, nab.n_turns,
+           CAST(floor(ln(CAST(nab.n_turns AS DOUBLE) * tot.n
+                         / (CAST(ea.n_e AS DOUBLE) * eb.n_e)) * 1e6 + 0.5)
+                AS BIGINT) AS pmi_micro
+    FROM nab
+    JOIN ent ea ON ea.e = nab.a
+    JOIN ent eb ON eb.e = nab.b
+    CROSS JOIN tot
+    """,
+)
+def q_kg_entity_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI on the 10⁻⁶ integer grid
+    (operators/graph.py:entity_cooccurrence_pmi) — association strength
+    that a hub entity's raw co-occurrence counts can't fake."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.graph import entity_cooccurrence_pmi
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    ct = canonicalize_triples(extract_relations(m), a, nodes)
+    return entity_cooccurrence_pmi(ct)
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2340,13 +2387,14 @@ _DRIVER_ORDER = [
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
     "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
+    "kg_entity_pmi",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan
-    # are r02-green and rotate below the cap for kg_incremental_edges /
-    # kg_edge_temporal)
-    "json_corpus_scan", "vocab_ids",
+    # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan /
+    # json_corpus_scan are r02-green and rotate below the cap for
+    # kg_incremental_edges / kg_edge_temporal / kg_entity_pmi)
+    "vocab_ids",
     "stable_doc_order", "encode_char_frame", "encode_token_ids",
     "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
@@ -2362,6 +2410,7 @@ _DRIVER_ORDER = [
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
+    "json_corpus_scan",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",

@@ -116,3 +116,35 @@ def test_edge_temporal_profile(spark):
         ("e1", "makes", "e2"): (e1, e2, 3),
         ("e3", "based_in", "e4"): (e3, e3, 1),
     }
+
+
+def test_entity_cooccurrence_pmi(spark):
+    import math
+
+    from ner_spark.operators.graph import entity_cooccurrence_pmi
+
+    # turns: (c1,0): x-y and x-z pairs; (c1,1): x-y; (c2,0): y-z
+    ct = spark.createDataFrame(
+        [
+            ("c1", 0, "x", "p", "y"),
+            ("c1", 0, "z", "p", "x"),   # unordered → pair (x, z)
+            ("c1", 0, "x", "q", "y"),   # duplicate pair in same turn → once
+            ("c1", 1, "x", "p", "y"),
+            ("c2", 0, "y", "p", "z"),
+            ("c2", 0, "w", "p", "w"),   # self pair → dropped
+        ],
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["n_turns"], r["pmi_micro"])
+        for r in entity_cooccurrence_pmi(ct).collect()
+    }
+    # N = 3 turns with pairs; n_x = 2 turns, n_y = 3, n_z = 2
+    def pmi(nab, na, nb, n=3):
+        return math.floor(math.log(nab * n / (na * nb)) * 1e6 + 0.5)
+
+    assert got == {
+        ("x", "y"): (2, pmi(2, 2, 3)),
+        ("x", "z"): (1, pmi(1, 2, 2)),
+        ("y", "z"): (1, pmi(1, 3, 2)),
+    }

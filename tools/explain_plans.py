@@ -271,6 +271,35 @@ CHECKS = {
             "Dangling mass is a scalar full-reduction per iteration."
         ),
     ),
+    "kg_edge_temporal": dict(
+        requires=[],
+        forbids=["Python", "SortMergeJoin"],
+        max_tree_exchanges=2,
+        builder="temporal",
+        note=(
+            "Edge provenance windows over the materialized canonical "
+            "triples: the transcripts side prunes to (conv_id, turn_idx, "
+            "ts) at the scan, the turn-keyed join stays a hash join "
+            "(broadcast here; shuffled+AQE-skew-split at scale), and the "
+            "edge-keyed aggregate partials map-side — two exchanges max, "
+            "no Python."
+        ),
+    ),
+    "kg_entity_pmi": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct"],
+        builder="pmi",
+        note=(
+            "Co-occurrence PMI: pair derivation is row-local over the "
+            "turn-distinct canonical triples; the pair / entity "
+            "aggregates reduce with map-side partials and the marginals "
+            "join back by entity key (broadcast at this scale, AQE "
+            "shuffle join beyond). The corpus total is ONE driver-side "
+            "scalar (a full reduction, same device as pagerank's node "
+            "count), shipped as a literal — no cross join of the pair "
+            "dimension."
+        ),
+    ),
     "kg_triangles": dict(
         requires=["LeftSemi"],
         forbids=["Python", "CartesianProduct"],
@@ -325,9 +354,34 @@ def main() -> None:
             name
         ](edges)
 
+    def _temporal_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import edge_temporal_profile
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        t = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+        )
+        return edge_temporal_profile(ct, t)
+
+    def _pmi_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import entity_cooccurrence_pmi
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        return entity_cooccurrence_pmi(ct)
+
     for name, spec in CHECKS.items():
         if spec.get("builder") == "edges":
             df = _over_materialized_edges(name)
+        elif spec.get("builder") == "temporal":
+            df = _temporal_over_goldens()
+        elif spec.get("builder") == "pmi":
+            df = _pmi_over_goldens()
         else:
             df = QUERIES[name](spark, sf_dir)
         plan = formatted(df)
