@@ -1760,6 +1760,63 @@ def q_kg_entity_pmi(spark, sf_dir):
 
 
 @query(
+    "kg_negative_samples",
+    f"""
+    WITH pool AS (
+      SELECT entity_id, split_part(entity_id, '|', 1) AS etype,
+             CAST(row_number() OVER (
+               PARTITION BY split_part(entity_id, '|', 1)
+               ORDER BY entity_id) AS BIGINT) AS rk
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}')),
+    sizes AS (SELECT etype, count(*) AS pool_n FROM pool GROUP BY etype),
+    e AS (
+      SELECT DISTINCT src_entity, pred, dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    ej AS (
+      SELECT src_entity, pred, dst_entity,
+             split_part(dst_entity, '|', 1) AS etype,
+             unnest(range(CAST(1 AS BIGINT), CAST(4 AS BIGINT))) AS j
+      FROM e),
+    cand AS (
+      SELECT ej.src_entity, ej.pred, ej.dst_entity,
+             CAST(ej.j AS INTEGER) AS j, ej.etype,
+             ({_h60("ej.src_entity || '|' || ej.pred || '|' || ej.dst_entity"
+                    " || '#' || CAST(ej.j AS VARCHAR)")}
+              % s.pool_n) + 1 AS rk
+      FROM ej JOIN sizes s USING (etype))
+    SELECT c.src_entity, c.pred, c.dst_entity, p.entity_id AS neg_dst, c.j
+    FROM cand c
+    JOIN pool p ON p.etype = c.etype AND p.rk = c.rk
+    WHERE p.entity_id <> c.dst_entity
+      AND NOT EXISTS (
+        SELECT 1 FROM e e2
+        WHERE e2.src_entity = c.src_entity AND e2.pred = c.pred
+          AND e2.dst_entity = p.entity_id)
+    """,
+)
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic filtered negative sampling for KG-embedding
+    training (functions/datasets.py:kg_negative_samples) — md5-h60
+    rank-indexed same-type tail corruption, true-tail and
+    known-positive collisions dropped, reproducible across engines and
+    partitionings."""
+    from ner_spark.functions.datasets import kg_negative_samples
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_edges, materialize_nodes
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    kg_nodes = materialize_nodes(nodes, a)
+    kg_edges = materialize_edges(extract_relations(m).distinct(), a)
+    return kg_negative_samples(kg_edges, kg_nodes, k=3)
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2387,14 +2444,13 @@ _DRIVER_ORDER = [
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
     "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
-    "kg_entity_pmi",
+    "kg_entity_pmi", "kg_negative_samples",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
     # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan /
-    # json_corpus_scan are r02-green and rotate below the cap for
-    # kg_incremental_edges / kg_edge_temporal / kg_entity_pmi)
-    "vocab_ids",
+    # json_corpus_scan / vocab_ids are r02-green and rotate below the
+    # cap for the four new kg_* queries above)
     "stable_doc_order", "encode_char_frame", "encode_token_ids",
     "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
@@ -2410,7 +2466,7 @@ _DRIVER_ORDER = [
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
-    "json_corpus_scan",
+    "json_corpus_scan", "vocab_ids",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",

@@ -143,3 +143,73 @@ def decontaminate(
         F.col("doc_id").alias(id_col)
     )
     return corpus.join(bad, id_col, "left_anti")
+
+
+def kg_negative_samples(
+    edges: DataFrame, nodes: DataFrame, k: int = 3
+) -> DataFrame:
+    """Deterministic filtered negative sampling for KG-embedding
+    training: for every distinct canonical edge, up to ``k`` corrupted
+    tails ``(src_entity, pred, dst_entity, neg_dst, j)`` where
+    ``neg_dst`` is a same-type entity that does NOT form a real edge
+    with (src, pred).
+
+    Determinism (the property random samplers lack, and the reason this
+    is reproducible across engines, partitionings and reruns): negative
+    j of an edge is the entity at rank ``h60(src|pred|dst#j) mod
+    pool_size`` in the lexicographic entity pool of the tail's type —
+    the same md5-h60 the MinHash spec tri-implements. Collisions with
+    the true tail and with known positives are dropped (standard
+    "filtered" protocol), so an edge can yield fewer than k rows.
+
+    Plan shape: the j-expansion and hash are row-local over the distinct
+    edge set; pool sizes join as a broadcast (one row per entity type);
+    the rank join keys on (type, rank) against the entity dimension
+    (broadcast when it fits, AQE shuffle join at scale); the
+    known-positive filter is one left-anti join keyed on the slim
+    (src, pred, neg) triple. The per-type ``row_number`` that ranks the
+    pool is a sort of the ENTITY dimension only (≪ turns — same cost
+    class as the vocabulary build); at extreme entity cardinality the
+    rank column belongs in the materialized node table (computed once
+    per KG publish, not per sampling run).
+    """
+    from pyspark.sql import Window
+
+    pool = nodes.select(
+        F.col("entity_id"),
+        F.substring_index("entity_id", "|", 1).alias("etype"),
+    )
+    sizes = pool.groupBy("etype").agg(F.count(F.lit(1)).alias("pool_n"))
+    ranked = pool.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("etype").orderBy("entity_id")
+        ).cast("long"),
+    )
+    e = (
+        edges.select("src_entity", "pred", "dst_entity")
+        .distinct()
+        .withColumn("etype", F.substring_index("dst_entity", "|", 1))
+        .join(F.broadcast(sizes), "etype")
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+        )
+    )
+    h = md5_hash60_col(
+        F.concat(
+            F.concat_ws("|", "src_entity", "pred", "dst_entity"),
+            F.lit("#"),
+            F.col("j").cast("string"),
+        )
+    )
+    cand = e.withColumn("rk", F.pmod(h, F.col("pool_n")) + F.lit(1)).join(
+        ranked.withColumnRenamed("entity_id", "neg_dst"), ["etype", "rk"]
+    )
+    positives = edges.select(
+        "src_entity", "pred", F.col("dst_entity").alias("neg_dst")
+    ).distinct()
+    return (
+        cand.where(F.col("neg_dst") != F.col("dst_entity"))
+        .join(positives, ["src_entity", "pred", "neg_dst"], "left_anti")
+        .select("src_entity", "pred", "dst_entity", "neg_dst", "j")
+    )

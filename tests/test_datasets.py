@@ -109,3 +109,39 @@ def test_contamination_short_doc_whole_text_gram(spark):
     # sub-n texts match as whole-text grams (exact short-doc duplication)
     flagged = [r["doc_id"] for r in contaminated_docs(corpus, bench, n=8).collect()]
     assert flagged == [0]
+
+
+def test_kg_negative_samples_filtered_protocol(spark):
+    from ner_spark.functions.datasets import kg_negative_samples
+
+    edges = spark.createDataFrame(
+        [
+            ("brand|acme", "makes", "product|widget", 3),
+            ("brand|acme", "makes", "product|gadget", 1),
+            ("org|initech", "based_in", "place|dallas", 2),
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(e,) for e in [
+            "brand|acme", "org|initech",
+            "product|widget", "product|gadget", "product|doohickey",
+            "place|dallas", "place|austin", "place|tulsa",
+        ]],
+        "entity_id string",
+    )
+    rows = kg_negative_samples(edges, nodes, k=3).collect()
+    assert rows, "pools are big enough that some negatives must survive"
+    positives = {("brand|acme", "makes", "product|widget"),
+                 ("brand|acme", "makes", "product|gadget"),
+                 ("org|initech", "based_in", "place|dallas")}
+    for r in rows:
+        # corrupted tail keeps the type, is never the true tail, and is
+        # never a known positive
+        assert r["neg_dst"].split("|")[0] == r["dst_entity"].split("|")[0]
+        assert r["neg_dst"] != r["dst_entity"]
+        assert (r["src_entity"], r["pred"], r["neg_dst"]) not in positives
+        assert 1 <= r["j"] <= 3
+    # deterministic: a second evaluation returns the identical multiset
+    again = kg_negative_samples(edges, nodes, k=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
