@@ -1816,6 +1816,59 @@ def q_kg_negative_samples(spark, sf_dir):
     return kg_negative_samples(kg_edges, kg_nodes, k=3)
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled iterative peeling in pure DuckDB SQL over the golden
+    edge table — ``rounds`` explicit peel blocks (the same genuinely-
+    independent-second-engine device as the unrolled PageRank oracle).
+    Peeling is monotone, so any rounds ≥ the fixture's convergence
+    depth computes the exact k-core; the Spark side iterates to
+    fixpoint and the value-hash match proves both that the operator is
+    right AND that the fixture converges within the unrolled depth."""
+    edges_pq = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    # every round references the previous edge CTE three times — without
+    # MATERIALIZED, DuckDB inlines the chain into a 3^rounds-leaf tree
+    # (measured: "Too many open files" from ~3^6 parquet re-opens)
+    sql = [
+        f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+                      greatest(src_entity, dst_entity) AS b
+      FROM read_parquet('{edges_pq}')
+      WHERE src_entity <> dst_entity)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        sql.append(
+            f""",
+    d{i} AS (
+      SELECT x, count(*) AS deg FROM (
+        SELECT a AS x FROM e{p} UNION ALL SELECT b FROM e{p})
+      GROUP BY x),
+    s{i} AS MATERIALIZED (SELECT x FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT u.a, u.b FROM e{p} u
+      JOIN s{i} pa ON pa.x = u.a
+      JOIN s{i} pb ON pb.x = u.b)"""
+        )
+    sql.append(
+        f"""
+    SELECT DISTINCT x AS entity_id FROM (
+      SELECT a AS x FROM e{rounds} UNION ALL SELECT b FROM e{rounds})"""
+    )
+    return "".join(sql)
+
+
+@query("kg_kcore", _kcore_oracle_sql())
+def q_kg_kcore(spark, sf_dir):
+    """2-core membership of the canonical KG
+    (operators/graph.py:k_core) — iterative peeling with per-round
+    localCheckpoint and edge-count fixpoint detection, vs the unrolled
+    peel in DuckDB."""
+    from ner_spark.operators.graph import k_core
+
+    return k_core(_kg_edges(spark, sf_dir), k=2)
+
+
 @query(
     "kg_noisy_triples",
     f"""
@@ -2444,14 +2497,14 @@ _DRIVER_ORDER = [
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
     "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
-    "kg_entity_pmi", "kg_negative_samples",
+    "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
     # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan /
-    # json_corpus_scan / vocab_ids are r02-green and rotate below the
-    # cap for the four new kg_* queries above)
-    "stable_doc_order", "encode_char_frame", "encode_token_ids",
+    # json_corpus_scan / vocab_ids / stable_doc_order are r02-green and
+    # rotate below the cap for the five new kg_* queries above)
+    "encode_char_frame", "encode_token_ids",
     "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
     # simhash_values / simhash_dup_pairs / embedding_dup_pairs are
@@ -2466,7 +2519,7 @@ _DRIVER_ORDER = [
     # Everything below was value-hash-green in CORRECTNESS_r02 and stays
     # covered by the local mirror gate (tools/check_entry.py, all of it).
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
-    "json_corpus_scan", "vocab_ids",
+    "json_corpus_scan", "vocab_ids", "stable_doc_order",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",

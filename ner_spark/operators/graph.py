@@ -242,6 +242,73 @@ def edge_temporal_profile(
     )
 
 
+def peel_round(e: DataFrame, k: int) -> DataFrame:
+    """One k-core peel round over an undirected (a, b) edge frame: drop
+    every edge touching a node of current degree < k. One map-side-
+    combined degree aggregate + two left-semi restrictions — the plan
+    PLANS.md asserts per round."""
+    deg = (
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    keep = deg.where(F.col("deg") >= k).select("x")
+    return (
+        e.join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+        .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+        .select("a", "b")
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Members of the ``k``-core of the undirected, deduplicated KG:
+    one column ``(entity_id)`` — the maximal subgraph where every node
+    keeps degree ≥ k. The standard cleanup for KG analytics: pendant
+    surface variants and one-off extraction noise live outside the
+    2-core, dense entity neighborhoods inside.
+
+    Algorithm: iterative peeling — drop nodes with current degree < k,
+    restrict edges to survivors, repeat to fixpoint. Each round is one
+    degree aggregate (map-side combined over 2|E'| slim endpoint rows)
+    plus two semi-joins restricting the edge set; the surviving edge
+    frame is localCheckpointed per round so the plan stays one round
+    deep (same device as the CC loop). Rounds are bounded by the
+    longest peel chain — O(diameter)-ish in practice, ``max_iter`` as
+    the pathological backstop; convergence is detected by the surviving
+    edge count reaching a fixpoint (monotone decreasing, so equality of
+    counts IS convergence — no content signature needed).
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        e2 = peel_round(e, k).localCheckpoint(eager=True)
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.col("a").alias("entity_id"))
+        .unionByName(e.select(F.col("b").alias("entity_id")))
+        .distinct()
+    )
+
+
 def entity_cooccurrence_pmi(canonical_triples: DataFrame) -> DataFrame:
     """Pointwise mutual information between canonical entities that
     co-occur in a turn: ``(entity_a, entity_b, n_turns, pmi_micro)``

@@ -148,3 +148,45 @@ def test_entity_cooccurrence_pmi(spark):
         ("x", "z"): (1, pmi(1, 2, 2)),
         ("y", "z"): (1, pmi(1, 3, 2)),
     }
+
+
+def _kcore_reference(pairs, k=2):
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {x for x, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in und if a in keep and b in keep}
+        if nxt == und:
+            break
+        und = nxt
+    return {x for p in und for x in p}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        # triangle with a pendant chain: chain peels away round by round
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+         ("e", "f")],
+        # star: everything peels (hub loses all neighbors, then itself)
+        [("h", x) for x in "abcdef"],
+        # two triangles joined by a bridge: bridge endpoints stay (deg 3),
+        # the bridge edge itself survives inside the 2-core
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"),
+         ("x", "y"), ("y", "z"), ("x", "z")],
+        # K4 minus an edge: all nodes keep deg >= 2
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d")],
+    ],
+)
+def test_k_core(spark, pairs):
+    from ner_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(s, "p", d, 1) for s, d in pairs],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {r["entity_id"] for r in k_core(edges, k=2).collect()}
+    assert got == _kcore_reference(pairs, k=2)

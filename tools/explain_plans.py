@@ -285,6 +285,20 @@ CHECKS = {
             "no Python."
         ),
     ),
+    "kg_kcore": dict(
+        requires=["LeftSemi"],
+        forbids=["Python", "CartesianProduct"],
+        builder="kcore",
+        note=(
+            "k-core peeling: each round is one map-side-combined degree "
+            "aggregate over slim endpoint rows plus two LEFT SEMI joins "
+            "(asserted) restricting the edge set; per-round "
+            "localCheckpoint keeps the plan one round deep (the plan "
+            "shown is the final round over the checkpointed survivors), "
+            "and the edge-count fixpoint is the convergence signal — "
+            "monotone, so no content signature needed."
+        ),
+    ),
     "kg_entity_pmi": dict(
         requires=[],
         forbids=["Python", "CartesianProduct"],
@@ -382,6 +396,19 @@ def main() -> None:
             df = _temporal_over_goldens()
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "kcore":
+            # assert ONE peel round's shape (the loop localCheckpoints
+            # between rounds, so the final frame's plan is a checkpoint
+            # scan — the per-round plan is the thing that must scale)
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FX
+            from ner_spark.operators.graph import peel_round
+
+            raw = spark.read.parquet(os.path.join(_FX, "edges.parquet"))
+            und = raw.selectExpr(
+                "least(src_entity, dst_entity) AS a",
+                "greatest(src_entity, dst_entity) AS b",
+            ).where("a <> b").distinct()
+            df = peel_round(und, 2)
         else:
             df = QUERIES[name](spark, sf_dir)
         plan = formatted(df)
