@@ -190,3 +190,34 @@ def test_k_core(spark, pairs):
     )
     got = {r["entity_id"] for r in k_core(edges, k=2).collect()}
     assert got == _kcore_reference(pairs, k=2)
+
+
+def test_graph_ops_on_empty_and_tiny_inputs(spark):
+    """Degenerate inputs must not crash any graph operator: an empty
+    edge table (fresh KG), a single self-loop (extraction noise), and a
+    single proper edge."""
+    from ner_spark.operators.graph import (
+        edge_temporal_profile,
+        entity_cooccurrence_pmi,
+        k_core,
+        triangle_count,
+    )
+
+    schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
+    empty = spark.createDataFrame([], schema)
+    selfloop = spark.createDataFrame([("a", "p", "a", 1)], schema)
+    one = spark.createDataFrame([("a", "p", "b", 1)], schema)
+
+    for edges in (empty, selfloop, one):
+        assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+        assert k_core(edges, k=2).count() == 0
+        assert degree_stats(edges).count() in (0, 1, 2)
+
+    ct_empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, subj string, pred string, obj string"
+    )
+    t_empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, ts timestamp"
+    )
+    assert entity_cooccurrence_pmi(ct_empty).count() == 0
+    assert edge_temporal_profile(ct_empty, t_empty).count() == 0
