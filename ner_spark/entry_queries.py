@@ -1679,8 +1679,8 @@ def q_kg_canonical_triples(spark, sf_dir):
     "kg_edge_temporal",
     f"""
     SELECT ct.subj AS src_entity, ct.pred, ct.obj AS dst_entity,
-           CAST(min(epoch(t.ts)) AS BIGINT) AS first_ep,
-           CAST(max(epoch(t.ts)) AS BIGINT) AS last_ep,
+           CAST(floor(min(epoch(t.ts))) AS BIGINT) AS first_ep,
+           CAST(floor(max(epoch(t.ts))) AS BIGINT) AS last_ep,
            count(*) AS n_turns
     FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') ct
     JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') t

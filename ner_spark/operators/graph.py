@@ -242,6 +242,21 @@ def edge_temporal_profile(
     )
 
 
+def undirected_edges(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """Canonical undirected edge normalization shared by every
+    undirected-graph operator (k-core, triangle counting) and restated
+    in their SQL oracles: endpoints ordered (a ≤ b), self-loops
+    dropped, duplicates collapsed."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def peel_round(e: DataFrame, k: int) -> DataFrame:
     """One k-core peel round over an undirected (a, b) edge frame: drop
     every edge touching a node of current degree < k. One map-side-
@@ -283,25 +298,32 @@ def k_core(
     longest peel chain — O(diameter)-ish in practice, ``max_iter`` as
     the pathological backstop; convergence is detected by the surviving
     edge count reaching a fixpoint (monotone decreasing, so equality of
-    counts IS convergence — no content signature needed).
+    counts IS convergence — no content signature needed). Exhausting
+    ``max_iter`` without the fixpoint raises instead of returning an
+    under-peeled edge set as the "core" — a silently-wrong membership
+    at scale is strictly worse than a loud retry with a larger bound.
     """
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
-        edges.select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
         if n_edges == 0:
+            converged = True
             break
         e2 = peel_round(e, k).localCheckpoint(eager=True)
         n2 = e2.count()
         e = e2
         if n2 == n_edges:
+            converged = True
             break
         n_edges = n2
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach the peel fixpoint within max_iter="
+            f"{max_iter} rounds ({n_edges} edges still shrinking) — "
+            "re-run with a larger max_iter; returning the partial peel "
+            "would silently mislabel sub-core nodes as core members"
+        )
     return (
         e.select(F.col("a").alias("entity_id"))
         .unionByName(e.select(F.col("b").alias("entity_id")))
@@ -333,7 +355,14 @@ def entity_cooccurrence_pmi(canonical_triples: DataFrame) -> DataFrame:
     shuffle join otherwise. No per-turn self-join is ever materialized
     beyond what the triples already contain.
     """
-    pairs = (
+    from ner_spark.functions.dedup import register_persist
+
+    # the pair frame feeds FOUR consumers (total count, pair agg, both
+    # branches of the entity-turn union); unpersisted, each re-executes
+    # the upstream canonicalization lineage — the measured
+    # "frame consumed 3x recomputes 3x" trap the dedup pair generators
+    # already guard with the same bounded-LRU persist registry
+    pairs = register_persist(
         canonical_triples.where(F.col("subj") != F.col("obj"))
         .select(
             "conv_id",
@@ -394,13 +423,16 @@ def triangle_count(
 
     Joins: wedge self-join on the oriented source, then one semi-join
     of the slim (v, w) wedge pairs against the undirected edge set.
+
+    ``und`` feeds four consumers (degree union ×2, orientation join,
+    closing semi-join) and ``oriented`` two (both wedge sides) — both
+    ride the shared bounded-LRU persist registry so the input lineage
+    (in the entry query: the whole link→CC→materialize chain) executes
+    once, not per consumer.
     """
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    und = (
-        edges.select(a.alias("a"), b.alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    from ner_spark.functions.dedup import register_persist
+
+    und = register_persist(undirected_edges(edges, src, dst))
     deg = (
         und.select(F.col("a").alias("x"))
         .unionByName(und.select(F.col("b").alias("x")))
@@ -408,7 +440,7 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("deg"))
     )
     # orient each edge from the lower (deg, id) endpoint to the higher
-    oriented = (
+    oriented = register_persist(
         und.join(deg.withColumnsRenamed({"x": "a", "deg": "deg_a"}), "a")
         .join(deg.withColumnsRenamed({"x": "b", "deg": "deg_b"}), "b")
         .select(

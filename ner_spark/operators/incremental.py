@@ -47,6 +47,18 @@ Scale notes: every join here keys on node_id / norm-key
 (high-cardinality); star edges add ≤1 row per non-canonical node; the
 delta band join inherits the score-then-dedup slim-exchange ordering of
 ``linking.scored_candidate_pairs``.
+
+Scope of the bit-identity guarantee: it holds for
+``max_band_bucket=None`` (the exact-linking configuration the tests and
+the driver oracle run). With a stop-band cap, the two builds are
+intentionally NOT identical when a delta grows a band bucket past the
+cap: a batch rebuild drops the whole bucket (losing old-old links that
+were legitimately scored when the bucket was small), while the
+incremental path keeps them — old connectivity rides in via the
+assignment's star edges and is never re-scored. The incremental
+behavior is the monotone one (established links don't vanish because a
+stop-surface got noisier); treat a capped batch rebuild as a fresh
+start, not as a reference the incremental chain must match.
 """
 
 from __future__ import annotations

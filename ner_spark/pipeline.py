@@ -187,7 +187,10 @@ def run_incremental(
     KG state, producing a full new run (same stage layout as
     ``run_pipeline``) that the next delta chains from — without
     re-tagging history (operators/incremental.py has the exactness
-    argument; tests prove bit-identity with a batch rebuild).
+    argument; tests prove bit-identity with a batch rebuild under the
+    default ``max_band_bucket=None`` — with a stop-band cap the chain
+    is deliberately monotone where a rebuild would drop an over-cap
+    bucket's old links, see the scope note in operators/incremental.py).
 
     Carried state is read from ``base_run_id``'s published
     ``surface_nodes`` / ``assignment`` / ``relations`` stages, and the
@@ -245,20 +248,31 @@ def run_incremental(
     out["mentions"] = mentions_d
     out["triples"] = _stage("triples", lambda: mentions_to_triples(mentions_d))
 
-    inc = incremental_update(
-        old_surfaces,
-        old_assignment,
-        old_relations,
-        explode_mentions(mentions_d),
-        extract_relations(mentions_d),
-        threshold=cfg.link_threshold,
-        max_band_bucket=cfg.max_band_bucket,
-    )
-    relations = _stage("relations", lambda: inc["relations"])
+    # incremental_update eagerly localCheckpoints the merged surface
+    # dimension, so construct it LAZILY on first actual compute (same
+    # memo device as run_pipeline's linking pair): run_stage stays the
+    # single authority on whether a stage recomputes, and a fully-
+    # resumed incremental re-run never pays the merge job it skips.
+    _inc_memo: dict = {}
+
+    def _inc():
+        if "v" not in _inc_memo:
+            _inc_memo["v"] = incremental_update(
+                old_surfaces,
+                old_assignment,
+                old_relations,
+                explode_mentions(mentions_d),
+                extract_relations(mentions_d),
+                threshold=cfg.link_threshold,
+                max_band_bucket=cfg.max_band_bucket,
+            )
+        return _inc_memo["v"]
+
+    relations = _stage("relations", lambda: _inc()["relations"])
     out["relations"] = relations
-    surfaces = _stage("surface_nodes", lambda: inc["surfaces"])
+    surfaces = _stage("surface_nodes", lambda: _inc()["surfaces"])
     out["surface_nodes"] = surfaces
-    assignment = _stage("assignment", lambda: inc["assignment"])
+    assignment = _stage("assignment", lambda: _inc()["assignment"])
     out["assignment"] = assignment
 
     out["nodes"] = _stage(

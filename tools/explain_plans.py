@@ -401,14 +401,10 @@ def main() -> None:
             # between rounds, so the final frame's plan is a checkpoint
             # scan — the per-round plan is the thing that must scale)
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FX
-            from ner_spark.operators.graph import peel_round
+            from ner_spark.operators.graph import peel_round, undirected_edges
 
             raw = spark.read.parquet(os.path.join(_FX, "edges.parquet"))
-            und = raw.selectExpr(
-                "least(src_entity, dst_entity) AS a",
-                "greatest(src_entity, dst_entity) AS b",
-            ).where("a <> b").distinct()
-            df = peel_round(und, 2)
+            df = peel_round(undirected_edges(raw), 2)
         else:
             df = QUERIES[name](spark, sf_dir)
         plan = formatted(df)
