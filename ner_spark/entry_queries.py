@@ -1870,6 +1870,73 @@ def q_kg_kcore(spark, sf_dir):
 
 
 @query(
+    "kg_pred_profile",
+    f"""
+    WITH e AS (
+      SELECT src_entity, pred, dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    od AS (
+      SELECT pred, max(fo) AS fan_out_max FROM (
+        SELECT pred, src_entity, count(DISTINCT dst_entity) AS fo
+        FROM e GROUP BY pred, src_entity) GROUP BY pred),
+    idg AS (
+      SELECT pred, max(fi) AS fan_in_max FROM (
+        SELECT pred, dst_entity, count(DISTINCT src_entity) AS fi
+        FROM e GROUP BY pred, dst_entity) GROUP BY pred),
+    base AS (
+      SELECT pred, count(*) AS n_edges,
+             count(DISTINCT src_entity) AS n_src,
+             count(DISTINCT dst_entity) AS n_dst
+      FROM e GROUP BY pred)
+    SELECT base.pred, n_edges, n_src, n_dst, fan_out_max, fan_in_max
+    FROM base JOIN od USING (pred) JOIN idg USING (pred)
+    """,
+)
+def q_kg_pred_profile(spark, sf_dir):
+    """Schema induction: per-predicate cardinality profile
+    (operators/graph.py:pred_cardinality_profile) — fan_out_max==1
+    identifies functional predicates, large fan_in_max flags hub
+    objects."""
+    from ner_spark.operators.graph import pred_cardinality_profile
+
+    return pred_cardinality_profile(_kg_edges(spark, sf_dir))
+
+
+@query(
+    "kg_functional_violations",
+    f"""
+    WITH e AS (
+      SELECT src_entity, pred, dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    ps AS (
+      SELECT pred, src_entity,
+             list_sort(list(DISTINCT dst_entity)) AS objs
+      FROM e GROUP BY pred, src_entity),
+    census AS (
+      SELECT pred,
+             sum(CASE WHEN len(objs) = 1 THEN 1 ELSE 0 END) AS single,
+             sum(CASE WHEN len(objs) > 1 THEN 1 ELSE 0 END) AS multi
+      FROM ps GROUP BY pred),
+    func AS (SELECT pred FROM census WHERE single > multi)
+    SELECT ps.pred, ps.src_entity,
+           CAST(len(objs) AS INTEGER) AS n_objects,
+           array_to_string(objs, '; ') AS objects_str
+    FROM ps JOIN func USING (pred)
+    WHERE len(objs) > 1
+    """,
+)
+def q_kg_functional_violations(spark, sf_dir):
+    """Conflicting-fact candidates under data-induced functional
+    predicates (operators/graph.py:functional_violations) — subjects
+    asserting multiple objects where the majority of subjects are
+    single-valued. Objects serialized sorted-joined (array cells can't
+    cross the driver hash gate)."""
+    from ner_spark.operators.graph import functional_violations
+
+    return functional_violations(_kg_edges(spark, sf_dir))
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2498,13 +2565,14 @@ _DRIVER_ORDER = [
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
     "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
+    "kg_pred_profile", "kg_functional_violations",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # corpus scans + vocabulary/encoding (encode_wlf / tsv_corpus_scan /
-    # json_corpus_scan / vocab_ids / stable_doc_order are r02-green and
-    # rotate below the cap for the five new kg_* queries above)
-    "encode_char_frame", "encode_token_ids",
+    # corpus scans + vocabulary/encoding (the r02-green encode/scan
+    # family rotates below the cap for the seven new kg_* queries
+    # above; encode_subword_align stays — it graduated P9 in r02 and
+    # anchors the WordPiece path)
     "encode_subword_align",
     # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
     # simhash_values / simhash_dup_pairs / embedding_dup_pairs are
@@ -2520,6 +2588,7 @@ _DRIVER_ORDER = [
     # covered by the local mirror gate (tools/check_entry.py, all of it).
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
     "json_corpus_scan", "vocab_ids", "stable_doc_order",
+    "encode_char_frame", "encode_token_ids",
     "minhash_bands", "simhash_values", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "multimodal_meta", "multimodal_decode", "micro_f1",

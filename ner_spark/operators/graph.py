@@ -242,6 +242,75 @@ def edge_temporal_profile(
     )
 
 
+def pred_cardinality_profile(edges: DataFrame) -> DataFrame:
+    """Schema induction over the canonical KG: per predicate,
+    ``(pred, n_edges, n_src, n_dst, fan_out_max, fan_in_max)`` where
+    fan_out_max = the largest number of distinct objects any one
+    subject asserts under this predicate (and fan_in_max the converse).
+    fan_out_max == 1 identifies functional predicates (person→birthplace
+    shape), the precondition for conflict detection; large fan_in_max
+    flags hub objects. One pass: a per-(pred, src) / per-(pred, dst)
+    count each, then a predicate-keyed max — all map-side-combinable,
+    keyed on high-cardinality composites before the tiny pred rollup.
+    """
+    out_deg = edges.groupBy("pred", "src_entity").agg(
+        F.countDistinct("dst_entity").alias("fo")
+    )
+    in_deg = edges.groupBy("pred", "dst_entity").agg(
+        F.countDistinct("src_entity").alias("fi")
+    )
+    base = edges.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.countDistinct("src_entity").alias("n_src"),
+        F.countDistinct("dst_entity").alias("n_dst"),
+    )
+    return (
+        base.join(out_deg.groupBy("pred").agg(F.max("fo").alias("fan_out_max")), "pred")
+        .join(in_deg.groupBy("pred").agg(F.max("fi").alias("fan_in_max")), "pred")
+        .select("pred", "n_edges", "n_src", "n_dst", "fan_out_max", "fan_in_max")
+    )
+
+
+def functional_violations(
+    edges: DataFrame, functional_preds: list[str] | None = None
+) -> DataFrame:
+    """Conflicting-fact candidates: subjects asserting MULTIPLE distinct
+    objects under a functional predicate —
+    ``(pred, src_entity, n_objects, objects_str)`` with the conflicting
+    objects serialized sorted-joined (array cells can't cross the driver
+    hash gate; the string is deterministic under any partitioning).
+
+    ``functional_preds``: the predicates whose schema says one object
+    per subject. None = induce them from the data as the preds where
+    the MAJORITY of subjects are single-valued (median fan-out 1 via
+    ``mode()``-free percentile: strictly more single-valued subjects
+    than multi-valued) — the self-bootstrapping curation pass.
+
+    Plan: one (pred, src)-keyed aggregate (collect_set is bounded by
+    the per-subject object fan-out, which the functional filter keeps
+    tiny); the induced-schema branch adds one pred-keyed census joined
+    back as a broadcast.
+    """
+    per_subj = edges.groupBy("pred", "src_entity").agg(
+        F.sort_array(F.collect_set("dst_entity")).alias("objs")
+    )
+    if functional_preds is not None:
+        sel = per_subj.where(F.col("pred").isin(list(functional_preds)))
+    else:
+        census = per_subj.groupBy("pred").agg(
+            F.sum(F.when(F.size("objs") == 1, 1).otherwise(0)).alias("single"),
+            F.sum(F.when(F.size("objs") > 1, 1).otherwise(0)).alias("multi"),
+        )
+        functional = census.where(F.col("single") > F.col("multi")).select("pred")
+        sel = per_subj.join(F.broadcast(functional), "pred")
+    return sel.where(F.size("objs") > 1).select(
+        "pred",
+        "src_entity",
+        F.size("objs").alias("n_objects"),
+        F.array_join("objs", "; ").alias("objects_str"),
+    )
+
+
 def undirected_edges(
     edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
 ) -> DataFrame:

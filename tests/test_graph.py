@@ -221,3 +221,61 @@ def test_graph_ops_on_empty_and_tiny_inputs(spark):
     )
     assert entity_cooccurrence_pmi(ct_empty).count() == 0
     assert edge_temporal_profile(ct_empty, t_empty).count() == 0
+
+
+def test_pred_cardinality_profile(spark):
+    from ner_spark.operators.graph import pred_cardinality_profile
+
+    edges = spark.createDataFrame(
+        [
+            # makes: a->{w,g}, b->{w}  (fan_out_max 2; w seen from a,b)
+            ("brand|a", "makes", "product|w", 1),
+            ("brand|a", "makes", "product|g", 1),
+            ("brand|b", "makes", "product|w", 2),
+            # based_in: functional in this data (one place per org)
+            ("org|x", "based_in", "place|p", 1),
+            ("org|y", "based_in", "place|p", 1),
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {
+        r["pred"]: (
+            r["n_edges"], r["n_src"], r["n_dst"],
+            r["fan_out_max"], r["fan_in_max"],
+        )
+        for r in pred_cardinality_profile(edges).collect()
+    }
+    assert got == {
+        "makes": (3, 2, 2, 2, 2),
+        "based_in": (2, 2, 1, 1, 2),
+    }
+
+
+def test_functional_violations_induced_and_explicit(spark):
+    from ner_spark.operators.graph import functional_violations
+
+    edges = spark.createDataFrame(
+        [
+            # based_in: 3 single-valued subjects, 1 multi-valued → induced
+            # functional; org|bad is the conflict
+            ("org|a", "based_in", "place|p", 1),
+            ("org|b", "based_in", "place|q", 1),
+            ("org|c", "based_in", "place|p", 1),
+            ("org|bad", "based_in", "place|p", 1),
+            ("org|bad", "based_in", "place|q", 1),
+            # makes: majority multi-valued → NOT induced functional
+            ("brand|x", "makes", "product|1", 1),
+            ("brand|x", "makes", "product|2", 1),
+            ("brand|y", "makes", "product|3", 1),
+            ("brand|y", "makes", "product|4", 1),
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    induced = functional_violations(edges).collect()
+    assert [(r["pred"], r["src_entity"], r["n_objects"], r["objects_str"])
+            for r in induced] == [
+        ("based_in", "org|bad", 2, "place|p; place|q")
+    ]
+    # explicit schema overrides induction
+    explicit = functional_violations(edges, functional_preds=["makes"]).collect()
+    assert sorted(r["src_entity"] for r in explicit) == ["brand|x", "brand|y"]

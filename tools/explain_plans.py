@@ -285,6 +285,31 @@ CHECKS = {
             "no Python."
         ),
     ),
+    "kg_pred_profile": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="edges",
+        note=(
+            "Schema induction: two (pred, endpoint)-keyed distinct "
+            "aggregates reduced to per-pred maxima plus one pred "
+            "rollup — every exchange keys on a high-cardinality "
+            "composite before the tiny predicate dimension, no single-"
+            "partition stage (asserted)."
+        ),
+    ),
+    "kg_functional_violations": dict(
+        requires=["Broadcast"],
+        forbids=["Python", "CartesianProduct"],
+        builder="edges",
+        note=(
+            "Conflict detection: one (pred, subject)-keyed collect_set "
+            "(bounded by per-subject fan-out), a tiny induced-schema "
+            "census joined back as a broadcast (asserted), and a scalar "
+            "size filter. The conflicting objects serialize to a sorted "
+            "joined string — deterministic under any partitioning and "
+            "hashable by the driver gate."
+        ),
+    ),
     "kg_kcore": dict(
         requires=["LeftSemi"],
         forbids=["Python", "CartesianProduct"],
@@ -359,14 +384,22 @@ def main() -> None:
         # plan over the golden edges parquet (same schema the
         # materialize stage writes)
         from ner_spark.entry_queries import FIXTURES_SQL_ROOT
-        from ner_spark.operators.graph import degree_stats, triangle_count
+        from ner_spark.operators.graph import (
+            degree_stats,
+            functional_violations,
+            pred_cardinality_profile,
+            triangle_count,
+        )
 
         edges = spark.read.parquet(
             os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
         )
-        return {"kg_degree_stats": degree_stats, "kg_triangles": triangle_count}[
-            name
-        ](edges)
+        return {
+            "kg_degree_stats": degree_stats,
+            "kg_triangles": triangle_count,
+            "kg_pred_profile": pred_cardinality_profile,
+            "kg_functional_violations": functional_violations,
+        }[name](edges)
 
     def _temporal_over_goldens():
         from ner_spark.entry_queries import FIXTURES_SQL_ROOT
