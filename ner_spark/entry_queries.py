@@ -1937,6 +1937,173 @@ def q_kg_functional_violations(spark, sf_dir):
 
 
 @query(
+    "kg_current_facts",
+    f"""
+    WITH t AS (
+      SELECT ct.pred, ct.subj AS src_entity, ct.obj,
+             CAST(floor(epoch(tr.ts)) AS BIGINT) AS ep,
+             ct.conv_id, ct.turn_idx
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') ct
+      JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') tr
+        USING (conv_id, turn_idx)),
+    per AS (
+      SELECT pred, src_entity,
+             count(DISTINCT obj) AS n_objects,
+             count(*) AS n_assertions
+      FROM t GROUP BY 1, 2),
+    latest AS (
+      SELECT pred, src_entity, obj AS current_obj, ep AS last_ep
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY pred, src_entity
+              ORDER BY ep DESC, conv_id DESC, turn_idx DESC, obj DESC) AS rn
+            FROM t)
+      WHERE rn = 1),
+    census AS (
+      SELECT pred,
+             sum(CASE WHEN n_objects = 1 THEN 1 ELSE 0 END) AS single,
+             sum(CASE WHEN n_objects > 1 THEN 1 ELSE 0 END) AS multi
+      FROM per GROUP BY pred),
+    func AS (SELECT pred FROM census WHERE single > multi)
+    SELECT per.pred, per.src_entity, latest.current_obj, latest.last_ep,
+           per.n_objects, per.n_assertions
+    FROM per JOIN latest USING (pred, src_entity) JOIN func USING (pred)
+    """,
+)
+def q_kg_current_facts(spark, sf_dir):
+    """Latest-wins fact resolution over data-induced functional
+    predicates (operators/graph.py:current_facts): what the KG believes
+    NOW for facts that conversations update over time, arg-max by
+    (epoch, conv_id, turn_idx, obj) with fully deterministic ties."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.graph import current_facts
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    fx = _fx(sf_dir)
+    m = _mentions(spark, fx)
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    ct = canonicalize_triples(extract_relations(m), a, nodes)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+    return current_facts(ct, t)
+
+
+@query(
+    "kg_paths_2hop",
+    f"""
+    WITH e AS (
+      SELECT src_entity, pred, dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    ind AS (SELECT dst_entity AS mid, count(*) AS ind FROM e GROUP BY 1),
+    outd AS (SELECT src_entity AS mid, count(*) AS outd FROM e GROUP BY 1),
+    ok AS (SELECT mid FROM ind JOIN outd USING (mid)
+           WHERE ind * outd <= 4096)
+    SELECT DISTINCT e1.src_entity, e1.pred AS pred1,
+           e1.dst_entity AS mid_entity, e2.pred AS pred2, e2.dst_entity
+    FROM e e1
+    JOIN ok ON e1.dst_entity = ok.mid
+    JOIN e e2 ON e2.src_entity = e1.dst_entity
+    WHERE e1.src_entity <> e2.dst_entity
+    """,
+)
+def q_kg_paths_2hop(spark, sf_dir):
+    """Distinct 2-hop KG paths with the hub wedge cap
+    (operators/graph.py:paths_2hop) — multi-hop KGQA / link-prediction
+    path features; the cap bounds every join key's fan-out so no task
+    inherits a quadratic bucket."""
+    from ner_spark.operators.graph import paths_2hop
+
+    return paths_2hop(_kg_edges(spark, sf_dir))
+
+
+@query(
+    "kg_communities",
+    f"""
+    WITH e AS (
+      SELECT src_entity, dst_entity, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    und AS (
+      SELECT x, y, sum(w) AS w FROM (
+        SELECT src_entity AS x, dst_entity AS y, w FROM e
+        UNION ALL
+        SELECT dst_entity AS x, src_entity AS y, w FROM e)
+      WHERE x <> y GROUP BY 1, 2),
+    l0 AS (SELECT DISTINCT x, x AS lbl FROM und),
+    s1 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l0 l ON u.y = l.x GROUP BY 1, 2),
+    l1 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s1)
+           WHERE rn = 1),
+    s2 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l1 l ON u.y = l.x GROUP BY 1, 2),
+    l2 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s2)
+           WHERE rn = 1),
+    s3 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l2 l ON u.y = l.x GROUP BY 1, 2),
+    l3 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s3)
+           WHERE rn = 1)
+    SELECT x AS entity_id, lbl AS community FROM l3
+    """,
+)
+def q_kg_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation, 3 rounds
+    (operators/graph.py:label_propagation) — weighted-majority label
+    adoption with lexicographic tie-break; the oracle unrolls the same
+    rounds as materialized SQL steps."""
+    from ner_spark.operators.graph import label_propagation
+
+    return label_propagation(_kg_edges(spark, sf_dir), iters=3)
+
+
+@query(
+    "kg_mention_contexts",
+    f"""
+    SELECT m.conv_id, m.turn_idx, m.mention_idx, m.pred, m.obj,
+           array_to_string(list_slice(string_split(t.text, ' '),
+             m.span_start + 1, m.span_end), ' ') AS mention_text,
+           array_to_string(list_slice(string_split(t.text, ' '),
+             greatest(1, m.span_start - 2), m.span_end + 3), ' ') AS context
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_mentions.parquet")}') m
+    JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') t
+      USING (conv_id, turn_idx)
+    """,
+)
+def q_kg_mention_contexts(spark, sf_dir):
+    """Entity-linking training examples: each mention re-sliced from its
+    turn's tokens plus a ±3-token context window
+    (functions/datasets.py:mention_contexts); row-local split/slice
+    built-ins over the extraction output, which already carries the turn
+    text — no join, no Python."""
+    from ner_spark.functions.datasets import mention_contexts
+
+    m = _mentions(spark, _fx(sf_dir))
+    exploded = m.select(
+        "conv_id", "turn_idx", "text",
+        F.posexplode("mentions").alias("mention_idx", "mn"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.col("mention_idx").cast("long").alias("mention_idx"),
+        F.col("mn.pred").alias("pred"),
+        F.col("mn.obj").alias("obj"),
+        F.col("mn.span_start").alias("span_start"),
+        F.col("mn.span_end").alias("span_end"),
+    )
+    return mention_contexts(exploded, None, window=3)
+
+
+@query(
     "kg_noisy_triples",
     f"""
     SELECT conv_id, turn_idx, subj, pred, obj
@@ -2566,26 +2733,28 @@ _DRIVER_ORDER = [
     "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
+    "kg_current_facts", "kg_paths_2hop", "kg_communities",
+    "kg_mention_contexts",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
     # corpus scans + vocabulary/encoding (the r02-green encode/scan
-    # family rotates below the cap for the seven new kg_* queries
-    # above; encode_subword_align stays — it graduated P9 in r02 and
-    # anchors the WordPiece path)
+    # family rotates below the cap for the new kg_* queries above;
+    # encode_subword_align stays — it graduated P9 in r02 and anchors
+    # the WordPiece path)
     "encode_subword_align",
-    # dedup families (dedup_exact / lsh_dup_pairs / minhash_bands /
-    # simhash_values / simhash_dup_pairs / embedding_dup_pairs are
-    # r02-green and rotate below the cap to make room for the seven new
-    # round-3 queries above; the ANN trio stays inside the window — the
-    # round-3 recall evidence needs its driver rows)
-    "dedup_survivors", "simhash_band_pairs", "token_jaccard_pairs",
-    "embedding_dup_pairs_ivf",
-    # similarity search
+    # the ANN trio stays inside the window — the round-3 clustered-
+    # fixture recall evidence needs its driver rows; the r02-green,
+    # semantically-unchanged pair generators (dedup_survivors /
+    # simhash_band_pairs / token_jaccard_pairs / embedding_dup_pairs_ivf)
+    # rotate below the cap to make room for the new kg_* queries
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     # -------- position > 50: NOT recorded by the external driver -------
-    # Everything below was value-hash-green in CORRECTNESS_r02 and stays
-    # covered by the local mirror gate (tools/check_entry.py, all of it).
+    # Everything below was value-hash-green in CORRECTNESS_r01/r02 and
+    # stays covered by the local mirror gate (tools/check_entry.py, all
+    # of it).
+    "dedup_survivors", "simhash_band_pairs", "token_jaccard_pairs",
+    "embedding_dup_pairs_ivf",
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",
     "json_corpus_scan", "vocab_ids", "stable_doc_order",
     "encode_char_frame", "encode_token_ids",

@@ -213,3 +213,56 @@ def kg_negative_samples(
         .join(positives, ["src_entity", "pred", "neg_dst"], "left_anti")
         .select("src_entity", "pred", "dst_entity", "neg_dst", "j")
     )
+
+
+def mention_contexts(
+    mentions: DataFrame, transcripts: DataFrame, window: int = 3
+) -> DataFrame:
+    """Entity-linking / NER-finetune training examples: each detected
+    mention with ``window`` tokens of surrounding context —
+    ``(conv_id, turn_idx, mention_idx, pred, obj, mention_text,
+    context)``. ``mention_text`` re-slices the turn's whitespace tokens
+    at [span_start, span_end) (the extraction stage's own indexing, so
+    the slice reproduces the mention surface exactly); ``context``
+    widens the slice by ``window`` tokens each side, clamped at the
+    turn boundaries. The context window is what an EL scorer or a
+    hard-negative miner trains on — the bare surface form is ambiguous
+    ("Kyoto" the place vs the org name) precisely when context
+    disambiguates it.
+
+    Plan: one (conv_id, turn_idx)-keyed join to bring in the turn text
+    (transcripts prune to three columns at the scan), then row-local
+    split/slice/join built-ins — no Python, no window function, no
+    second shuffle. When the mentions frame already carries ``text``
+    (the pipeline's extraction output does — it rides the turn row
+    through the fused Python stage), the join is skipped entirely and
+    the operator is pure row-local narrow work.
+    """
+    toks = F.split(F.col("text"), " ")
+    lo = F.greatest(F.lit(0), F.col("span_start") - F.lit(window))
+    m_len = (F.col("span_end") - F.col("span_start")).cast("int")
+    c_len = (F.col("span_end") + F.lit(window) - lo).cast("int")
+    if "text" in mentions.columns:
+        joined = mentions
+    else:
+        joined = mentions.join(
+            transcripts.select("conv_id", "turn_idx", "text"),
+            ["conv_id", "turn_idx"],
+        )
+    return (
+        joined
+        .select(
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+            "pred",
+            "obj",
+            F.array_join(
+                F.slice(toks, (F.col("span_start") + F.lit(1)).cast("int"), m_len),
+                " ",
+            ).alias("mention_text"),
+            F.array_join(
+                F.slice(toks, (lo + F.lit(1)).cast("int"), c_len), " "
+            ).alias("context"),
+        )
+    )

@@ -311,6 +311,198 @@ def functional_violations(
     )
 
 
+def current_facts(
+    canonical_triples: DataFrame,
+    transcripts: DataFrame,
+    functional_preds: list[str] | None = None,
+) -> DataFrame:
+    """Latest-wins fact resolution: for every (subject, functional
+    predicate), the object of the MOST RECENT assertion —
+    ``(pred, src_entity, current_obj, last_ep, n_objects,
+    n_assertions)``. Conversations update facts over time ("we moved
+    the office to Austin"); the edge table keeps every assertion, this
+    view answers "what does the KG believe NOW". Non-functional
+    predicates (``makes`` — many objects are all simultaneously true)
+    are excluded: recency doesn't retract a set-valued fact.
+
+    ``functional_preds``: explicit schema, or None to induce it from
+    the data (majority-single-valued census, same rule as
+    ``functional_violations``).
+
+    Recency order is the lexicographic max of (epoch, conv_id,
+    turn_idx, obj) — the trailing fields break exact-timestamp ties
+    deterministically under any partitioning and identically across
+    engines (binary string comparison both sides).
+
+    Plan: ts rides a (conv_id, turn_idx)-keyed join (at 10^12 turns the
+    production layout threads ts through extraction instead — see
+    ``edge_temporal_profile``), then ONE (pred, subject)-keyed
+    aggregate computes the arg-max struct, the distinct-object count,
+    and the assertion count together; the induced-schema census joins
+    back as a broadcast. No window over the fact history is ever
+    sorted — the arg-max is a map-side-combinable max.
+    """
+    t = canonical_triples.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).select(
+        "pred",
+        F.col("subj").alias("src_entity"),
+        "obj",
+        F.unix_timestamp("ts").alias("ep"),
+        "conv_id",
+        "turn_idx",
+    )
+    per_subj = t.groupBy("pred", "src_entity").agg(
+        F.max(F.struct("ep", "conv_id", "turn_idx", "obj")).alias("latest"),
+        F.countDistinct("obj").alias("n_objects"),
+        F.count(F.lit(1)).alias("n_assertions"),
+    )
+    if functional_preds is not None:
+        sel = per_subj.where(F.col("pred").isin(list(functional_preds)))
+    else:
+        census = per_subj.groupBy("pred").agg(
+            F.sum(F.when(F.col("n_objects") == 1, 1).otherwise(0)).alias("single"),
+            F.sum(F.when(F.col("n_objects") > 1, 1).otherwise(0)).alias("multi"),
+        )
+        functional = census.where(F.col("single") > F.col("multi")).select("pred")
+        sel = per_subj.join(F.broadcast(functional), "pred")
+    return sel.select(
+        "pred",
+        "src_entity",
+        F.col("latest.obj").alias("current_obj"),
+        F.col("latest.ep").alias("last_ep"),
+        "n_objects",
+        "n_assertions",
+    )
+
+
+def paths_2hop(edges: DataFrame, max_wedges_per_mid: int = 4096) -> DataFrame:
+    """Distinct 2-hop paths through the canonical KG —
+    ``(src_entity, pred1, mid_entity, pred2, dst_entity)`` with
+    src ≠ dst — the join-pattern behind multi-hop KGQA training data
+    ("brand X is based in a place located in ...") and path-feature
+    extraction for link prediction.
+
+    Scale guard: a mid node contributes in_deg × out_deg paths, so one
+    hub entity can square the output. Mids whose in_deg × out_deg
+    exceeds ``max_wedges_per_mid`` are EXCLUDED (the standard wedge cap
+    — mirrored verbatim in the SQL oracle so both engines enumerate the
+    same path set). With the cap, output ≤ cap × |mids| and every join
+    key's fan-out is bounded, so no task can be handed a quadratic
+    bucket. Plan: two row-count aggregates over edge endpoints, a
+    semi-filter of the edge list by surviving mids, one mid-keyed
+    self-join of slim 3-column rows.
+    """
+    in_deg = edges.groupBy("dst_entity").agg(F.count(F.lit(1)).alias("ind"))
+    out_deg = edges.groupBy("src_entity").agg(F.count(F.lit(1)).alias("outd"))
+    ok_mid = (
+        in_deg.join(out_deg, in_deg.dst_entity == out_deg.src_entity)
+        .where(F.col("ind") * F.col("outd") <= max_wedges_per_mid)
+        .select(F.col("dst_entity").alias("mid_entity"))
+    )
+    e1 = edges.select(
+        "src_entity", F.col("pred").alias("pred1"),
+        F.col("dst_entity").alias("mid_entity"),
+    ).join(ok_mid, "mid_entity", "left_semi")
+    e2 = edges.select(
+        F.col("src_entity").alias("mid_entity"),
+        F.col("pred").alias("pred2"), "dst_entity",
+    ).join(ok_mid, "mid_entity", "left_semi")
+    return (
+        e1.join(e2, "mid_entity")
+        .where(F.col("src_entity") != F.col("dst_entity"))
+        .select("src_entity", "pred1", "mid_entity", "pred2", "dst_entity")
+        .distinct()
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    weight: str = "n_turns",
+) -> DataFrame:
+    """Synchronous weighted label propagation over the undirected KG:
+    ``(entity_id, community)`` after exactly ``iters`` rounds.
+    Communities are the mid-resolution structure between connected
+    components (too coarse — one giant component) and k-cores (a
+    density filter, not a partition): entity neighborhoods that
+    interact heavily, the unit for KG partitioning and topic grouping.
+
+    Determinism (the property plain LPA lacks): updates are
+    synchronous (round t+1 reads only round t), every node adopts the
+    neighbor label with the highest total edge weight, and ties break
+    to the LEXICOGRAPHICALLY SMALLEST label — expressed as
+    ``min(struct(-score, label))`` so one map-side-combinable arg-min
+    replaces a sort. Fixed iteration count, no convergence race: the
+    result is a pure function of the edge set, identical across
+    engines, partitionings, and reruns (the SQL oracle unrolls the same
+    rounds).
+
+    Scale shape per round: one join of the slim (node, label) frame
+    against the weighted undirected edge list (both keyed on node),
+    one (node, label)-keyed weight sum, one node-keyed arg-min — all
+    map-side combinable; labels are localCheckpointed per round so the
+    plan stays one round deep (same device as ``pagerank``/``k_core``).
+    Hot nodes are plain aggregation skew, which AQE's skew handling
+    absorbs; no round materializes anything wider than (node, label,
+    weight).
+    """
+    und = weighted_undirected(edges, src, dst, weight).persist()
+    labels = und.select("x").distinct().withColumn("lbl", F.col("x"))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(iters):
+            labels = lpa_round(und, labels).localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+    return labels.select(
+        F.col("x").alias("entity_id"), F.col("lbl").alias("community")
+    )
+
+
+def weighted_undirected(
+    edges: DataFrame,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    weight: str = "n_turns",
+) -> DataFrame:
+    """Weighted undirected normalization for label propagation:
+    both directions of every edge, self-loops dropped, parallel edges
+    (same pair under different predicates) merged by weight sum —
+    restated verbatim in the SQL oracle."""
+    w = F.col(weight).cast("long")
+    return (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"), w.alias("w"))
+        .unionByName(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y"), w.alias("w"))
+        )
+        .where(F.col("x") != F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: every node adopts the
+    neighbor label with the highest total edge weight, ties to the
+    smallest label via ``min(struct(-score, label))`` — one node-keyed
+    join, one (node, label)-keyed weight sum, one node-keyed arg-min,
+    all map-side combinable. This is the per-round plan PLANS.md
+    asserts."""
+    nbr_lbl = und.join(
+        labels.select(F.col("x").alias("y"), "lbl"), "y"
+    ).select("x", "lbl", "w")
+    scores = nbr_lbl.groupBy("x", "lbl").agg(F.sum("w").alias("s"))
+    return (
+        scores.groupBy("x")
+        .agg(F.min(F.struct((-F.col("s")).alias("ns"), "lbl")).alias("m"))
+        .select("x", F.col("m.lbl").alias("lbl"))
+    )
+
+
 def undirected_edges(
     edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
 ) -> DataFrame:

@@ -145,3 +145,48 @@ def test_kg_negative_samples_filtered_protocol(spark):
     # deterministic: a second evaluation returns the identical multiset
     again = kg_negative_samples(edges, nodes, k=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_mention_contexts_window_and_clamping(spark):
+    from ner_spark.functions.datasets import mention_contexts
+
+    # tokens:        0   1    2     3     4    5    6
+    text = "the quick brown fox jumps over dogs"
+    mentions = spark.createDataFrame(
+        [
+            # interior mention: full +/-3 window
+            ("c1", 0, 0, "animal", "fox", 3, 4),
+            # at the start: left side clamps to token 0
+            ("c1", 0, 1, "det", "the quick", 0, 2),
+            # at the end: right side clamps to the last token
+            ("c1", 0, 2, "animal", "dogs", 6, 7),
+        ],
+        "conv_id string, turn_idx long, mention_idx long, pred string, "
+        "obj string, span_start long, span_end long",
+    )
+    transcripts = spark.createDataFrame(
+        [("c1", 0, text)], "conv_id string, turn_idx long, text string"
+    )
+    got = {
+        r["mention_idx"]: (r["mention_text"], r["context"])
+        for r in mention_contexts(mentions, transcripts, window=3).collect()
+    }
+    assert got == {
+        0: ("fox", "the quick brown fox jumps over dogs"),
+        1: ("the quick", "the quick brown fox jumps"),
+        2: ("dogs", "fox jumps over dogs"),
+    }
+
+
+def test_mention_contexts_skips_join_when_text_present(spark):
+    from ner_spark.functions.datasets import mention_contexts
+
+    with_text = spark.createDataFrame(
+        [("c1", 0, 0, "animal", "fox", 1, 2, "a fox ran")],
+        "conv_id string, turn_idx long, mention_idx long, pred string, "
+        "obj string, span_start long, span_end long, text string",
+    )
+    out = mention_contexts(with_text, None, window=1)
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+    r = out.collect()[0]
+    assert (r["mention_text"], r["context"]) == ("fox", "a fox ran")

@@ -2,6 +2,7 @@
 degree_stats, pagerank) against hand-computed / plain-Python oracles."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ner_spark.operators.graph import degree_stats, pagerank
 
@@ -279,3 +280,136 @@ def test_functional_violations_induced_and_explicit(spark):
     # explicit schema overrides induction
     explicit = functional_violations(edges, functional_preds=["makes"]).collect()
     assert sorted(r["src_entity"] for r in explicit) == ["brand|x", "brand|y"]
+
+
+def test_current_facts_latest_wins(spark):
+    from ner_spark.operators.graph import current_facts
+
+    ct = spark.createDataFrame(
+        [
+            # based_in: functional (2 single-valued, 1 multi) — org|m
+            # moved p -> q; latest (by ts) must win
+            ("c1", 1, "org|m", "based_in", "place|p"),
+            ("c1", 9, "org|m", "based_in", "place|q"),
+            ("c1", 2, "org|a", "based_in", "place|p"),
+            ("c2", 1, "org|b", "based_in", "place|r"),
+            # makes: majority multi-valued -> excluded entirely
+            ("c1", 3, "brand|x", "makes", "product|1"),
+            ("c1", 4, "brand|x", "makes", "product|2"),
+            ("c2", 2, "brand|y", "makes", "product|3"),
+        ],
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    tr = spark.createDataFrame(
+        [
+            ("c1", 1, "2026-01-01 10:00:00"),
+            ("c1", 2, "2026-01-01 10:01:00"),
+            ("c1", 3, "2026-01-01 10:02:00"),
+            ("c1", 4, "2026-01-01 10:03:00"),
+            ("c1", 9, "2026-01-02 08:00:00"),
+            ("c2", 1, "2026-01-01 11:00:00"),
+            ("c2", 2, "2026-01-01 11:01:00"),
+        ],
+        "conv_id string, turn_idx long, ts_s string",
+    ).select("conv_id", "turn_idx", F.to_timestamp("ts_s").alias("ts"))
+    got = {
+        (r["pred"], r["src_entity"]): (
+            r["current_obj"], r["n_objects"], r["n_assertions"]
+        )
+        for r in current_facts(ct, tr).collect()
+    }
+    assert got == {
+        ("based_in", "org|m"): ("place|q", 2, 2),
+        ("based_in", "org|a"): ("place|p", 1, 1),
+        ("based_in", "org|b"): ("place|r", 1, 1),
+    }
+    # explicit schema overrides induction
+    exp = current_facts(ct, tr, functional_preds=["makes"]).collect()
+    assert sorted(r["src_entity"] for r in exp) == ["brand|x", "brand|y"]
+    # brand|x's latest assertion (turn 4) wins
+    assert {r["src_entity"]: r["current_obj"] for r in exp}["brand|x"] == "product|2"
+
+
+def test_current_facts_timestamp_tie_breaks_deterministically(spark):
+    from ner_spark.operators.graph import current_facts
+
+    # two assertions share the SAME ts and conv: higher turn_idx wins;
+    # same turn too -> lexicographically larger obj wins
+    ct = spark.createDataFrame(
+        [
+            ("c1", 1, "org|t", "based_in", "place|a"),
+            ("c1", 1, "org|t", "based_in", "place|b"),
+            ("c1", 2, "org|u", "based_in", "place|a"),
+            ("c1", 1, "org|u", "based_in", "place|z"),
+            ("c9", 5, "org|v", "based_in", "place|only"),
+        ],
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    tr = spark.createDataFrame(
+        [("c1", 1), ("c1", 2), ("c9", 5)],
+        "conv_id string, turn_idx long",
+    ).select("conv_id", "turn_idx", F.to_timestamp(F.lit("2026-02-01 00:00:00")).alias("ts"))
+    got = {
+        r["src_entity"]: r["current_obj"]
+        for r in current_facts(ct, tr, functional_preds=["based_in"]).collect()
+    }
+    assert got == {"org|t": "place|b", "org|u": "place|a", "org|v": "place|only"}
+
+
+def test_paths_2hop_enumerates_and_caps_hubs(spark):
+    from ner_spark.operators.graph import paths_2hop
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "m", 1), ("b", "p", "m", 1),
+            ("m", "q", "c", 1), ("m", "q", "d", 1),
+            # 2-cycle: a->m->a must be excluded (src==dst)
+            ("m", "q", "a", 1),
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {
+        (r["src_entity"], r["pred1"], r["mid_entity"], r["pred2"], r["dst_entity"])
+        for r in paths_2hop(edges).collect()
+    }
+    assert got == {
+        ("a", "p", "m", "q", "c"), ("a", "p", "m", "q", "d"),
+        ("b", "p", "m", "q", "c"), ("b", "p", "m", "q", "d"),
+        ("b", "p", "m", "q", "a"),
+    }
+    # hub cap: m has in_deg 2 x out_deg 3 = 6 wedges; cap below that
+    # excludes every path through m
+    assert paths_2hop(edges, max_wedges_per_mid=5).count() == 0
+
+
+def test_label_propagation_two_communities(spark):
+    from ner_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one weak edge: LPA must keep them apart
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    bridge = [("a3", "b1")]
+    edges = spark.createDataFrame(
+        [(s, "r", d, 5) for s, d in tri1 + tri2] + [(s, "r", d, 1) for s, d in bridge],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {r["entity_id"]: r["community"] for r in label_propagation(edges, iters=3).collect()}
+    assert len(got) == 6
+    assert len({got["a1"], got["a2"], got["a3"]}) == 1
+    assert len({got["b1"], got["b2"], got["b3"]}) == 1
+    assert got["a1"] != got["b1"]
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from ner_spark.operators.graph import label_propagation
+
+    rows = [
+        (f"n{i}", "r", f"n{(i * 7 + 3) % 20}", 1 + (i % 4)) for i in range(40)
+    ]
+    edges = spark.createDataFrame(
+        [r for r in rows if r[0] != r[2]],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges.repartition(13), iters=3).collect()))
+    assert a == b and len(a) > 0

@@ -310,6 +310,61 @@ CHECKS = {
             "hashable by the driver gate."
         ),
     ),
+    "kg_current_facts": dict(
+        requires=["Broadcast"],
+        forbids=["Python", "CartesianProduct", "SinglePartition", "Window"],
+        builder="current_facts",
+        note=(
+            "Latest-wins fact resolution: ts rides the turn-keyed join, "
+            "then ONE (pred, subject)-keyed aggregate computes arg-max "
+            "struct + distinct-object count + assertion count together; "
+            "the induced functional-predicate census joins back as a "
+            "broadcast (asserted). NO window over the fact history "
+            "(asserted) — the arg-max is a map-side-combinable max, not "
+            "a per-key sort."
+        ),
+    ),
+    "kg_paths_2hop": dict(
+        requires=["LeftSemi"],
+        forbids=["Python", "CartesianProduct"],
+        builder="edges",
+        note=(
+            "2-hop path enumeration: two endpoint row-count aggregates "
+            "derive the wedge cap, surviving mids restrict both edge "
+            "roles via semi-joins (asserted), then one mid-keyed "
+            "self-join of slim 3-column rows. The cap bounds every join "
+            "key's fan-out at max_wedges_per_mid, so no task inherits a "
+            "hub's quadratic bucket."
+        ),
+    ),
+    "kg_communities": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition", "Window"],
+        builder="lpa_round",
+        note=(
+            "One synchronous label-propagation round (the loop "
+            "localCheckpoints between rounds, so the per-round plan is "
+            "the thing that must scale): node-keyed join of the slim "
+            "label frame against the weighted undirected edges, "
+            "(node, label)-keyed weight sum, node-keyed "
+            "min(struct(-score, label)) arg-min — all map-side "
+            "combinable, no sort, no window (asserted)."
+        ),
+    ),
+    "kg_mention_contexts": dict(
+        requires=[],
+        forbids=["Python", "SortMergeJoin", "CartesianProduct"],
+        builder="mention_ctx",
+        note=(
+            "EL training contexts over the materialized mentions + "
+            "transcripts goldens: one turn-keyed hash join (broadcast "
+            "here; shuffled at scale) then row-local split/slice/join "
+            "built-ins — no Python (asserted). The live entry query is "
+            "narrower still: extraction output already carries the turn "
+            "text, so the operator skips the join entirely (asserted in "
+            "tests/test_datasets.py)."
+        ),
+    ),
     "kg_kcore": dict(
         requires=["LeftSemi"],
         forbids=["Python", "CartesianProduct"],
@@ -387,6 +442,7 @@ def main() -> None:
         from ner_spark.operators.graph import (
             degree_stats,
             functional_violations,
+            paths_2hop,
             pred_cardinality_profile,
             triangle_count,
         )
@@ -399,6 +455,7 @@ def main() -> None:
             "kg_triangles": triangle_count,
             "kg_pred_profile": pred_cardinality_profile,
             "kg_functional_violations": functional_violations,
+            "kg_paths_2hop": paths_2hop,
         }[name](edges)
 
     def _temporal_over_goldens():
@@ -422,11 +479,52 @@ def main() -> None:
         )
         return entity_cooccurrence_pmi(ct)
 
+    def _current_facts_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import current_facts
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        t = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+        )
+        return current_facts(ct, t)
+
+    def _lpa_round_over_goldens():
+        from pyspark.sql import functions as F
+
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import lpa_round, weighted_undirected
+
+        raw = spark.read.parquet(os.path.join(FIXTURES_SQL_ROOT, "edges.parquet"))
+        und = weighted_undirected(raw)
+        labels = und.select("x").distinct().withColumn("lbl", F.col("x"))
+        return lpa_round(und, labels)
+
+    def _mention_ctx_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.functions.datasets import mention_contexts
+
+        m = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "reference_mentions.parquet")
+        )
+        t = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+        )
+        return mention_contexts(m, t, window=3)
+
     for name, spec in CHECKS.items():
         if spec.get("builder") == "edges":
             df = _over_materialized_edges(name)
         elif spec.get("builder") == "temporal":
             df = _temporal_over_goldens()
+        elif spec.get("builder") == "current_facts":
+            df = _current_facts_over_goldens()
+        elif spec.get("builder") == "lpa_round":
+            df = _lpa_round_over_goldens()
+        elif spec.get("builder") == "mention_ctx":
+            df = _mention_ctx_over_goldens()
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
         elif spec.get("builder") == "kcore":
