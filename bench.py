@@ -136,10 +136,14 @@ def main() -> None:
     # graph analytics timed over a cached canonical edge table so the
     # numbers isolate the graph operators, not the upstream tag/link/CC
     # chain (which the rows above already measure).
+    from ner_spark.operators.components import canonicalize_triples
     from ner_spark.operators.graph import (
+        current_facts,
         degree_stats,
+        label_propagation,
         materialize_edges,
         pagerank,
+        paths_2hop,
         triangle_count,
     )
 
@@ -156,7 +160,33 @@ def main() -> None:
     # operators.
     run("kg_pagerank", lambda: pagerank(kg_edges).count(), best_of=2)
     run("kg_triangles", lambda: triangle_count(kg_edges).count(), best_of=2)
+    run("kg_paths_2hop", lambda: paths_2hop(kg_edges).count())
+    # best_of=2: 3 localCheckpointed rounds = many first-seen stage
+    # shapes, same JIT story as pagerank.
+    run("kg_communities", lambda: label_propagation(kg_edges).count(), best_of=2)
+    _ct = canonicalize_triples(extract_relations(mentions), _assign, _nodes).cache()
+    _ct.count()
+    run("kg_current_facts", lambda: current_facts(_ct, t).count())
+    _ct.unpersist()
     kg_edges.unpersist()
+
+    # mention context windows: row-local over the still-cached mentions
+    from ner_spark.functions.datasets import mention_contexts
+    from pyspark.sql import functions as F
+
+    def _mention_ctx() -> int:
+        ex = mentions.select(
+            "conv_id", "turn_idx", "text",
+            F.posexplode("mentions").alias("mention_idx", "mn"),
+        ).select(
+            "conv_id", "turn_idx", "text", "mention_idx",
+            F.col("mn.pred").alias("pred"), F.col("mn.obj").alias("obj"),
+            F.col("mn.span_start").alias("span_start"),
+            F.col("mn.span_end").alias("span_end"),
+        )
+        return mention_contexts(ex, None, window=3).count()
+
+    run("kg_mention_contexts", _mention_ctx)
 
     # release the cached mentions BEFORE the training-data queries: the
     # 90k-row mention-struct cache is dead weight for them, and the

@@ -503,6 +503,96 @@ def lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """KG snapshot diff — the audit view for incremental maintenance:
+    ``(src_entity, pred, dst_entity, old_n, new_n, status)`` for every
+    canonical edge whose support changed between two snapshots, status
+    ∈ {added, removed, changed}. Unchanged edges are dropped (at
+    10^12-edge scale the diff is the small output; the identical bulk
+    is noise). Absent sides report weight 0 rather than null so the
+    row hashes identically across engines.
+
+    Run it across an incremental merge (``--stages incremental``) and
+    the union of statuses IS the merge's effect; an empty diff proves
+    two pipelines produced the same graph.
+
+    Plan: one full-outer shuffle join keyed on the (src, pred, dst)
+    composite — high-cardinality, near-unique, the best key a join can
+    have; rows are 5 slim columns; AQE splits any hot edge. Nothing
+    else moves.
+    """
+    keys = ["src_entity", "pred", "dst_entity"]
+    o = old_edges.select(*keys, F.col("n_turns").cast("long").alias("old_n"))
+    n = new_edges.select(*keys, F.col("n_turns").cast("long").alias("new_n"))
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn("status", status)
+        .where(
+            F.coalesce(F.col("old_n"), F.lit(0))
+            != F.coalesce(F.col("new_n"), F.lit(0))
+        )
+        .select(
+            *keys,
+            F.coalesce(F.col("old_n"), F.lit(0)).alias("old_n"),
+            F.coalesce(F.col("new_n"), F.lit(0)).alias("new_n"),
+            "status",
+        )
+    )
+
+
+def edge_provenance(canonical_triples: DataFrame, k: int = 3) -> DataFrame:
+    """Bounded provenance pointers per canonical edge — the "why does
+    the KG say this" audit column: ``(src_entity, pred, dst_entity,
+    n_turns, provenance)`` where provenance serializes the FIRST ``k``
+    asserting turns as ``conv#turn; conv#turn; …`` in (conv_id,
+    turn_idx) order (sorted-joined string: deterministic under any
+    partitioning and hashable by the driver gate).
+
+    Bounding matters at scale: a popular edge may be asserted by
+    millions of turns, and an unbounded collect_list would materialize
+    them all in one aggregation buffer. The row_number window keyed on
+    the edge composite keeps only k rows per edge BEFORE the collect,
+    so the aggregate buffer is ≤ k entries regardless of edge heat —
+    and the window's partition key is the high-cardinality edge
+    composite, never a single partition. The full support count rides
+    the same window as an unbounded count, so no second pass over the
+    fact table.
+    """
+    from pyspark.sql import Window
+
+    edge_w = Window.partitionBy("subj", "pred", "obj")
+    r = canonical_triples.select(
+        "subj",
+        "pred",
+        "obj",
+        "conv_id",
+        "turn_idx",
+        F.row_number()
+        .over(edge_w.orderBy("conv_id", "turn_idx"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(edge_w).alias("n_turns"),
+    ).where(F.col("rn") <= k)
+    return r.groupBy(
+        F.col("subj").alias("src_entity"),
+        "pred",
+        F.col("obj").alias("dst_entity"),
+        "n_turns",
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("conv_id", "turn_idx"))),
+                lambda s: F.concat_ws("#", s.conv_id, s.turn_idx.cast("string")),
+            ),
+            "; ",
+        ).alias("provenance")
+    )
+
+
 def undirected_edges(
     edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
 ) -> DataFrame:

@@ -413,3 +413,58 @@ def test_label_propagation_deterministic_across_partitionings(spark):
     a = sorted(map(tuple, label_propagation(edges, iters=3).collect()))
     b = sorted(map(tuple, label_propagation(edges.repartition(13), iters=3).collect()))
     assert a == b and len(a) > 0
+
+
+def test_edge_diff_statuses(spark):
+    from ner_spark.operators.graph import edge_diff
+
+    schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
+    old = spark.createDataFrame(
+        [("a", "p", "b", 2), ("a", "p", "c", 1), ("x", "q", "y", 3)], schema
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "b", 5), ("a", "p", "c", 1), ("n", "q", "m", 1)], schema
+    )
+    got = {
+        (r["src_entity"], r["pred"], r["dst_entity"]): (
+            r["old_n"], r["new_n"], r["status"]
+        )
+        for r in edge_diff(old, new).collect()
+    }
+    # (a,p,c) unchanged -> dropped
+    assert got == {
+        ("a", "p", "b"): (2, 5, "changed"),
+        ("x", "q", "y"): (3, 0, "removed"),
+        ("n", "q", "m"): (0, 1, "added"),
+    }
+    # identical snapshots -> empty diff
+    assert edge_diff(new, new).count() == 0
+
+
+def test_edge_provenance_bounded_and_ordered(spark):
+    from ner_spark.operators.graph import edge_provenance
+
+    ct = spark.createDataFrame(
+        [
+            # 5 assertions of one edge: provenance keeps the FIRST 3 by
+            # (conv_id, turn_idx); count reports all 5. turn_idx 10 vs 2
+            # guards against lexicographic string ordering.
+            ("c1", 2, "a", "p", "b"),
+            ("c1", 10, "a", "p", "b"),
+            ("c0", 7, "a", "p", "b"),
+            ("c2", 1, "a", "p", "b"),
+            ("c1", 3, "a", "p", "b"),
+            ("c9", 4, "x", "q", "y"),
+        ],
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    got = {
+        (r["src_entity"], r["pred"], r["dst_entity"]): (
+            r["n_turns"], r["provenance"]
+        )
+        for r in edge_provenance(ct, k=3).collect()
+    }
+    assert got == {
+        ("a", "p", "b"): (5, "c0#7; c1#2; c1#3"),
+        ("x", "q", "y"): (1, "c9#4"),
+    }

@@ -365,6 +365,30 @@ CHECKS = {
             "tests/test_datasets.py)."
         ),
     ),
+    "kg_edge_diff": dict(
+        requires=["FullOuter"],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        note=(
+            "KG snapshot diff: ONE full-outer join keyed on the "
+            "(src, pred, dst) composite (high-cardinality, near-unique) "
+            "over 5-column slim rows; the two snapshot aggregates "
+            "partial map-side. Nothing else moves — the diff output is "
+            "the small side at scale, the identical bulk never leaves "
+            "the join."
+        ),
+    ),
+    "kg_edge_provenance": dict(
+        requires=["Window"],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="prov",
+        note=(
+            "Bounded provenance: the row_number/count window partitions "
+            "by the edge composite (never a single partition — asserted) "
+            "and trims to k rows per edge BEFORE the collect_list, so "
+            "no aggregation buffer scales with edge heat; the final "
+            "aggregate reuses the window's partitioning."
+        ),
+    ),
     "kg_kcore": dict(
         requires=["LeftSemi"],
         forbids=["Python", "CartesianProduct"],
@@ -502,6 +526,15 @@ def main() -> None:
         labels = und.select("x").distinct().withColumn("lbl", F.col("x"))
         return lpa_round(und, labels)
 
+    def _prov_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import edge_provenance
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        return edge_provenance(ct)
+
     def _mention_ctx_over_goldens():
         from ner_spark.entry_queries import FIXTURES_SQL_ROOT
         from ner_spark.functions.datasets import mention_contexts
@@ -525,6 +558,8 @@ def main() -> None:
             df = _lpa_round_over_goldens()
         elif spec.get("builder") == "mention_ctx":
             df = _mention_ctx_over_goldens()
+        elif spec.get("builder") == "prov":
+            df = _prov_over_goldens()
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
         elif spec.get("builder") == "kcore":
