@@ -2104,6 +2104,73 @@ def q_kg_mention_contexts(spark, sf_dir):
 
 
 @query(
+    "kg_pred_signatures",
+    f"""
+    SELECT pred, split_part(src_entity, '|', 1) AS subj_type,
+           split_part(dst_entity, '|', 1) AS obj_type,
+           count(*) AS n_edges
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_kg_pred_signatures(spark, sf_dir):
+    """Typed ontology induction (operators/graph.py:
+    pred_type_signatures): the domain/range profile of every predicate;
+    off-signature low-support rows are the extraction-noise audit
+    queue."""
+    from ner_spark.operators.graph import pred_type_signatures
+
+    return pred_type_signatures(_kg_edges(spark, sf_dir))
+
+
+@query(
+    "kg_bfs_hops",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src_entity AS s, dst_entity AS d
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    nodes AS (
+      SELECT DISTINCT x FROM (
+        SELECT s AS x FROM e UNION ALL SELECT d AS x FROM e)),
+    src AS (
+      SELECT x FROM nodes
+      WHERE ('0x' || substring(md5('bfs|' || x), 1, 15))::BIGINT % 41 = 0),
+    reach(x, h) AS (
+      SELECT x, 0 FROM src
+      UNION ALL
+      SELECT e.d, r.h + 1 FROM reach r JOIN e ON e.s = r.x WHERE r.h < 4)
+    SELECT x AS entity_id, CAST(min(h) AS INTEGER) AS hops
+    FROM reach GROUP BY x
+    """,
+)
+def q_kg_bfs_hops(spark, sf_dir):
+    """Minimum-hop reachability within 4 directed hops of a
+    deterministic md5-sampled source set (operators/graph.py:bfs_hops)
+    — the ego-network retrieval primitive. Oracle = bounded-depth
+    recursive CTE taking min hop per node (all-walks min ≡ BFS
+    distance)."""
+    from ner_spark.functions.dedup import register_persist
+    from ner_spark.operators.graph import bfs_hops
+    from ner_spark.operators.linking import md5_hash60_col
+
+    # the edge frame feeds the node census AND the BFS loop — persist
+    # so the tag→link→CC lineage executes once (same device as PMI)
+    edges = register_persist(_kg_edges(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_entity").alias("x"))
+        .unionByName(edges.select(F.col("dst_entity").alias("x")))
+        .distinct()
+    )
+    sources = nodes.where(
+        F.pmod(
+            md5_hash60_col(F.concat(F.lit("bfs|"), F.col("x"))), F.lit(41)
+        )
+        == 0
+    )
+    return bfs_hops(edges, sources, max_hops=4)
+
+
+@query(
     "kg_edge_diff",
     f"""
     WITH ct AS (
@@ -2831,24 +2898,20 @@ _DRIVER_ORDER = [
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
+    "kg_pred_signatures", "kg_bfs_hops",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # corpus scans + vocabulary/encoding (the r02-green encode/scan
-    # family rotates below the cap for the new kg_* queries above;
-    # encode_subword_align stays — it graduated P9 in r02 and anchors
-    # the WordPiece path)
-    "encode_subword_align",
-    # brute-force ANN keeps a driver row; the r02-green, semantically-
-    # unchanged LSH/IVF variants and pair generators rotate below the
-    # cap to make room for the new kg_* queries (their round-3 recall
-    # evidence lives in BENCH.md + tests, not in the correctness row)
-    "ann_topk",
     # -------- position > 50: NOT recorded by the external driver -------
     # Everything below was value-hash-green in CORRECTNESS_r01/r02 and
     # stays covered by the local mirror gate (tools/check_entry.py, all
-    # of it).
-    "ann_lsh_topk", "ann_ivf_topk",
+    # of it): the r02-green encode/scan family, the semantically-
+    # unchanged dedup pair generators, and the ANN trio (its round-3
+    # clustered-fixture recall evidence lives in BENCH.md + tests, not
+    # in the correctness row) rotate below the cap so every
+    # never-recorded query gets its driver row this round.
+    "encode_subword_align",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk",
     "dedup_survivors", "simhash_band_pairs", "token_jaccard_pairs",
     "embedding_dup_pairs_ivf",
     "dedup_exact", "lsh_dup_pairs", "encode_wlf", "tsv_corpus_scan",

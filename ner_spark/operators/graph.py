@@ -503,6 +503,77 @@ def lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def pred_type_signatures(edges: DataFrame) -> DataFrame:
+    """Typed ontology induction: per (predicate, subject-type,
+    object-type) combination, the edge support —
+    ``(pred, subj_type, obj_type, n_edges)``. The domain/range profile
+    of each relation ("makes: brand→product 384, based_in: brand→place
+    …"): signatures with overwhelming support define the induced
+    schema, low-support off-signature rows ARE the extraction-noise
+    audit queue. One row-local type projection (entity ids carry their
+    type prefix) + one map-side-combinable aggregate over a key whose
+    cardinality is bounded by |preds| × |types|² — tiny at any corpus
+    scale.
+    """
+    return (
+        edges.select(
+            "pred",
+            _split_type(F.col("src_entity")).alias("subj_type"),
+            _split_type(F.col("dst_entity")).alias("obj_type"),
+        )
+        .groupBy("pred", "subj_type", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def bfs_hops(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """Minimum-hop reachability from a source set along directed KG
+    edges: ``(entity_id, hops)`` for every entity within ``max_hops``
+    (sources at 0). This is the ego-network / neighborhood-retrieval
+    primitive — "everything within k hops of these entities" is the
+    subgraph a KGQA retriever or a GNN sampler pulls.
+
+    Level-synchronous frontier BFS: each hop joins the CURRENT frontier
+    (not the whole visited set) against the edge list, anti-joins the
+    already-visited set so every entity is labeled with its first
+    (minimum) hop count, and localCheckpoints both frames so the plan
+    stays one hop deep. Early-exits when a frontier empties — the
+    per-hop emptiness probe is one scalar count, the standard price of
+    iterative convergence (same device as the CC/k-core loops). All
+    joins key on entity id; frontier rows are one column wide.
+    """
+    e = edges.select(
+        F.col("src_entity").alias("s"), F.col("dst_entity").alias("d")
+    ).distinct().persist()
+    visited = (
+        sources.selectExpr(f"{sources.columns[0]} as x")
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("x")
+    try:
+        for h in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.x == e.s)
+                .select(F.col("d").alias("x"))
+                .distinct()
+                .join(visited.select("x"), "x", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(
+                nxt.withColumn("hops", F.lit(h).cast("int"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        e.unpersist()
+    return visited.select(F.col("x").alias("entity_id"), "hops")
+
+
 def edge_diff(old_edges: DataFrame, new_edges: DataFrame) -> DataFrame:
     """KG snapshot diff — the audit view for incremental maintenance:
     ``(src_entity, pred, dst_entity, old_n, new_n, status)`` for every

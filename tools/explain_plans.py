@@ -365,6 +365,31 @@ CHECKS = {
             "tests/test_datasets.py)."
         ),
     ),
+    "kg_pred_signatures": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="edges",
+        note=(
+            "Typed ontology induction: one row-local type projection "
+            "(ids carry their type prefix) + one map-side-combinable "
+            "aggregate whose key cardinality is bounded by "
+            "|preds|×|types|² — a single exchange of tiny partials."
+        ),
+    ),
+    "kg_bfs_hops": dict(
+        requires=["LeftAnti"],
+        forbids=["Python", "CartesianProduct", "SinglePartition", "Window"],
+        builder="bfs_hop",
+        note=(
+            "One BFS hop (the loop localCheckpoints between hops, so "
+            "the per-hop plan is the thing that must scale): the "
+            "CURRENT frontier — one column wide — joins the edge list "
+            "on entity id, distincts, and anti-joins the visited set "
+            "(asserted LeftAnti). Frontier-not-visited joins keep the "
+            "per-hop work proportional to the hop's discovery, never "
+            "to the accumulated reachable set."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -468,6 +493,7 @@ def main() -> None:
             functional_violations,
             paths_2hop,
             pred_cardinality_profile,
+            pred_type_signatures,
             triangle_count,
         )
 
@@ -480,6 +506,7 @@ def main() -> None:
             "kg_pred_profile": pred_cardinality_profile,
             "kg_functional_violations": functional_violations,
             "kg_paths_2hop": paths_2hop,
+            "kg_pred_signatures": pred_type_signatures,
         }[name](edges)
 
     def _temporal_over_goldens():
@@ -560,6 +587,32 @@ def main() -> None:
             df = _mention_ctx_over_goldens()
         elif spec.get("builder") == "prov":
             df = _prov_over_goldens()
+        elif spec.get("builder") == "bfs_hop":
+            # one frontier-expansion hop over the golden edges
+            from pyspark.sql import functions as F
+
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FX2
+
+            raw = spark.read.parquet(os.path.join(_FX2, "edges.parquet"))
+            e = raw.select(
+                F.col("src_entity").alias("s"), F.col("dst_entity").alias("d")
+            ).distinct()
+            # a deterministic filter, not limit(): a global limit would
+            # add its own SinglePartition exchange that the real BFS
+            # loop (whose frontiers come from checkpointed frames)
+            # never contains
+            frontier = (
+                e.select(F.col("s").alias("x"))
+                .where(F.length("x") % 2 == 0)
+                .distinct()
+            )
+            visited = frontier
+            df = (
+                frontier.join(e, frontier.x == e.s)
+                .select(F.col("d").alias("x"))
+                .distinct()
+                .join(visited.select("x"), "x", "left_anti")
+            )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
         elif spec.get("builder") == "kcore":
