@@ -2171,6 +2171,45 @@ def q_kg_bfs_hops(spark, sf_dir):
 
 
 @query(
+    "kg_adamic_adar",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+             greatest(src_entity, dst_entity) AS b
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      WHERE src_entity <> dst_entity),
+    adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+    deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+    mids AS (
+      SELECT adj.z, adj.n,
+             CAST(floor(1e9 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS contrib
+      FROM adj JOIN deg ON adj.z = deg.z
+      WHERE deg.d BETWEEN 2 AND 65536),
+    pairs AS (
+      SELECT m1.n AS u, m2.n AS v, count(*) AS cn,
+             CAST(sum(m1.contrib) AS BIGINT) AS aa
+      FROM mids m1 JOIN mids m2 ON m1.z = m2.z AND m1.n < m2.n
+      GROUP BY 1, 2)
+    SELECT u AS node_u, v AS node_v, cn AS common_neighbors, aa AS aa_nano
+    FROM pairs p
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v)
+    """,
+)
+def q_kg_adamic_adar(spark, sf_dir):
+    """Link-prediction candidate scoring (operators/graph.py:
+    adamic_adar): non-adjacent entity pairs scored by integer-quantized
+    Adamic-Adar over their common neighbors — the KG-completion /
+    suggested-edge review queue. Per-mid contributions are quantized to
+    int64 BEFORE the sum so the score is reduction-order-independent
+    (bit-identical across engines); the wedge join is the salted
+    skew-split self-join; super-hub mids are cut at deg ≤ 65536 in both
+    engines."""
+    from ner_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_kg_edges(spark, sf_dir))
+
+
+@query(
     "kg_edge_diff",
     f"""
     WITH ct AS (
@@ -2898,7 +2937,7 @@ _DRIVER_ORDER = [
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
-    "kg_pred_signatures", "kg_bfs_hops",
+    "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

@@ -570,3 +570,45 @@ def test_bfs_hops_min_distance_and_early_exit(spark):
     # empty sources -> empty result
     empty_src = spark.createDataFrame([], "x string")
     assert bfs_hops(edges, empty_src, 3).count() == 0
+
+
+def test_adamic_adar_scores_and_filters(spark):
+    """Square a-b-c-d-a + chord a-c + pendant e-a, against a
+    hand-computed brute force: only NON-adjacent pairs with a common
+    neighbor appear; per-mid contributions are int64-quantized BEFORE
+    the sum (reduction-order-independent)."""
+    import math
+
+    from ner_spark.operators.graph import adamic_adar
+
+    rows = [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "d", 1),
+            ("d", "p", "a", 1), ("a", "p", "c", 1), ("e", "p", "a", 1),
+            ("b", "p", "a", 2)]  # reverse duplicate must collapse
+    edges = spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    got = {(r.node_u, r.node_v): (r.common_neighbors, r.aa_nano)
+           for r in adamic_adar(edges).collect()}
+    c_a = int(math.floor(1e9 / math.log(4)))  # deg(a)=4
+    c_c = int(math.floor(1e9 / math.log(3)))  # deg(c)=3
+    assert got == {
+        ("b", "d"): (2, c_a + c_c),
+        ("b", "e"): (1, c_a),
+        ("c", "e"): (1, c_a),
+        ("d", "e"): (1, c_a),
+    }
+    # super-hub cut: with max_mid_degree below deg(a)=4, every a-mediated
+    # wedge disappears (b,e)/(c,e)/(d,e) and (b,d) keeps only mid c
+    got2 = {(r.node_u, r.node_v): (r.common_neighbors, r.aa_nano)
+            for r in adamic_adar(edges, max_mid_degree=3).collect()}
+    assert got2 == {("b", "d"): (1, c_c)}
+    # min_common filter
+    got3 = {(r.node_u, r.node_v) for r in
+            adamic_adar(edges, min_common=2).collect()}
+    assert got3 == {("b", "d")}
+    # degenerate inputs
+    schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
+    assert adamic_adar(spark.createDataFrame([], schema)).count() == 0
+    assert adamic_adar(
+        spark.createDataFrame([("a", "p", "a", 1)], schema)
+    ).count() == 0
