@@ -2209,6 +2209,62 @@ def q_kg_adamic_adar(spark, sf_dir):
     return adamic_adar(_kg_edges(spark, sf_dir))
 
 
+def _kg_walks_oracle(
+    walks_per_node: int = 2, walk_length: int = 4, seed: str = "walk"
+) -> str:
+    """Unrolled deterministic-random-walk oracle in pure DuckDB SQL over
+    the golden edge table: same ranked-adjacency indexing (per-node
+    row_number over the 60-bit md5 hash) and the same per-step draw
+    ``h60(seed|walk_id|step) mod deg`` as the Spark operator —
+    independent restatement, shared only the tri-implemented h60 spec.
+    CTEs referenced once per step are MATERIALIZED so the unrolled
+    chain re-reads tables, not re-inlines windows."""
+    edges = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    rank_h = _h60(f"'{seed}|' || z || '|' || n")
+    ctes = [
+        f"""e AS MATERIALIZED (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+             greatest(src_entity, dst_entity) AS b
+      FROM read_parquet('{edges}') WHERE src_entity <> dst_entity)""",
+        """adj AS MATERIALIZED (
+      SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e)""",
+        """deg AS MATERIALIZED (SELECT z, count(*) AS d FROM adj GROUP BY z)""",
+        f"""ranked AS MATERIALIZED (
+      SELECT z, n, row_number() OVER (
+        PARTITION BY z ORDER BY {rank_h}, n) - 1 AS idx
+      FROM adj)""",
+        f"""w0 AS MATERIALIZED (
+      SELECT z || '#' || CAST(r AS VARCHAR) AS walk_id, z AS cur, z AS path
+      FROM deg, (SELECT unnest(range(CAST(0 AS BIGINT),
+                                     CAST({walks_per_node} AS BIGINT))) AS r))""",
+    ]
+    for i in range(1, walk_length + 1):
+        step_h = _h60(f"'{seed}|' || w.walk_id || '|{i}'")
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+      SELECT w.walk_id, r.n AS cur, w.path || '->' || r.n AS path
+      FROM w{i - 1} w
+      JOIN deg d ON d.z = w.cur
+      JOIN ranked r ON r.z = w.cur AND r.idx = {step_h} % d.d)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, path FROM w{walk_length}"
+    )
+
+
+@query("kg_random_walks", _kg_walks_oracle())
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus over the canonical KG
+    (operators/graph.py:random_walks): 2 hash-seeded walks of 4 steps
+    per node, O(1) work per step via ranked-adjacency indexing (a hub
+    costs the same as a leaf per visiting walk). Oracle = independent
+    unrolled-CTE restatement sharing only the h60 hash spec."""
+    from ner_spark.operators.graph import random_walks
+
+    return random_walks(_kg_edges(spark, sf_dir))
+
+
 @query(
     "kg_edge_diff",
     f"""
@@ -2938,6 +2994,7 @@ _DRIVER_ORDER = [
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
+    "kg_random_walks",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

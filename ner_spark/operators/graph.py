@@ -962,3 +962,96 @@ def adamic_adar(
         "common_neighbors",
         "aa_nano",
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 4,
+    seed: str = "walk",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random-walk corpus over the
+    undirected canonical KG: ``walks_per_node`` walks of
+    ``walk_length`` steps from every non-isolated node, serialized as
+    ``(walk_id, path)`` with ``path = "a->b->c"``. This is the training
+    corpus a skip-gram KG-embedding run (DeepWalk / node2vec p=q=1)
+    consumes; determinism (hash-derived choices, no RNG state) is what
+    makes the corpus reproducible across retries, partitionings and
+    engines — the property a lineage-checkpointed pipeline needs.
+
+    Scale design — O(1) work per walk step, never O(deg):
+    * neighbors of each node are ranked ONCE into a dense index
+      0..deg-1 (per-node window over ``h60(seed|z|n)``; partitions are
+      per-node, the same bounded-window device as edge_provenance);
+    * step i of a walk draws ``pick = h60(seed|walk_id|i) mod deg(cur)``
+      and equi-joins ``(cur, pick)`` against the ranked adjacency — two
+      slim keyed joins per step, so a hub node costs the SAME as a
+      leaf per visiting walk (no per-neighbor enumeration, no
+      candidate explosion when many walks sit on the hub);
+    * the frontier is localCheckpointed per step, keeping the plan one
+      step deep (same device as bfs_hops / connected components).
+
+    Walks may revisit nodes (plain first-order DeepWalk semantics);
+    every node in the adjacency has deg >= 1 so walks never dead-end.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.functions.dedup import register_persist
+    from ner_spark.operators.linking import md5_hash60_col
+
+    und = undirected_edges(edges)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("z"), F.col("b").alias("n"))
+    w = Window.partitionBy("z").orderBy(
+        md5_hash60_col(
+            F.concat_ws("|", F.lit(seed), F.col("z"), F.col("n"))
+        ),
+        "n",
+    )
+    ranked = register_persist(
+        adj.withColumn("idx", F.row_number().over(w) - F.lit(1))
+    )
+    deg = register_persist(
+        adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+    cur = (
+        deg.select(
+            "z",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("r"),
+        )
+        .select(
+            F.concat_ws("#", F.col("z"), F.col("r")).alias("walk_id"),
+            F.col("z").alias("cur"),
+            F.col("z").alias("path"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for i in range(1, walk_length + 1):
+        pick = cur.join(deg, cur.cur == deg.z).select(
+            "walk_id",
+            "cur",
+            "path",
+            F.pmod(
+                md5_hash60_col(
+                    F.concat_ws("|", F.lit(seed), F.col("walk_id"), F.lit(str(i)))
+                ),
+                F.col("deg"),
+            ).alias("pick"),
+        )
+        cur = (
+            pick.join(
+                ranked,
+                (pick.cur == ranked.z) & (pick.pick == ranked.idx),
+            )
+            .select(
+                "walk_id",
+                F.col("n").alias("cur"),
+                F.concat_ws("->", "path", "n").alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select("walk_id", "path")

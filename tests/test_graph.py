@@ -612,3 +612,54 @@ def test_adamic_adar_scores_and_filters(spark):
     assert adamic_adar(
         spark.createDataFrame([("a", "p", "a", 1)], schema)
     ).count() == 0
+
+
+def test_random_walks_deterministic_and_hash_indexed(spark):
+    """Walks must equal an independent pure-Python simulation of the
+    spec (ranked-adjacency by h60(seed|z|n), per-step draw
+    h60(seed|walk_id|i) mod deg) — the same spec the DuckDB oracle
+    restates. Also pins: walk count = walks_per_node x non-isolated
+    nodes, replicas diverge, determinism across calls."""
+    import hashlib
+
+    from ner_spark.operators.graph import random_walks
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "d", 1),
+            ("d", "p", "a", 1), ("a", "p", "c", 1), ("e", "p", "a", 1)]
+    edges = spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    got = {r.walk_id: r.path
+           for r in random_walks(edges, walks_per_node=2, walk_length=4).collect()}
+
+    und = {tuple(sorted((a, b))) for a, _, b, _ in rows if a != b}
+    adjm: dict = {}
+    for a, b in und:
+        adjm.setdefault(a, set()).add(b)
+        adjm.setdefault(b, set()).add(a)
+    ranked = {z: sorted(ns, key=lambda n: (h60(f"walk|{z}|{n}"), n))
+              for z, ns in adjm.items()}
+    exp = {}
+    for z in adjm:
+        for r in range(2):
+            wid, cur, path = f"{z}#{r}", z, [z]
+            for i in range(1, 5):
+                nbrs = ranked[cur]
+                cur = nbrs[h60(f"walk|{wid}|{i}") % len(nbrs)]
+                path.append(cur)
+            exp[wid] = "->".join(path)
+    assert got == exp
+    assert len(got) == 2 * len(adjm)
+    # determinism across invocations
+    again = {r.walk_id: r.path
+             for r in random_walks(edges, walks_per_node=2, walk_length=4).collect()}
+    assert again == got
+    # degenerate inputs: no edges / only self-loops -> no walks
+    schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
+    assert random_walks(spark.createDataFrame([], schema)).count() == 0
+    assert random_walks(
+        spark.createDataFrame([("a", "p", "a", 1)], schema)
+    ).count() == 0
