@@ -2253,6 +2253,43 @@ def _kg_walks_oracle(
     )
 
 
+@query(
+    "kg_alias_pairs",
+    f"""
+    WITH n AS (
+      SELECT entity_id, entity_type, canonical_name
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}')
+      WHERE length(canonical_name) >= 1)
+    SELECT x.entity_id AS id_a, y.entity_id AS id_b,
+           CAST(levenshtein(x.canonical_name, y.canonical_name) AS INTEGER)
+             AS dist
+    FROM n x JOIN n y
+      ON x.entity_type = y.entity_type AND x.entity_id < y.entity_id
+    WHERE levenshtein(x.canonical_name, y.canonical_name) <= 2
+    """,
+)
+def q_kg_alias_pairs(spark, sf_dir):
+    """Suggested-merge review queue (operators/alias.py:alias_pairs):
+    same-type canonical-name pairs within byte edit distance 2, found
+    via lossless PassJoin segment blocking + salted two-sided candidate
+    join + banded levenshtein verify. The oracle is the brute-force
+    quadratic join (DuckDB levenshtein is byte-based; the Spark side
+    matches it through the UTF-8→ISO-8859-1 byte proxy) — same pairs,
+    linear vs quadratic candidate generation."""
+    from ner_spark.operators.alias import alias_pairs
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_nodes
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return alias_pairs(materialize_nodes(nodes, a))
+
+
 @query("kg_random_walks", _kg_walks_oracle())
 def q_kg_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the canonical KG
@@ -2994,7 +3031,7 @@ _DRIVER_ORDER = [
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
-    "kg_random_walks",
+    "kg_random_walks", "kg_alias_pairs",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

@@ -612,3 +612,76 @@ def token_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def salted_two_sided_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    right_salt_col: str,
+    salt_threshold: int = 512,
+    max_salts: int = 2048,
+) -> DataFrame:
+    """Equi-join two DIFFERENT frames on ``keys`` with quadratic-skew
+    splitting — the asymmetric sibling of ``_salted_block_self_join``
+    for blocking schemes whose two sides derive different keys from the
+    same corpus (e.g. PassJoin segment-vs-substring candidate
+    generation, operators/alias.py).
+
+    A key's join fan-out is n_left × n_right, all evaluated inside ONE
+    task by a plain equi-join. Keys whose product exceeds
+    ``salt_threshold²`` are split: the right side takes a deterministic
+    salt u = hash(right_salt_col) mod s, the left side is replicated
+    over all s salts, and the join adds the salt to the key — spreading
+    the hot key over s independently-scheduled cells of ≤
+    salt_threshold² pairs (s = ceil(n_l·n_r / salt_threshold²) clamped
+    to ``max_salts``; the replication cost s·n_l rows is the square
+    root of the pair work it parallelizes). Every (left, right) row
+    pair still meets exactly once — the salt is a partition of the
+    right side. Parallelism is pinned with explicit repartitions on
+    both paths: the join inputs are tiny while outputs are quadratic,
+    and AQE sizes partitions by input bytes (it would coalesce the
+    enumeration back into one task).
+
+    Non-key column names must be disjoint between the two frames.
+    """
+    left = register_persist(left)
+    right = register_persist(right)
+    lc = left.groupBy(keys).agg(F.count(F.lit(1)).alias("_nl"))
+    rc = right.groupBy(keys).agg(F.count(F.lit(1)).alias("_nr"))
+    budget = salt_threshold * salt_threshold
+    heavy = (
+        lc.join(rc, keys)
+        .where(F.col("_nl") * F.col("_nr") > budget)
+        .select(
+            *keys,
+            F.least(
+                F.ceil(F.col("_nl") * F.col("_nr") / F.lit(budget)),
+                F.lit(max_salts),
+            ).alias("_ns"),
+        )
+    )
+    npart = left.sparkSession.sparkContext.defaultParallelism * 2
+    l_light = left.join(F.broadcast(heavy.select(*keys)), keys, "left_anti")
+    r_light = right.join(F.broadcast(heavy.select(*keys)), keys, "left_anti")
+    light = (
+        l_light.repartition(npart, *keys)
+        .join(r_light.repartition(npart, *keys), keys)
+    )
+    l_heavy = (
+        left.join(F.broadcast(heavy), keys)
+        .withColumn(
+            "_u", F.explode_outer(F.sequence(F.lit(0), F.col("_ns") - 1))
+        )
+        .drop("_ns")
+        .repartition(npart, *keys, "_u")
+    )
+    r_heavy = (
+        right.join(F.broadcast(heavy), keys)
+        .withColumn("_u", F.pmod(F.hash(right_salt_col), F.col("_ns")))
+        .drop("_ns")
+        .repartition(npart, *keys, "_u")
+    )
+    return light.unionByName(
+        l_heavy.join(r_heavy, [*keys, "_u"]).drop("_u")
+    )
