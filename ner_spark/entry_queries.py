@@ -2253,6 +2253,93 @@ def _kg_walks_oracle(
     )
 
 
+def _kg_community_profiles_oracle(iters: int = 3) -> str:
+    """Community-profile oracle: the unrolled LPA rounds (same chain as
+    kg_communities) feeding the per-community size / internal /
+    boundary / top-predicate / density aggregations."""
+    edges = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    ctes = [
+        f"""e AS MATERIALIZED (
+      SELECT src_entity, dst_entity, pred, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{edges}'))""",
+        """und AS MATERIALIZED (
+      SELECT x, y, sum(w) AS w FROM (
+        SELECT src_entity AS x, dst_entity AS y, w FROM e
+        UNION ALL
+        SELECT dst_entity AS x, src_entity AS y, w FROM e)
+      WHERE x <> y GROUP BY 1, 2)""",
+        """l0 AS MATERIALIZED (SELECT DISTINCT x, x AS lbl FROM und)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT u.x, l.lbl, sum(u.w) AS s
+      FROM und u JOIN l{i - 1} l ON u.y = l.x GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT x, lbl FROM (
+        SELECT x, lbl, row_number() OVER (
+          PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s{i})
+      WHERE rn = 1)"""
+        )
+    ctes += [
+        f"""lab AS MATERIALIZED (SELECT x AS node, lbl AS community FROM l{iters})""",
+        """ue AS MATERIALIZED (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+             greatest(src_entity, dst_entity) AS b
+      FROM e WHERE src_entity <> dst_entity)""",
+        """el AS MATERIALIZED (
+      SELECT la.community AS ca, lb.community AS cb
+      FROM ue JOIN lab la ON ue.a = la.node JOIN lab lb ON ue.b = lb.node)""",
+        """members AS (SELECT community, count(*) AS n_nodes FROM lab GROUP BY 1)""",
+        """internal AS (SELECT ca AS community, count(*) AS ni
+      FROM el WHERE ca = cb GROUP BY 1)""",
+        """boundary AS (SELECT community, count(*) AS nb FROM (
+        SELECT ca AS community FROM el WHERE ca <> cb
+        UNION ALL SELECT cb FROM el WHERE ca <> cb) GROUP BY 1)""",
+        """pc AS (SELECT la.community, e.pred, count(*) AS cnt
+      FROM e JOIN lab la ON e.src_entity = la.node
+             JOIN lab lb ON e.dst_entity = lb.node
+      WHERE e.src_entity <> e.dst_entity AND la.community = lb.community
+      GROUP BY 1, 2)""",
+        """tp AS (SELECT community, pred FROM (
+        SELECT community, pred, row_number() OVER (
+          PARTITION BY community ORDER BY cnt DESC, pred ASC) AS rn FROM pc)
+      WHERE rn = 1)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT m.community, m.n_nodes,
+           coalesce(i.ni, 0) AS n_internal,
+           coalesce(b.nb, 0) AS n_boundary,
+           coalesce(tp.pred, '') AS top_pred,
+           CASE WHEN m.n_nodes > 1 THEN CAST(floor(
+                  2e6 * CAST(coalesce(i.ni, 0) AS DOUBLE)
+                  / (CAST(m.n_nodes AS DOUBLE) * CAST(m.n_nodes - 1 AS DOUBLE))
+                ) AS BIGINT)
+                ELSE 0 END AS density_micro
+    FROM members m
+    LEFT JOIN internal i USING (community)
+    LEFT JOIN boundary b USING (community)
+    LEFT JOIN tp USING (community)"""
+    )
+
+
+@query("kg_community_profiles", _kg_community_profiles_oracle())
+def q_kg_community_profiles(spark, sf_dir):
+    """Per-community summarization (operators/graph.py:
+    community_profiles): size, internal/boundary undirected edge
+    counts, dominant internal predicate, integer-scaled density — the
+    "what is this cluster about" audit table over the LPA communities.
+    Oracle = the unrolled-LPA chain + the same aggregations in SQL."""
+    from ner_spark.operators.graph import community_profiles
+
+    return community_profiles(_kg_edges(spark, sf_dir))
+
+
 @query(
     "kg_alias_pairs",
     f"""
@@ -3031,7 +3118,7 @@ _DRIVER_ORDER = [
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
-    "kg_random_walks", "kg_alias_pairs",
+    "kg_random_walks", "kg_alias_pairs", "kg_community_profiles",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

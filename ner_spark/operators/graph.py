@@ -1055,3 +1055,97 @@ def random_walks(
             .localCheckpoint(eager=False)
         )
     return cur.select("walk_id", "path")
+
+
+def community_profiles(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Graph summarization over the label-propagation communities:
+    ``(community, n_nodes, n_internal, n_boundary, top_pred,
+    density_micro)`` — size, internal undirected edge count, boundary
+    (cross-community) undirected edge count, the dominant predicate of
+    the community's internal directed edges (ties to the
+    lexicographically smallest; '' when a community has no internal
+    edges), and ``floor(2e6·n_internal / (n·(n−1)))`` — the integer-
+    scaled undirected density. This is the "what is this cluster
+    about" audit table a KG curation UI shows per community, and the
+    balance check before using communities as a partitioning key.
+
+    Scale shape: labels ride one persisted (node, community) frame
+    joined twice against the slim undirected edge list (both keyed on
+    node id); every aggregate is map-side combinable over community
+    keys; the top-predicate arg-max is a per-community window whose
+    partitions are bounded by |preds| rows. Density arithmetic is an
+    exact integer→IEEE-double division identical across engines.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.functions.dedup import register_persist
+
+    labels = register_persist(label_propagation(edges, iters=iters))
+    und = register_persist(undirected_edges(edges))
+    la = labels.select(F.col("entity_id").alias("a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("entity_id").alias("b"), F.col("community").alias("cb"))
+    e_lab = register_persist(und.join(la, "a").join(lb, "b"))
+
+    members = labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    internal = (
+        e_lab.where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_internal"))
+    )
+    cross = e_lab.where(F.col("ca") != F.col("cb"))
+    boundary = (
+        cross.select(F.col("ca").alias("community"))
+        .unionByName(cross.select(F.col("cb").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("n_boundary"))
+    )
+    ls = labels.select(
+        F.col("entity_id").alias("src_entity"), F.col("community").alias("cs")
+    )
+    ld = labels.select(
+        F.col("entity_id").alias("dst_entity"), F.col("community").alias("cd")
+    )
+    pred_counts = (
+        edges.where(F.col("src_entity") != F.col("dst_entity"))
+        .join(ls, "src_entity")
+        .join(ld, "dst_entity")
+        .where(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"), "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("community").orderBy(
+        F.desc("cnt"), F.asc("pred")
+    )
+    top_pred = (
+        pred_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("community", F.col("pred").alias("top_pred"))
+    )
+    return (
+        members.join(internal, "community", "left")
+        .join(boundary, "community", "left")
+        .join(top_pred, "community", "left")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("n_internal", F.lit(0)).alias("n_internal"),
+            F.coalesce("n_boundary", F.lit(0)).alias("n_boundary"),
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+            F.when(
+                F.col("n_nodes") > 1,
+                F.floor(
+                    F.lit(2e6)
+                    * F.coalesce("n_internal", F.lit(0)).cast("double")
+                    / (
+                        F.col("n_nodes").cast("double")
+                        * (F.col("n_nodes") - 1).cast("double")
+                    )
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("density_micro"),
+        )
+    )

@@ -663,3 +663,62 @@ def test_random_walks_deterministic_and_hash_indexed(spark):
     assert random_walks(
         spark.createDataFrame([("a", "p", "a", 1)], schema)
     ).count() == 0
+
+
+def test_community_profiles_consistent_with_lpa(spark):
+    """Profiles recomputed in pure Python from the (already-tested) LPA
+    labels + raw edge list must match: sizes, internal/boundary edge
+    counts, dominant internal predicate with lexicographic tie-break,
+    integer density. Graph: two triangles joined by a bridge, mixed
+    preds, one self-loop (ignored), duplicate reverse edge (collapsed)."""
+    import math
+    from collections import Counter
+
+    from ner_spark.operators.graph import community_profiles, label_propagation
+
+    rows = [
+        ("a", "p", "b", 3), ("b", "q", "c", 1), ("c", "p", "a", 2),
+        ("x", "r", "y", 3), ("y", "r", "z", 1), ("z", "s", "x", 2),
+        ("c", "t", "x", 1),              # bridge
+        ("a", "p", "a", 9),              # self-loop: ignored everywhere
+        ("b", "p", "a", 1),              # reverse dup: one undirected edge
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    labels = {r.entity_id: r.community
+              for r in label_propagation(edges, iters=3).collect()}
+    got = {r.community: (r.n_nodes, r.n_internal, r.n_boundary, r.top_pred,
+                         r.density_micro)
+           for r in community_profiles(edges, iters=3).collect()}
+
+    und = {tuple(sorted((s, d))) for s, _, d, _ in rows if s != d}
+    n_nodes = Counter(labels.values())
+    internal: Counter = Counter()
+    boundary: Counter = Counter()
+    for a, b in und:
+        ca, cb = labels[a], labels[b]
+        if ca == cb:
+            internal[ca] += 1
+        else:
+            boundary[ca] += 1
+            boundary[cb] += 1
+    pred_counts: Counter = Counter()
+    for s, p, d, _ in rows:
+        if s != d and labels[s] == labels[d]:
+            pred_counts[(labels[s], p)] += 1
+    exp = {}
+    for c, n in n_nodes.items():
+        best = sorted(
+            ((cnt, p) for (cc, p), cnt in pred_counts.items() if cc == c),
+            key=lambda t: (-t[0], t[1]),
+        )
+        top = best[0][1] if best else ""
+        dens = (int(math.floor(2e6 * internal[c] / (n * (n - 1))))
+                if n > 1 else 0)
+        exp[c] = (n, internal[c], boundary[c], top, dens)
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == len(labels)
+    # degenerate: empty graph -> no profiles
+    schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
+    assert community_profiles(spark.createDataFrame([], schema)).count() == 0

@@ -390,6 +390,65 @@ CHECKS = {
             "to the accumulated reachable set."
         ),
     ),
+    "kg_adamic_adar": dict(
+        requires=["LeftAnti"],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="edges",
+        note=(
+            "Link-prediction scoring: per-mid wedge enumeration rides "
+            "the adaptive salted skew-split self-join (hot mids spread "
+            "over bounded cells), contributions are int64-quantized "
+            "before the order-independent sum, and the non-adjacency "
+            "filter is a left-anti join (asserted) of slim pairs "
+            "against the undirected edge set. Super-hub mids cut at "
+            "deg<=65536 in both engines."
+        ),
+    ),
+    "kg_random_walks": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="edges",
+        note=(
+            "Deterministic DeepWalk corpus: the visible plan is the "
+            "LAST step (the loop localCheckpoints between steps) — two "
+            "slim keyed joins: frontier x degree to draw "
+            "pick = h60(walk|step) mod deg, then (cur, pick) against "
+            "the ranked adjacency. O(1) per walk step, hub cost equals "
+            "leaf cost; the per-node ranking Window is partitioned by "
+            "node (bounded partitions), never SinglePartition."
+        ),
+    ),
+    "kg_alias_pairs": dict(
+        requires=["LeftAnti"],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="alias_nodes",
+        note=(
+            "PassJoin segment blocking: linear O(d^3)-keys-per-row "
+            "candidate generation, two-sided salted join for hot "
+            "(block, len, seg) keys (LeftAnti = the light-path heavy-"
+            "key exclusion), banded levenshtein verify, score-then-"
+            "dedup so the dedup exchange carries (id, id, dist) and "
+            "never the name proxies."
+        ),
+    ),
+    "kg_community_profiles": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct"],
+        builder="edges",
+        note=(
+            "Community summarization over the LPA labels (rounds are "
+            "localCheckpointed upstream): one persisted (node, "
+            "community) frame joined against slim undirected edges, "
+            "map-side-combinable per-community aggregates, and a "
+            "top-predicate Window partitioned by community (bounded "
+            "by |preds| rows per partition). SinglePartition is NOT "
+            "forbidden here: the only occurrence is the Exchange "
+            "inside Spark's own injected runtime bloom-filter "
+            "subquery (bloom_filter_agg) — a scalar full reduction "
+            "used to prune the join's probe side, not a data-bearing "
+            "single-partition stage."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -489,11 +548,14 @@ def main() -> None:
         # materialize stage writes)
         from ner_spark.entry_queries import FIXTURES_SQL_ROOT
         from ner_spark.operators.graph import (
+            adamic_adar,
+            community_profiles,
             degree_stats,
             functional_violations,
             paths_2hop,
             pred_cardinality_profile,
             pred_type_signatures,
+            random_walks,
             triangle_count,
         )
 
@@ -507,6 +569,9 @@ def main() -> None:
             "kg_functional_violations": functional_violations,
             "kg_paths_2hop": paths_2hop,
             "kg_pred_signatures": pred_type_signatures,
+            "kg_adamic_adar": adamic_adar,
+            "kg_random_walks": random_walks,
+            "kg_community_profiles": community_profiles,
         }[name](edges)
 
     def _temporal_over_goldens():
@@ -575,7 +640,14 @@ def main() -> None:
         return mention_contexts(m, t, window=3)
 
     for name, spec in CHECKS.items():
-        if spec.get("builder") == "edges":
+        if spec.get("builder") == "alias_nodes":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXA
+            from ner_spark.operators.alias import alias_pairs
+
+            df = alias_pairs(
+                spark.read.parquet(os.path.join(_FXA, "nodes.parquet"))
+            )
+        elif spec.get("builder") == "edges":
             df = _over_materialized_edges(name)
         elif spec.get("builder") == "temporal":
             df = _temporal_over_goldens()
