@@ -168,6 +168,31 @@ def main() -> None:
     _ct.count()
     run("kg_current_facts", lambda: current_facts(_ct, t).count())
     _ct.unpersist()
+
+    # KG-consumer layer added in r3 session 3: link prediction, walk
+    # corpus, community summaries, alias queue. best_of=2 — all are
+    # multi-stage jobs over the small cached graph (JIT-dominated cold).
+    from ner_spark.functions.dedup import release_persisted_blocks
+    from ner_spark.operators.alias import alias_pairs
+    from ner_spark.operators.graph import (
+        adamic_adar,
+        community_profiles,
+        materialize_nodes,
+        random_walks,
+    )
+
+    run("kg_adamic_adar", lambda: adamic_adar(kg_edges).count(), best_of=2)
+    run("kg_random_walks", lambda: random_walks(kg_edges).count(), best_of=2)
+    run(
+        "kg_community_profiles",
+        lambda: community_profiles(kg_edges).count(),
+        best_of=2,
+    )
+    kg_nodes = materialize_nodes(_nodes, _assign).cache()
+    kg_nodes.count()
+    run("kg_alias_pairs", lambda: alias_pairs(kg_nodes).count(), best_of=2)
+    kg_nodes.unpersist()
+    release_persisted_blocks()
     kg_edges.unpersist()
 
     # mention context windows: row-local over the still-cached mentions
