@@ -2247,10 +2247,27 @@ def _kg_walks_oracle(
       JOIN deg d ON d.z = w.cur
       JOIN ranked r ON r.z = w.cur AND r.idx = {step_h} % d.d)"""
         )
-    return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT walk_id, path FROM w{walk_length}"
-    )
+    return "WITH " + ",\n".join(ctes), f"w{walk_length}"
+
+
+def _kg_walks_sql(**kw) -> str:
+    prefix, final = _kg_walks_oracle(**kw)
+    return f"{prefix}\nSELECT walk_id, path FROM {final}"
+
+
+def _kg_skipgram_sql(window: int = 2, **kw) -> str:
+    """Skip-gram oracle: the unrolled-walk chain, then positional
+    unnest + windowed self-join + count — an independent restatement of
+    the Spark side's row-local windowed enumeration."""
+    prefix, final = _kg_walks_oracle(**kw)
+    return f"""{prefix},
+    toks AS (SELECT walk_id, string_split(path, '->') AS a FROM {final}),
+    pos AS (SELECT walk_id, unnest(a) AS entity,
+                   generate_subscripts(a, 1) AS i FROM toks)
+    SELECT p.entity AS center, q.entity AS context, count(*) AS n_pairs
+    FROM pos p JOIN pos q
+      ON p.walk_id = q.walk_id AND p.i <> q.i AND abs(p.i - q.i) <= {window}
+    GROUP BY 1, 2"""
 
 
 def _kg_community_profiles_oracle(iters: int = 3) -> str:
@@ -2377,7 +2394,21 @@ def q_kg_alias_pairs(spark, sf_dir):
     return alias_pairs(materialize_nodes(nodes, a))
 
 
-@query("kg_random_walks", _kg_walks_oracle())
+@query("kg_skipgram_pairs", _kg_skipgram_sql())
+def q_kg_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context, n_pairs) co-occurrence counts from
+    the deterministic walk corpus (operators/graph.py:
+    walk_skipgram_pairs) — the SGNS/GloVe trainer input that closes the
+    DeepWalk data path. Row-local windowed enumeration via nested JVM
+    higher-order functions; the only exchange is the map-side-
+    combinable pair count. Oracle = unrolled walks + positional
+    self-join."""
+    from ner_spark.operators.graph import random_walks, walk_skipgram_pairs
+
+    return walk_skipgram_pairs(random_walks(_kg_edges(spark, sf_dir)))
+
+
+@query("kg_random_walks", _kg_walks_sql())
 def q_kg_random_walks(spark, sf_dir):
     """Deterministic DeepWalk corpus over the canonical KG
     (operators/graph.py:random_walks): 2 hash-seeded walks of 4 steps
@@ -3118,7 +3149,8 @@ _DRIVER_ORDER = [
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
-    "kg_random_walks", "kg_alias_pairs", "kg_community_profiles",
+    "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
+    "kg_community_profiles",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

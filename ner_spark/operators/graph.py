@@ -1149,3 +1149,44 @@ def community_profiles(edges: DataFrame, iters: int = 3) -> DataFrame:
             .alias("density_micro"),
         )
     )
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from the random-walk corpus:
+    ``(center, context, n_pairs)`` — every ordered co-occurrence within
+    ``window`` positions inside a walk, count-aggregated. This is the
+    input a skip-gram-with-negative-sampling (or GloVe-style) KG
+    embedding trainer consumes; together with ``random_walks`` and
+    ``negative_samples`` it closes the DeepWalk data path end-to-end.
+
+    Entirely row-local until the final count: the walk path is split
+    and the windowed pair enumeration runs as nested JVM higher-order
+    functions (≤ (L+1)·2w pairs per walk, a constant), so the only
+    exchange is the map-side-combinable (center, context) count — no
+    join, no posexplode self-join re-shuffling the corpus.
+    """
+    toks = F.split(F.col("path"), "->")
+    n = F.size(toks)
+
+    def per_center(i):
+        lo = F.greatest(F.lit(0), i - F.lit(window))
+        hi = F.least(n - 1, i + F.lit(window))
+        return F.filter(
+            F.transform(
+                F.sequence(lo, hi),
+                lambda j: F.struct(
+                    F.element_at(toks, i + 1).alias("center"),
+                    F.element_at(toks, j + 1).alias("context"),
+                    (j != i).alias("ok"),
+                ),
+            ),
+            lambda s: s.ok,
+        )
+
+    pairs = F.flatten(F.transform(F.sequence(F.lit(0), n - 1), per_center))
+    return (
+        walks.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

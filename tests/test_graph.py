@@ -722,3 +722,32 @@ def test_community_profiles_consistent_with_lpa(spark):
     # degenerate: empty graph -> no profiles
     schema = "src_entity string, pred string, dst_entity string, n_turns bigint"
     assert community_profiles(spark.createDataFrame([], schema)).count() == 0
+
+
+def test_walk_skipgram_pairs_windowed_counts(spark):
+    from collections import Counter
+
+    from ner_spark.operators.graph import walk_skipgram_pairs
+
+    walks = [("w1", "a->b->c->b->e"), ("w2", "x->y"), ("w3", "z")]
+    df = spark.createDataFrame(walks, "walk_id string, path string")
+    got = {(r.center, r.context): r.n_pairs
+           for r in walk_skipgram_pairs(df, window=2).collect()}
+    exp: Counter = Counter()
+    for _, p in walks:
+        t = p.split("->")
+        for i in range(len(t)):
+            for j in range(max(0, i - 2), min(len(t), i + 3)):
+                if j != i:
+                    exp[(t[i], t[j])] += 1
+    assert got == dict(exp)
+    # single-node walk w3 contributes nothing; repeated node b both
+    # centers and contexts itself via c — covered by the Counter
+    assert ("z", "z") not in got
+    # window=1 is adjacent-only
+    got1 = {(r.center, r.context): r.n_pairs
+            for r in walk_skipgram_pairs(df, window=1).collect()}
+    assert got1[("a", "b")] == 1 and ("a", "c") not in got1
+    assert walk_skipgram_pairs(
+        spark.createDataFrame([], "walk_id string, path string")
+    ).count() == 0

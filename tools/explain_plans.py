@@ -449,6 +449,19 @@ CHECKS = {
             "single-partition stage."
         ),
     ),
+    "kg_skipgram_pairs": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="edges",
+        note=(
+            "Skip-gram pair extraction from the walk corpus: the "
+            "windowed (center, context) enumeration is row-local "
+            "(nested JVM higher-order functions over the split path, "
+            "<= (L+1)*2w pairs per walk), so the only exchange beyond "
+            "the walk loop's own is the map-side-combinable pair "
+            "count — no posexplode self-join reshuffling the corpus."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -557,6 +570,7 @@ def main() -> None:
             pred_type_signatures,
             random_walks,
             triangle_count,
+            walk_skipgram_pairs,
         )
 
         edges = spark.read.parquet(
@@ -571,6 +585,9 @@ def main() -> None:
             "kg_pred_signatures": pred_type_signatures,
             "kg_adamic_adar": adamic_adar,
             "kg_random_walks": random_walks,
+            "kg_skipgram_pairs": lambda e: walk_skipgram_pairs(
+                random_walks(e)
+            ),
             "kg_community_profiles": community_profiles,
         }[name](edges)
 
