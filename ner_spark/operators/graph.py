@@ -903,7 +903,11 @@ def adamic_adar(
     * each common-neighbor contribution is quantized to an int64 BEFORE
       the sum, so the pair score is an order-independent integer total —
       bit-identical across engines and partitionings (a double Σ 1/ln d
-      would depend on reduction order);
+      would depend on reduction order). The quantization itself is
+      engine-stable too: for every degree ≤ 10⁶ the distance of
+      1e9/ln d to the nearest integer (min 9.7e-7, at d=884722)
+      exceeds the few-ULP libm wobble of the dividend by ≥ 14×, so
+      Java's Math.log and DuckDB's C libm floor identically;
     * wedge enumeration at a mid z costs deg(z)², so the wedge join
       rides ``_salted_block_self_join`` (adaptive salted triangle join,
       see functions/dedup.py) — a hot mid is spread over s² bounded

@@ -64,6 +64,36 @@ def make_skewed_docs(spark, n_hot: int, n_tail: int, swaps: int = 3):
     return spark.createDataFrame(pdf)
 
 
+def make_skewed_names(spark, n_hot: int, n_tail: int):
+    """Pathological alias corpus: one hot PassJoin key, deterministically.
+
+    Hot names: same type, same length (30 bytes), IDENTICAL first 10
+    bytes — with d=2 the even 3-split makes segment 0 of every hot name
+    the same string, so the single key (type, 30, 0, prefix) carries an
+    n_hot x n_hot candidate block that a plain equi-join evaluates (and
+    banded-levenshtein-verifies) in ONE task. Random 20-byte suffixes
+    keep true matches rare — the cost IS the verification fan-out.
+    Tail names: random lengths/types (normal blocking)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    abc = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    rows = []
+    for i in range(n_hot):
+        suffix = "".join(rng.choice(abc, size=20))
+        rows.append((f"h{i:06d}", "org", "acmecorpx_" + suffix))
+    for j in range(n_tail):
+        ln = int(rng.randint(3, 25))
+        rows.append(
+            (f"t{j:06d}", f"ty{j % 5}", "".join(rng.choice(abc, size=ln)))
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["entity_id", "entity_type", "canonical_name"]
+    )
+    return spark.createDataFrame(pdf)
+
+
 def _api(spark, path: str):
     base = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -115,7 +145,8 @@ def main() -> None:
     ap.add_argument("--tail", type=int, default=1000)
     ap.add_argument("--swaps", type=int, default=3)
     ap.add_argument(
-        "--skip", default="", help="comma list of families to skip: jaccard,simhash"
+        "--skip", default="",
+        help="comma list of families to skip: jaccard,simhash,alias"
     )
     ap.add_argument(
         "--no-naive",
@@ -198,12 +229,29 @@ def main() -> None:
                 lambda: simhash_band_pairs(docs, salt_threshold=st).count(),
             )
         )
+    if "alias" not in skip:
+        from ner_spark.operators.alias import alias_pairs
+
+        names = make_skewed_names(spark, args.hot, args.tail).cache()
+        names.count()
+        if not args.no_naive:
+            todo.append(
+                (
+                    "alias_pairs_naive",
+                    # budget 10^12 pairs: no key salts — the hot key's
+                    # whole n_hot x n_hot verification runs in one task
+                    lambda: alias_pairs(names, salt_threshold=10**6).count(),
+                )
+            )
+        todo.append(
+            ("alias_pairs_salted", lambda: alias_pairs(names, salt_threshold=st).count())
+        )
     results = []
     for name, fn in todo:
         results.append(measure(spark, name, fn))
         release_persisted_blocks()
 
-    for fam in ("token_jaccard", "simhash_bands"):
+    for fam in ("token_jaccard", "simhash_bands", "alias_pairs"):
         counts_ = {r["rows"] for r in results if r["query"].startswith(fam)}
         assert len(counts_) <= 1, f"{fam}: plans disagree on output rows {counts_}"
     out = {
