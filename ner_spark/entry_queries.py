@@ -2211,7 +2211,7 @@ def q_kg_adamic_adar(spark, sf_dir):
 
 def _kg_walks_oracle(
     walks_per_node: int = 2, walk_length: int = 4, seed: str = "walk"
-) -> str:
+) -> tuple[str, str]:
     """Unrolled deterministic-random-walk oracle in pure DuckDB SQL over
     the golden edge table: same ranked-adjacency indexing (per-node
     row_number over the 60-bit md5 hash) and the same per-step draw
@@ -2405,7 +2405,9 @@ def q_kg_skipgram_pairs(spark, sf_dir):
     self-join."""
     from ner_spark.operators.graph import random_walks, walk_skipgram_pairs
 
-    return walk_skipgram_pairs(random_walks(_kg_edges(spark, sf_dir)))
+    return walk_skipgram_pairs(
+        random_walks(_kg_edges(spark, sf_dir), as_array=True)
+    )
 
 
 @query("kg_random_walks", _kg_walks_sql())
@@ -3152,9 +3154,13 @@ _DRIVER_ORDER = [
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
     "kg_community_profiles",
     "kg_canonical_triples", "kg_noisy_triples",
+    # -------- position > 50: NOT recorded by the external driver -------
+    # (kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
+    # kg_stream_triples were demoted below the cap by the 7 session-3
+    # kg_* queries above — all five hold green CORRECTNESS_r01/r02
+    # rows.)
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
-    # -------- position > 50: NOT recorded by the external driver -------
     # Everything below was value-hash-green in CORRECTNESS_r01/r02 and
     # stays covered by the local mirror gate (tools/check_entry.py, all
     # of it): the r02-green encode/scan family, the semantically-

@@ -548,7 +548,7 @@ def bfs_hops(
         F.col("src_entity").alias("s"), F.col("dst_entity").alias("d")
     ).distinct().persist()
     visited = (
-        sources.selectExpr(f"{sources.columns[0]} as x")
+        sources.select(F.col(sources.columns[0]).alias("x"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("int"))
         .localCheckpoint(eager=True)
@@ -973,6 +973,7 @@ def random_walks(
     walks_per_node: int = 2,
     walk_length: int = 4,
     seed: str = "walk",
+    as_array: bool = False,
 ) -> DataFrame:
     """Deterministic DeepWalk-style random-walk corpus over the
     undirected canonical KG: ``walks_per_node`` walks of
@@ -1030,7 +1031,7 @@ def random_walks(
         .select(
             F.concat_ws("#", F.col("z"), F.col("r")).alias("walk_id"),
             F.col("z").alias("cur"),
-            F.col("z").alias("path"),
+            F.array(F.col("z")).alias("path"),
         )
         .localCheckpoint(eager=False)
     )
@@ -1054,11 +1055,13 @@ def random_walks(
             .select(
                 "walk_id",
                 F.col("n").alias("cur"),
-                F.concat_ws("->", "path", "n").alias("path"),
+                F.array_append("path", F.col("n")).alias("path"),
             )
             .localCheckpoint(eager=False)
         )
-    return cur.select("walk_id", "path")
+    if as_array:
+        return cur.select("walk_id", "path")
+    return cur.select("walk_id", F.array_join("path", "->").alias("path"))
 
 
 def community_profiles(edges: DataFrame, iters: int = 3) -> DataFrame:
@@ -1085,7 +1088,9 @@ def community_profiles(edges: DataFrame, iters: int = 3) -> DataFrame:
     from ner_spark.functions.dedup import register_persist
 
     labels = register_persist(label_propagation(edges, iters=iters))
-    und = register_persist(undirected_edges(edges))
+    # und feeds only the e_lab derivation (itself persisted): no persist,
+    # it would burn an LRU slot without a second consumer
+    und = undirected_edges(edges)
     la = labels.select(F.col("entity_id").alias("a"), F.col("community").alias("ca"))
     lb = labels.select(F.col("entity_id").alias("b"), F.col("community").alias("cb"))
     e_lab = register_persist(und.join(la, "a").join(lb, "b"))
@@ -1163,13 +1168,24 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     embedding trainer consumes; together with ``random_walks`` and
     ``negative_samples`` it closes the DeepWalk data path end-to-end.
 
-    Entirely row-local until the final count: the walk path is split
-    and the windowed pair enumeration runs as nested JVM higher-order
-    functions (≤ (L+1)·2w pairs per walk, a constant), so the only
-    exchange is the map-side-combinable (center, context) count — no
-    join, no posexplode self-join re-shuffling the corpus.
+    Entirely row-local until the final count: the windowed pair
+    enumeration runs as nested JVM higher-order functions over the
+    walk's token array (≤ (L+1)·2w pairs per walk, a constant), so the
+    only exchange is the map-side-combinable (center, context) count —
+    no join, no posexplode self-join re-shuffling the corpus.
+
+    Accepts walks in either form ``random_walks`` produces: the
+    lossless ``array<string>`` path (preferred — pass
+    ``as_array=True`` upstream) or the ``"a->b"`` serialization, which
+    is split here and is only faithful when entity ids contain no
+    ``->`` (the serialized form exists for interchange/hashing).
     """
-    toks = F.split(F.col("path"), "->")
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(walks.schema["path"].dataType, ArrayType):
+        toks = F.col("path")
+    else:
+        toks = F.split(F.col("path"), "->")
     n = F.size(toks)
 
     def per_center(i):

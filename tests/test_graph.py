@@ -751,3 +751,38 @@ def test_walk_skipgram_pairs_windowed_counts(spark):
     assert walk_skipgram_pairs(
         spark.createDataFrame([], "walk_id string, path string")
     ).count() == 0
+
+
+def test_walks_array_form_and_separator_safety(spark):
+    """as_array=True yields the lossless token array; skip-gram pairs
+    from the array form are correct even when entity ids CONTAIN the
+    '->' serialization separator (the string form is interchange-only)."""
+    from ner_spark.operators.graph import random_walks, walk_skipgram_pairs
+
+    rows = [("a->b", "p", "c", 1), ("c", "p", "a->b", 2)]
+    edges = spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    arr = random_walks(edges, walks_per_node=1, walk_length=2, as_array=True)
+    walks = {r.walk_id: list(r.path) for r in arr.collect()}
+    # the 2-node graph oscillates: every walk alternates the two ids
+    assert set(walks) == {"a->b#0", "c#0"}
+    for wid, path in walks.items():
+        assert len(path) == 3
+        assert set(path) == {"a->b", "c"}
+    got = {(r.center, r.context): r.n_pairs
+           for r in walk_skipgram_pairs(arr, window=1).collect()}
+    # adjacent pairs only, tokens never split inside 'a->b'
+    assert set(k for pair in got for k in pair) == {"a->b", "c"}
+    assert sum(got.values()) == 2 * 2 * 2  # 2 walks x 2 adjacent pairs x 2 dirs
+    # string form agrees with array form when ids are separator-free
+    clean = spark.createDataFrame(
+        [("a", "p", "b", 1), ("b", "p", "c", 1)],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    g_str = {(r.center, r.context): r.n_pairs for r in walk_skipgram_pairs(
+        random_walks(clean, walks_per_node=2, walk_length=3)).collect()}
+    g_arr = {(r.center, r.context): r.n_pairs for r in walk_skipgram_pairs(
+        random_walks(clean, walks_per_node=2, walk_length=3, as_array=True)
+    ).collect()}
+    assert g_str == g_arr and g_str
