@@ -2849,6 +2849,63 @@ def q_tfidf_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+_BM25_TERMS = ["query", "join", "filter"]
+
+
+def _bm25_oracle(
+    terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """BM25 oracle: same per-term int64-quantized contributions, the
+    idf/avgdl doubles recomputed by DuckDB's own C-libm ``ln`` (the
+    Spark side embeds the identical Python-computed literals), the
+    score expression parenthesized VERBATIM as functions/text.py:
+    bm25_topk writes it."""
+    tf_defs = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    onek1 = repr(k1 + 1.0)
+    contribs = " + ".join(
+        f"""CAST(floor(1e6
+          * ln(1.0 + (st.n - st.df{i} + 0.5) / (st.df{i} + 0.5))
+          * ((CAST(tf{i} AS DOUBLE) * {onek1})
+             / (CAST(tf{i} AS DOUBLE)
+                + {k1!r} * ({1.0 - b!r}
+                            + {b!r} * (CAST(dl AS DOUBLE)
+                                       / (st.total_dl / st.n)))))
+        ) AS BIGINT)"""
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_defs}
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    st AS (SELECT count(*) AS n, sum(dl) AS total_dl, {df_defs} FROM base)
+    SELECT doc_id, score_micro FROM (
+      SELECT doc_id, {contribs} AS score_micro
+      FROM base, st)
+    WHERE score_micro > 0
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("bm25_topk", _bm25_oracle(_BM25_TERMS))
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 lexical retrieval for a fixed 3-term query over the
+    documents corpus (functions/text.py:bm25_topk) — row-local per-term
+    tf, one scalar stats aggregate, literal-folded idf, int64-quantized
+    fixed-order score sum, TakeOrderedAndProject top-k."""
+    from ner_spark.functions.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 # ===========================================================================
 # Corpus n-gram heavy hitters — functions/text.py:ngram_topk
 # ===========================================================================
@@ -3139,7 +3196,7 @@ _DRIVER_ORDER = [
     "pricing_summary", "top_revenue_nations", "window_topk_orders",
     "priority_count", "region_order_counts", "supplier_balance_by_nation",
     # new in round 3 — need their first driver row
-    "pack_windows", "tfidf_terms",
+    "pack_windows", "tfidf_terms", "bm25_topk",
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
     # KG pipeline (the headline surface)
@@ -3153,12 +3210,13 @@ _DRIVER_ORDER = [
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
     "kg_community_profiles",
-    "kg_canonical_triples", "kg_noisy_triples",
+    "kg_canonical_triples",
     # -------- position > 50: NOT recorded by the external driver -------
-    # (kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
-    # kg_stream_triples were demoted below the cap by the 7 session-3
-    # kg_* queries above — all five hold green CORRECTNESS_r01/r02
-    # rows.)
+    # (kg_noisy_triples, kg_span_to_bio, kg_turn_stats, kg_prf,
+    # kg_bioes_pairs, kg_stream_triples were demoted below the cap by
+    # the 8 session-3 queries above — all six hold green
+    # CORRECTNESS_r01/r02 rows.)
+    "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
     # Everything below was value-hash-green in CORRECTNESS_r01/r02 and

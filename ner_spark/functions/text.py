@@ -311,3 +311,106 @@ def ngram_topk(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("gram").asc()
     ).limit(k)
+
+
+def bm25_topk(
+    df,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 top-``k`` retrieval for a fixed term query over the corpus:
+    ``(doc_id, score_micro)`` — the lexical-retrieval primitive of a
+    RAG / training-data-curation stack ("pull the documents most about
+    X"), Okapi BM25 with the standard k1/b defaults.
+
+    Scale shape — no inverted-index shuffle at all for a bounded query:
+    * per-term term frequencies and the document length are ROW-LOCAL
+      higher-order expressions over the split text (|terms| is a query
+      constant), so the scan stays one embarrassingly-parallel pass;
+    * corpus statistics (N, Σdl, per-term document frequencies) are ONE
+      map-side-combinable scalar aggregate collected as a single row —
+      the same bounded driver probe as pagerank's dangling mass;
+    * idf and the length normalizer fold into per-term LITERAL
+      coefficients; each document's score is a fixed-order sum of
+      int64-quantized per-term contributions (floor(1e6·contrib) per
+      term BEFORE the sum), so scores are bit-identical across engines
+      and partitionings;
+    * the top-k is orderBy(score desc, doc_id) + limit —
+      TakeOrderedAndProject, never a global sort.
+
+    idf uses ln(1 + (N − df + 0.5)/(df + 0.5)) (the non-negative
+    Lucene form), computed driver-side in C-libm Python so the SQL
+    oracle's own ``ln`` (same libm) reproduces it bit-for-bit.
+    """
+    import math
+
+    from ner_spark.functions.dedup import register_persist
+
+    toks = F.split(F.col(text_col), " ")
+    base_cols = [
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+    ]
+
+    def _tf(term: str):
+        # factory closure, NOT a default-arg lambda: a 2-parameter
+        # lambda is treated as the (element, index) higher-order form
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    for i, t in enumerate(terms):
+        base_cols.append(_tf(t).alias(f"tf{i}"))
+    # two consumers (stats aggregate + scoring pass): ride the bounded
+    # persist LRU so the tokenizing scan runs once
+    base = register_persist(df.select(*base_cols))
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")]
+    for i in range(len(terms)):
+        aggs.append(F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}"))
+    st = base.agg(*aggs).collect()[0]
+    n_docs = st["n"]
+    if n_docs == 0:
+        return base.select(
+            "doc_id", F.lit(0).cast("long").alias("score_micro")
+        ).where(F.lit(False))
+    avgdl = st["total_dl"] / n_docs
+
+    contribs = []
+    for i in range(len(terms)):
+        idf = math.log(
+            1.0 + (n_docs - st[f"df{i}"] + 0.5) / (st[f"df{i}"] + 0.5)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        # parenthesization mirrored VERBATIM in the SQL oracle — float
+        # ops are IEEE-exact but order-sensitive
+        contribs.append(
+            F.floor(
+                F.lit(1e6)
+                * F.lit(idf)
+                * (
+                    tf
+                    * F.lit(k1 + 1.0)
+                    / (
+                        tf
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * (F.col("dl").cast("double") / F.lit(avgdl))
+                        )
+                    )
+                )
+            ).cast("long")
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    return (
+        base.select("doc_id", score.alias("score_micro"))
+        .where(F.col("score_micro") > 0)
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

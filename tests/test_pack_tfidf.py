@@ -81,3 +81,50 @@ def test_tfidf_ranks_specific_terms_over_boilerplate(spark):
     # doc 2: 'cat' tf=2 df=2 -> 2*(ln(4/3)+1)=2.575; unique 'purred'
     # 1*(ln(2)+1)=1.693; boilerplate 'the' = 1.0
     assert top[2][0] == "cat" and top[2][1] == "purred"
+
+
+def test_bm25_topk_vs_pure_python(spark):
+    """BM25 scores must equal a pure-Python Okapi implementation with
+    the same int64 quantization; ordering is (score desc, doc_id asc),
+    zero-score docs are excluded, and the limit binds."""
+    import math
+
+    from ner_spark.functions.text import bm25_topk
+
+    corpus = [
+        (0, "fast query engine for big query workloads"),
+        (1, "join join join everything"),
+        (2, "filter then join then filter again"),
+        (3, "completely unrelated text about cats"),
+        (4, "query"),
+        (5, "the quick brown fox"),
+    ]
+    terms = ["query", "join", "filter"]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [(r.doc_id, r.score_micro) for r in bm25_topk(df, terms, k=3).collect()]
+
+    k1, b = 1.2, 0.75
+    docs = {i: t.split(" ") for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    exp = {}
+    for i, toks in docs.items():
+        s = 0
+        for term in terms:
+            dfreq = sum(1 for t2 in docs.values() if term in t2)
+            idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+            tf = toks.count(term)
+            s += int(math.floor(
+                1e6 * idf * (tf * (k1 + 1.0)
+                             / (tf + k1 * ((1.0 - b) + b * (len(toks) / avgdl))))
+            ))
+        if s > 0:
+            exp[i] = s
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == want and len(got) == 3
+    # docs 3 and 5 (score 0) never appear even with a huge k
+    all_rows = {r.doc_id for r in bm25_topk(df, terms, k=100).collect()}
+    assert all_rows == set(exp)
+    # empty corpus
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_topk(empty, terms, k=5).count() == 0

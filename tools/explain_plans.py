@@ -462,6 +462,19 @@ CHECKS = {
             "count — no posexplode self-join reshuffling the corpus."
         ),
     ),
+    "bm25_topk": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "BM25 retrieval with a bounded term query: per-term tf and "
+            "doc length are row-local higher-order expressions (no "
+            "inverted-index shuffle), corpus stats are one scalar "
+            "aggregate folded into literal coefficients, the score is "
+            "a fixed-order sum of int64-quantized contributions, and "
+            "the top-k compiles to TakeOrderedAndProject (asserted) — "
+            "never a global sort."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
