@@ -2358,6 +2358,45 @@ def q_kg_community_profiles(spark, sf_dir):
 
 
 @query(
+    "kg_edge_split",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity, CAST(n_turns AS BIGINT) AS n_turns,
+             ('0x' || substring(md5('edgesplit|' || src_entity || '|' ||
+               pred || '|' || dst_entity), 1, 15))::BIGINT % 100 AS h
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    tagged AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity, n_turns,
+             CASE WHEN h < 10 THEN 'test'
+                  WHEN h < 20 THEN 'valid'
+                  ELSE 'train' END AS split0
+      FROM e),
+    tn AS MATERIALIZED (
+      SELECT DISTINCT x FROM (
+        SELECT src_entity AS x FROM tagged WHERE split0 = 'train'
+        UNION ALL
+        SELECT dst_entity FROM tagged WHERE split0 = 'train'))
+    SELECT src_entity, pred, dst_entity, n_turns,
+           CASE WHEN split0 <> 'train'
+                 AND (src_entity NOT IN (SELECT x FROM tn)
+                      OR dst_entity NOT IN (SELECT x FROM tn))
+                THEN 'train' ELSE split0 END AS split
+    FROM tagged
+    """,
+)
+def q_kg_edge_split(spark, sf_dir):
+    """Deterministic transductive train/valid/test edge holdout
+    (operators/graph.py:edge_holdout_split) — hash-bucketed by the edge
+    triple (stable under repartitioning and deltas), valid/test edges
+    with a train-unseen endpoint reassigned to train per the standard
+    transductive protocol. Completes the KG-embedding loop next to
+    walks / skip-gram pairs / negative samples."""
+    from ner_spark.operators.graph import edge_holdout_split
+
+    return edge_holdout_split(_kg_edges(spark, sf_dir))
+
+
+@query(
     "kg_alias_pairs",
     f"""
     WITH n AS (
@@ -3209,14 +3248,13 @@ _DRIVER_ORDER = [
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
-    "kg_community_profiles",
-    "kg_canonical_triples",
+    "kg_community_profiles", "kg_edge_split",
     # -------- position > 50: NOT recorded by the external driver -------
-    # (kg_noisy_triples, kg_span_to_bio, kg_turn_stats, kg_prf,
-    # kg_bioes_pairs, kg_stream_triples were demoted below the cap by
-    # the 8 session-3 queries above — all six hold green
-    # CORRECTNESS_r01/r02 rows.)
-    "kg_noisy_triples",
+    # (kg_canonical_triples, kg_noisy_triples, kg_span_to_bio,
+    # kg_turn_stats, kg_prf, kg_bioes_pairs, kg_stream_triples were
+    # demoted below the cap by the 9 session-3 queries above — all
+    # seven hold green CORRECTNESS_r01/r02 rows.)
+    "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",
     # Everything below was value-hash-green in CORRECTNESS_r01/r02 and

@@ -1210,3 +1210,88 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def edge_holdout_split(
+    edges: DataFrame,
+    test_pct: int = 10,
+    valid_pct: int = 10,
+    seed: str = "edgesplit",
+) -> DataFrame:
+    """Deterministic transductive train/valid/test split of the
+    canonical edge table for KG-embedding / link-prediction evaluation:
+    ``(src_entity, pred, dst_entity, n_turns, split)``. Together with
+    ``random_walks``/``walk_skipgram_pairs``/``negative_samples`` this
+    closes the KG-embedding loop: train corpus, eval triples, negatives.
+
+    Protocol (the standard transductive constraint): edges are bucketed
+    by ``h60(seed|src|pred|dst) mod 100`` — test < test_pct ≤ valid <
+    test_pct+valid_pct ≤ train — then any valid/test edge whose head OR
+    tail never appears in a TRAIN edge is reassigned to train (an
+    entity unseen at training time cannot be scored at eval time;
+    dropping such edges would silently shrink the eval set, so they are
+    returned to train instead — mirrored verbatim in the SQL oracle).
+    Hash bucketing makes the split a pure function of the edge triple:
+    stable under re-partitioning, engine-independent, and
+    delta-friendly (an edge's split never changes when other edges
+    arrive).
+
+    Plan: one row-local hash projection, one train-endpoint dimension
+    (distinct over train edges), two left-semi-shaped membership joins
+    expressed as a single left join + flag — every exchange keyed on
+    entity id.
+    """
+    from ner_spark.operators.linking import md5_hash60_col
+
+    h = F.pmod(
+        md5_hash60_col(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.col("src_entity"),
+                F.col("pred"),
+                F.col("dst_entity"),
+            )
+        ),
+        F.lit(100),
+    )
+    tagged = edges.withColumn(
+        "split0",
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("train")),
+    )
+    train_nodes = (
+        tagged.where(F.col("split0") == "train")
+        .select(F.col("src_entity").alias("x"))
+        .unionByName(
+            tagged.where(F.col("split0") == "train")
+            .select(F.col("dst_entity").alias("x"))
+        )
+        .distinct()
+    )
+    ts = train_nodes.withColumnRenamed("x", "src_entity").withColumn(
+        "src_seen", F.lit(True)
+    )
+    td = train_nodes.withColumnRenamed("x", "dst_entity").withColumn(
+        "dst_seen", F.lit(True)
+    )
+    return (
+        tagged.join(ts, "src_entity", "left")
+        .join(td, "dst_entity", "left")
+        .select(
+            "src_entity",
+            "pred",
+            "dst_entity",
+            "n_turns",
+            F.when(
+                (F.col("split0") != "train")
+                & (
+                    F.col("src_seen").isNull() | F.col("dst_seen").isNull()
+                ),
+                F.lit("train"),
+            )
+            .otherwise(F.col("split0"))
+            .alias("split"),
+        )
+    )

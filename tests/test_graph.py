@@ -786,3 +786,49 @@ def test_walks_array_form_and_separator_safety(spark):
         random_walks(clean, walks_per_node=2, walk_length=3, as_array=True)
     ).collect()}
     assert g_str == g_arr and g_str
+
+
+def test_edge_holdout_split_transductive_and_deterministic(spark):
+    """The split must equal a pure-Python simulation of the spec
+    (h60-bucket then reassign valid/test edges with train-unseen
+    endpoints), satisfy the transductive constraint, preserve every
+    edge exactly once, and be a pure function of the edge triple."""
+    import hashlib
+
+    from ner_spark.operators.graph import edge_holdout_split
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(f"e{i}", f"p{i % 3}", f"e{(i * 7 + 1) % 40}", i % 5 + 1)
+            for i in range(200)]
+    edges = spark.createDataFrame(
+        rows, "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    got = {(r.src_entity, r.pred, r.dst_entity): r.split
+           for r in edge_holdout_split(edges).collect()}
+    assert len(got) == len({(s, p, d) for s, p, d, _ in rows})
+
+    split0 = {}
+    for s_, p, d, _ in rows:
+        h = h60(f"edgesplit|{s_}|{p}|{d}") % 100
+        split0[(s_, p, d)] = "test" if h < 10 else ("valid" if h < 20 else "train")
+    train_nodes = {x for (s_, p, d), sp in split0.items()
+                   if sp == "train" for x in (s_, d)}
+    exp = {k: ("train" if sp != "train"
+               and (k[0] not in train_nodes or k[2] not in train_nodes)
+               else sp)
+           for k, sp in split0.items()}
+    assert got == exp
+    # non-vacuous: all three splits present and the transductive
+    # constraint holds on the RESULT
+    assert {"train", "valid", "test"} <= set(got.values())
+    final_train_nodes = {x for k, sp in got.items() if sp == "train"
+                         for x in (k[0], k[2])}
+    for (s_, p, d), sp in got.items():
+        if sp != "train":
+            assert s_ in final_train_nodes and d in final_train_nodes
+    # determinism
+    again = {(r.src_entity, r.pred, r.dst_entity): r.split
+             for r in edge_holdout_split(edges).collect()}
+    assert again == got

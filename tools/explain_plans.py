@@ -475,6 +475,18 @@ CHECKS = {
             "never a global sort."
         ),
     ),
+    "kg_edge_split": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition", "Window"],
+        builder="edges",
+        note=(
+            "Transductive edge holdout: one row-local hash projection "
+            "(split is a pure function of the edge triple — stable "
+            "under repartitioning and deltas), one distinct train-"
+            "endpoint dimension, two entity-keyed membership joins. "
+            "No window, no global sort."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -577,6 +589,7 @@ def main() -> None:
             adamic_adar,
             community_profiles,
             degree_stats,
+            edge_holdout_split,
             functional_violations,
             paths_2hop,
             pred_cardinality_profile,
@@ -602,6 +615,7 @@ def main() -> None:
                 random_walks(e)
             ),
             "kg_community_profiles": community_profiles,
+            "kg_edge_split": edge_holdout_split,
         }[name](edges)
 
     def _temporal_over_goldens():
