@@ -986,8 +986,11 @@ def random_walks(
 
     Scale design — O(1) work per walk step, never O(deg):
     * neighbors of each node are ranked ONCE into a dense index
-      0..deg-1 (per-node window over ``h60(seed|z|n)``; partitions are
-      per-node, the same bounded-window device as edge_provenance);
+      0..deg-1 (per-node window over ``h60(seed|z|n)``). This ranking
+      is the one place cost concentrates on hubs: a deg-D node is one
+      D-row within-partition sort (spill-safe, one-time per corpus) —
+      amortized over every walk and step that visits the hub, which is
+      exactly where the O(1)-per-step draw below pays for it;
     * step i of a walk draws ``pick = h60(seed|walk_id|i) mod deg(cur)``
       and equi-joins ``(cur, pick)`` against the ranked adjacency — two
       slim keyed joins per step, so a hub node costs the SAME as a
