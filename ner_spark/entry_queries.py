@@ -2358,6 +2358,78 @@ def q_kg_community_profiles(spark, sf_dir):
 
 
 @query(
+    "kg_entity_cards",
+    f"""
+    WITH n AS (
+      SELECT entity_id, entity_type, canonical_name,
+             CAST(n_surfaces AS BIGINT) AS n_surfaces,
+             CAST(n_mentions AS BIGINT) AS n_mentions
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}')),
+    e AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    deg AS (
+      SELECT entity_id, sum(o) AS out_deg, sum(i) AS in_deg,
+             sum(wo) AS w_out, sum(wi) AS w_in
+      FROM (
+        SELECT src_entity AS entity_id, CAST(1 AS BIGINT) AS o, w AS wo,
+               CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS wi FROM e
+        UNION ALL
+        SELECT dst_entity, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT), w FROM e)
+      GROUP BY 1),
+    part AS (
+      SELECT entity_id, pred, count(*) AS cnt FROM (
+        SELECT src_entity AS entity_id, pred FROM e
+        UNION ALL SELECT dst_entity, pred FROM e)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT entity_id, pred, cnt, row_number() OVER (
+        PARTITION BY entity_id ORDER BY cnt DESC, pred ASC) AS rn
+      FROM part),
+    top AS (
+      SELECT entity_id,
+             string_agg(pred || '#' || CAST(cnt AS VARCHAR), '; '
+                        ORDER BY rn) AS top_preds
+      FROM ranked WHERE rn <= 3 GROUP BY 1)
+    SELECT n.entity_id, n.entity_type, n.canonical_name,
+           n.n_surfaces, n.n_mentions,
+           coalesce(d.out_deg, 0) AS out_deg,
+           coalesce(d.in_deg, 0) AS in_deg,
+           coalesce(d.w_out, 0) AS w_out,
+           coalesce(d.w_in, 0) AS w_in,
+           coalesce(t.top_preds, '') AS top_preds
+    FROM n
+    LEFT JOIN deg d ON n.entity_id = d.entity_id
+    LEFT JOIN top t ON n.entity_id = t.entity_id
+    """,
+)
+def q_kg_entity_cards(spark, sf_dir):
+    """Per-entity profile cards (operators/graph.py:entity_cards) —
+    identity, mention mass, degree/weight profile, top-3 predicates in
+    rank order — the entity-page view of the KG. All aggregates
+    map-side combinable on entity id; the top-k rank trims BEFORE the
+    collect (bounded buffer)."""
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import (
+        entity_cards,
+        materialize_edges,
+        materialize_nodes,
+    )
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    n = materialize_nodes(nodes, a)
+    e = materialize_edges(extract_relations(m).distinct(), a)
+    return entity_cards(n, e)
+
+
+@query(
     "kg_edge_split",
     f"""
     WITH e AS MATERIALIZED (
@@ -3241,19 +3313,20 @@ _DRIVER_ORDER = [
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
-    "kg_graph_edges", "kg_incremental_edges", "kg_edge_temporal",
+    "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
-    "kg_community_profiles", "kg_edge_split",
+    "kg_community_profiles", "kg_edge_split", "kg_entity_cards",
     # -------- position > 50: NOT recorded by the external driver -------
-    # (kg_canonical_triples, kg_noisy_triples, kg_span_to_bio,
-    # kg_turn_stats, kg_prf, kg_bioes_pairs, kg_stream_triples were
-    # demoted below the cap by the 9 session-3 queries above — all
-    # seven hold green CORRECTNESS_r01/r02 rows.)
+    # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
+    # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
+    # kg_stream_triples were demoted below the cap by the 10 session-3
+    # queries above — all eight hold green CORRECTNESS_r01/r02 rows.)
+    "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

@@ -1298,3 +1298,65 @@ def edge_holdout_split(
             .alias("split"),
         )
     )
+
+
+def entity_cards(
+    nodes: DataFrame, edges: DataFrame, k_preds: int = 3
+) -> DataFrame:
+    """The per-entity profile card — the "entity page" view a KG
+    browser, labeling UI, or debugging session reads: identity
+    (type/name), mention mass, degree/weight profile, and the top-k
+    predicates the entity participates in (either endpoint role),
+    serialized ``"pred#count; …"`` in rank order. One row per entity in
+    ``nodes``; entities with no edges keep zeroed/empty profile fields.
+
+    Scale shape: degree and predicate participation both reduce the
+    edge list through map-side-combinable aggregates keyed on entity
+    id; the top-k predicate rank is a per-entity window bounded by
+    |preds| rows; the serialization trims to k BEFORE the collect
+    (bounded buffer, same device as edge_provenance); the final
+    assembly is three left joins keyed on entity_id.
+    """
+    from pyspark.sql import Window
+
+    deg = degree_stats(edges)
+    part = (
+        edges.select(F.col("src_entity").alias("entity_id"), "pred")
+        .unionByName(edges.select(F.col("dst_entity").alias("entity_id"), "pred"))
+        .groupBy("entity_id", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("entity_id").orderBy(F.desc("cnt"), F.asc("pred"))
+    top = (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_preds)
+        .groupBy("entity_id")
+        .agg(
+            F.concat_ws(
+                "; ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("rn", "pred", "cnt"))
+                    ),
+                    lambda s: F.concat_ws("#", s.pred, s.cnt),
+                ),
+            ).alias("top_preds")
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        nodes.join(deg, "entity_id", "left")
+        .join(top, "entity_id", "left")
+        .select(
+            "entity_id",
+            "entity_type",
+            "canonical_name",
+            "n_surfaces",
+            "n_mentions",
+            F.coalesce("out_deg", zero).alias("out_deg"),
+            F.coalesce("in_deg", zero).alias("in_deg"),
+            F.coalesce("w_out", zero).alias("w_out"),
+            F.coalesce("w_in", zero).alias("w_in"),
+            F.coalesce("top_preds", F.lit("")).alias("top_preds"),
+        )
+    )

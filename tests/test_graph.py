@@ -832,3 +832,34 @@ def test_edge_holdout_split_transductive_and_deterministic(spark):
     again = {(r.src_entity, r.pred, r.dst_entity): r.split
              for r in edge_holdout_split(edges).collect()}
     assert again == got
+
+
+def test_entity_cards_profile_and_top_preds(spark):
+    from ner_spark.operators.graph import entity_cards
+
+    nodes = spark.createDataFrame(
+        [("a", "brand", "acme", 2, 10), ("b", "product", "drill", 1, 4),
+         ("c", "place", "berlin", 1, 2), ("iso", "brand", "lonely", 1, 1)],
+        "entity_id string, entity_type string, canonical_name string, "
+        "n_surfaces long, n_mentions long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "makes", "b", 3), ("a", "makes", "c", 1),
+         ("a", "based_in", "c", 2), ("b", "sold_in", "c", 5)],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {r.entity_id: r.asDict() for r in entity_cards(nodes, edges).collect()}
+    assert got["a"]["out_deg"] == 3 and got["a"]["in_deg"] == 0
+    assert got["a"]["w_out"] == 6 and got["a"]["w_in"] == 0
+    # a participates: makes x2, based_in x1 -> rank (makes, based_in)
+    assert got["a"]["top_preds"] == "makes#2; based_in#1"
+    # c participates: makes, based_in, sold_in all once -> lexicographic
+    assert got["c"]["top_preds"] == "based_in#1; makes#1; sold_in#1"
+    assert got["c"]["in_deg"] == 3 and got["c"]["w_in"] == 8
+    # isolated entity keeps its identity row with zeroed profile
+    assert got["iso"]["out_deg"] == 0 and got["iso"]["top_preds"] == ""
+    assert got["iso"]["n_mentions"] == 1
+    # k_preds trims rank order
+    got1 = {r.entity_id: r.top_preds
+            for r in entity_cards(nodes, edges, k_preds=1).collect()}
+    assert got1["c"] == "based_in#1" and got1["a"] == "makes#2"

@@ -487,6 +487,19 @@ CHECKS = {
             "No window, no global sort."
         ),
     ),
+    "kg_entity_cards": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="cards",
+        note=(
+            "Entity profile cards: degree and predicate participation "
+            "reduce the edge list via map-side-combinable aggregates "
+            "keyed on entity id; the top-k predicate rank is a "
+            "per-entity Window bounded by |preds| rows and trims to k "
+            "BEFORE the collect (bounded buffer); assembly is three "
+            "entity-keyed left joins."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -684,7 +697,15 @@ def main() -> None:
         return mention_contexts(m, t, window=3)
 
     for name, spec in CHECKS.items():
-        if spec.get("builder") == "alias_nodes":
+        if spec.get("builder") == "cards":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXC
+            from ner_spark.operators.graph import entity_cards
+
+            df = entity_cards(
+                spark.read.parquet(os.path.join(_FXC, "nodes.parquet")),
+                spark.read.parquet(os.path.join(_FXC, "edges.parquet")),
+            )
+        elif spec.get("builder") == "alias_nodes":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXA
             from ner_spark.operators.alias import alias_pairs
 
