@@ -2358,6 +2358,52 @@ def q_kg_community_profiles(spark, sf_dir):
 
 
 @query(
+    "kg_topic_segments",
+    f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(list_filter(
+               string_split(lower(text), ' '), x -> x <> '')) AS toks
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')),
+    lagged AS (
+      SELECT conv_id, turn_idx, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM t),
+    j AS (
+      SELECT conv_id, turn_idx,
+        CASE WHEN prev IS NULL THEN CAST(-1 AS BIGINT)
+             WHEN len(list_distinct(list_concat(toks, prev))) = 0
+               THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1e6 *
+                  (CAST(len(list_intersect(toks, prev)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(toks, prev)))
+                          AS DOUBLE))) AS BIGINT)
+        END AS jaccard_micro
+      FROM lagged)
+    SELECT conv_id, turn_idx, jaccard_micro,
+           CAST(sum(CASE WHEN jaccard_micro >= 0 AND jaccard_micro < 150000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+             AS segment_id
+    FROM j
+    """,
+)
+def q_kg_topic_segments(spark, sf_dir):
+    """Content-based topic segmentation of conversations
+    (operators/segments.py:topic_segments) — lexical-cohesion
+    boundaries (integer-scaled adjacent-turn Jaccard below 0.15 opens
+    a new segment), the retrieval/windowing unit for transcript RAG.
+    One conv-partitioned window chain, bounded by conversation
+    length."""
+    from ner_spark.operators.segments import topic_segments
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return topic_segments(t)
+
+
+@query(
     "kg_entity_cards",
     f"""
     WITH n AS (
@@ -3312,7 +3358,7 @@ _DRIVER_ORDER = [
     "events_asof_view", "ngram_topk", "kg_triangles",
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
-    "kg_link_edges", "kg_canonical_map", "kg_graph_nodes",
+    "kg_link_edges", "kg_canonical_map",
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
@@ -3321,12 +3367,13 @@ _DRIVER_ORDER = [
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
     "kg_community_profiles", "kg_edge_split", "kg_entity_cards",
+    "kg_topic_segments",
     # -------- position > 50: NOT recorded by the external driver -------
     # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
     # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
     # kg_stream_triples were demoted below the cap by the 10 session-3
     # queries above — all eight hold green CORRECTNESS_r01/r02 rows.)
-    "kg_graph_edges",
+    "kg_graph_nodes", "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

@@ -1,0 +1,68 @@
+"""Content-based topic segmentation of multi-turn conversations.
+
+Time-gap sessionization (entry query ``sessionize``) cuts on silence;
+this module cuts on CONTENT: a new segment starts where a turn's
+lexical overlap with the previous turn drops below a threshold — the
+classic lexical-cohesion (TextTiling-style) boundary signal. Segments
+are the retrieval/windowing unit a transcript-RAG or summarization
+pipeline wants ("this stretch of the conversation is about the
+return policy; the next about shipping").
+
+Determinism: overlap is the Jaccard of the two turns' DISTINCT
+lowercase token sets, integer-scaled as ``floor(1e6·|∩|/|∪|)`` — set
+sizes are exact integers and the single IEEE division + floor is
+bit-identical across engines, so the boundary decision (and therefore
+every segment id) is a pure function of the transcript.
+
+Scale shape: token sets are row-local; the lag and the running
+boundary sum ride ONE window partitioned by ``conv_id`` and ordered by
+``turn_idx`` — partitions are bounded by conversation length (the same
+bound the tagging pipeline already relies on for stable turn order),
+never a global window. One exchange, keyed on conv_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topic_segments(
+    transcripts: DataFrame, threshold_micro: int = 150_000
+) -> DataFrame:
+    """Assign ``(conv_id, turn_idx, jaccard_micro, segment_id)`` to
+    every turn: ``segment_id`` is 0-based within the conversation and
+    increments whenever the integer-scaled Jaccard between the turn's
+    and the previous turn's distinct lowercase token sets falls below
+    ``threshold_micro`` (first turn of a conversation always opens
+    segment 0; its ``jaccard_micro`` is reported as -1 = undefined)."""
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col("text")), " "), lambda t: t != F.lit("")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
+    t = t.withColumn("prev", F.lag("toks").over(w))
+    inter = F.size(F.array_intersect("toks", "prev"))
+    union = F.size(F.array_union("toks", "prev"))
+    jac = F.when(
+        F.col("prev").isNull(), F.lit(-1).cast("long")
+    ).otherwise(
+        F.when(union == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                F.lit(1e6) * (inter.cast("double") / union.cast("double"))
+            ).cast("long")
+        )
+    )
+    t = t.withColumn("jaccard_micro", jac)
+    boundary = (
+        (F.col("jaccard_micro") >= 0)
+        & (F.col("jaccard_micro") < threshold_micro)
+    ).cast("long")
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "jaccard_micro",
+        F.sum(boundary).over(w).alias("segment_id"),
+    )

@@ -863,3 +863,38 @@ def test_entity_cards_profile_and_top_preds(spark):
     got1 = {r.entity_id: r.top_preds
             for r in entity_cards(nodes, edges, k_preds=1).collect()}
     assert got1["c"] == "based_in#1" and got1["a"] == "makes#2"
+
+
+def test_topic_segments_boundaries_and_determinism(spark):
+    """Boundary = adjacent-turn distinct-token Jaccard below threshold;
+    first turn opens segment 0 with jaccard=-1; empty turns (no
+    tokens) give union 0 -> jaccard 0 -> boundary."""
+    from ner_spark.operators.segments import topic_segments
+
+    rows = [
+        ("c1", 0, "return policy question"),
+        ("c1", 1, "policy return details please"),   # J=2/5=0.4 -> same seg
+        ("c1", 2, "shipping cost estimate"),          # J=0 -> new seg
+        ("c1", 3, "shipping cost again"),             # J=2/4=0.5 -> same seg
+        ("c1", 4, ""),                                 # empty -> J=0 -> new seg
+        ("c2", 0, "hello"),
+        ("c2", 1, "HELLO hello"),                      # case-folded J=1 -> same
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx long, text string")
+    got = {(r.conv_id, r.turn_idx): (r.jaccard_micro, r.segment_id)
+           for r in topic_segments(t).collect()}
+    assert got[("c1", 0)] == (-1, 0)
+    assert got[("c1", 1)] == (400000, 0)
+    assert got[("c1", 2)] == (0, 1)
+    assert got[("c1", 3)] == (500000, 1)
+    assert got[("c1", 4)] == (0, 2)
+    assert got[("c2", 0)] == (-1, 0)
+    assert got[("c2", 1)] == (1000000, 0)
+    # threshold knob: with threshold 450001, turns 1 (J=0.4) and 3
+    # (J=0.5 stays) re-decide — only turn 1 becomes a boundary
+    got2 = {(r.conv_id, r.turn_idx): r.segment_id
+            for r in topic_segments(t, threshold_micro=450_001).collect()}
+    assert got2[("c1", 1)] == 1 and got2[("c1", 3)] == 2
+    assert topic_segments(
+        spark.createDataFrame([], "conv_id string, turn_idx long, text string")
+    ).count() == 0

@@ -500,6 +500,18 @@ CHECKS = {
             "entity-keyed left joins."
         ),
     ),
+    "kg_topic_segments": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="segments",
+        note=(
+            "Content-based topic segmentation: token sets are "
+            "row-local, the lag + running boundary sum ride ONE window "
+            "partitioned by conv_id (bounded by conversation length, "
+            "the same bound the tagging pipeline relies on) — a single "
+            "conv-keyed exchange, never a global window."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -697,7 +709,14 @@ def main() -> None:
         return mention_contexts(m, t, window=3)
 
     for name, spec in CHECKS.items():
-        if spec.get("builder") == "cards":
+        if spec.get("builder") == "segments":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXS
+            from ner_spark.operators.segments import topic_segments
+
+            df = topic_segments(
+                spark.read.parquet(os.path.join(_FXS, "transcripts.parquet"))
+            )
+        elif spec.get("builder") == "cards":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXC
             from ner_spark.operators.graph import entity_cards
 
