@@ -2404,6 +2404,38 @@ def q_kg_topic_segments(spark, sf_dir):
 
 
 @query(
+    "tool_transitions",
+    f"""
+    WITH tools AS (
+      SELECT conv_id, turn_idx, tool
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      WHERE tool IS NOT NULL),
+    lagged AS (
+      SELECT conv_id, tool AS to_tool,
+             coalesce(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                      '<start>') AS from_tool
+      FROM tools)
+    SELECT from_tool, to_tool,
+           count(*) AS n_transitions,
+           count(DISTINCT conv_id) AS n_convs
+    FROM lagged GROUP BY 1, 2
+    """,
+)
+def q_tool_transitions(spark, sf_dir):
+    """Tool-call transition matrix over agent transcripts
+    (operators/segments.py:tool_transitions) — the agent-behavior
+    funnel: (previous tool → tool) counts per conversation order, with
+    <start> marking a conversation's first call. One conv-partitioned
+    lag window + one |tools|²-key aggregate."""
+    from ner_spark.operators.segments import tool_transitions
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return tool_transitions(t)
+
+
+@query(
     "kg_entity_cards",
     f"""
     WITH n AS (
@@ -3358,7 +3390,7 @@ _DRIVER_ORDER = [
     "events_asof_view", "ngram_topk", "kg_triangles",
     # KG pipeline (the headline surface)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
-    "kg_link_edges", "kg_canonical_map",
+    "kg_link_edges",
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
@@ -3367,13 +3399,13 @@ _DRIVER_ORDER = [
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
     "kg_community_profiles", "kg_edge_split", "kg_entity_cards",
-    "kg_topic_segments",
+    "kg_topic_segments", "tool_transitions",
     # -------- position > 50: NOT recorded by the external driver -------
     # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
     # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
     # kg_stream_triples were demoted below the cap by the 10 session-3
     # queries above — all eight hold green CORRECTNESS_r01/r02 rows.)
-    "kg_graph_nodes", "kg_graph_edges",
+    "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
     "kg_stream_triples",

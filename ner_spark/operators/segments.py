@@ -66,3 +66,32 @@ def topic_segments(
         "jaccard_micro",
         F.sum(boundary).over(w).alias("segment_id"),
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-call transition matrix of agent transcripts:
+    ``(from_tool, to_tool, n_transitions, n_convs)`` — for every
+    conversation, tool-role turns in turn order yield (previous tool →
+    tool) pairs, with ``<start>`` marking a conversation's first tool
+    call. This is the agent-behavior funnel ("search → db_query →
+    calculator", retry loops as self-transitions) an agent-ops
+    dashboard or a tool-policy training set is built from.
+
+    One conv-partitioned lag window over the tool-role subset (bounded
+    by conversation length) + one map-side-combinable aggregate whose
+    key cardinality is |tools|² — tiny at any corpus scale.
+    """
+    tools = transcripts.where(F.col("tool").isNotNull()).select(
+        "conv_id", "turn_idx", "tool"
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        tools.withColumn(
+            "from_tool", F.coalesce(F.lag("tool").over(w), F.lit("<start>"))
+        )
+        .groupBy("from_tool", F.col("tool").alias("to_tool"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )

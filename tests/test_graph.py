@@ -898,3 +898,33 @@ def test_topic_segments_boundaries_and_determinism(spark):
     assert topic_segments(
         spark.createDataFrame([], "conv_id string, turn_idx long, text string")
     ).count() == 0
+
+
+def test_tool_transitions_matrix(spark):
+    from ner_spark.operators.segments import tool_transitions
+
+    rows = [
+        # conv c1: search -> db_query -> db_query (self-loop/retry)
+        ("c1", 0, "user", None), ("c1", 1, "tool", "search"),
+        ("c1", 2, "assistant", None), ("c1", 3, "tool", "db_query"),
+        ("c1", 4, "tool", "db_query"),
+        # conv c2: search -> calculator
+        ("c2", 0, "tool", "search"), ("c2", 1, "tool", "calculator"),
+        # conv c3: only non-tool turns
+        ("c3", 0, "user", None), ("c3", 1, "assistant", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, tool string"
+    )
+    got = {(r.from_tool, r.to_tool): (r.n_transitions, r.n_convs)
+           for r in tool_transitions(t).collect()}
+    assert got == {
+        ("<start>", "search"): (2, 2),
+        ("search", "db_query"): (1, 1),
+        ("db_query", "db_query"): (1, 1),
+        ("search", "calculator"): (1, 1),
+    }
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx long, role string, tool string"
+    )
+    assert tool_transitions(empty).count() == 0

@@ -512,6 +512,17 @@ CHECKS = {
             "conv-keyed exchange, never a global window."
         ),
     ),
+    "tool_transitions": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "SinglePartition"],
+        builder="tools",
+        note=(
+            "Tool-call transition matrix: one conv-partitioned lag "
+            "window over the tool-role subset (bounded by conversation "
+            "length) + one map-side-combinable aggregate whose key "
+            "cardinality is |tools|^2."
+        ),
+    ),
     "kg_edge_diff": dict(
         requires=["FullOuter"],
         forbids=["Python", "CartesianProduct", "SinglePartition"],
@@ -709,7 +720,14 @@ def main() -> None:
         return mention_contexts(m, t, window=3)
 
     for name, spec in CHECKS.items():
-        if spec.get("builder") == "segments":
+        if spec.get("builder") == "tools":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXT2
+            from ner_spark.operators.segments import tool_transitions
+
+            df = tool_transitions(
+                spark.read.parquet(os.path.join(_FXT2, "transcripts.parquet"))
+            )
+        elif spec.get("builder") == "segments":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXS
             from ner_spark.operators.segments import topic_segments
 
