@@ -193,6 +193,9 @@ def main() -> None:
     kg_nodes = materialize_nodes(_nodes, _assign).cache()
     kg_nodes.count()
     run("kg_alias_pairs", lambda: alias_pairs(kg_nodes).count(), best_of=2)
+    from ner_spark.operators.graph import entity_cards
+
+    run("kg_entity_cards", lambda: entity_cards(kg_nodes, kg_edges).count())
     kg_nodes.unpersist()
     release_persisted_blocks()
     kg_edges.unpersist()
@@ -247,6 +250,8 @@ def main() -> None:
         "tfidf_terms",
         "pack_windows",
         "bm25_topk",
+        "kg_topic_segments",
+        "tool_transitions",
     ):
         run(
             qname,
