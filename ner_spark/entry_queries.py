@@ -2436,6 +2436,124 @@ def q_tool_transitions(spark, sf_dir):
 
 
 @query(
+    "conv_dedup",
+    f"""
+    WITH aug AS (
+      SELECT conv_id, turn_idx, text
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      UNION ALL
+      SELECT conv_id || '~dup' AS conv_id, turn_idx, text
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      WHERE substring(md5(conv_id), 1, 1) = '0'),
+    per_conv AS (
+      SELECT conv_id,
+             md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_hash
+      FROM aug GROUP BY conv_id)
+    SELECT conv_id, conv_hash,
+           min(conv_id) OVER (PARTITION BY conv_hash) AS survivor_id,
+           CAST(conv_id <> min(conv_id) OVER (PARTITION BY conv_hash)
+                AS BIGINT) AS is_dup
+    FROM per_conv
+    """,
+)
+def q_conv_dedup(spark, sf_dir):
+    """Conversation-granularity exact dedup (functions/dedup.py:
+    conv_dedup): md5 over the turn texts in turn order, min-conv_id
+    survivor per hash group. The fixture corpus has no duplicate
+    conversations (by construction), so the query deterministically
+    re-ingests ~1/16 of conversations under a '~dup' id — the
+    double-export scenario the operator exists for — on BOTH engines;
+    the original always survives (it is a strict prefix of the dup id,
+    so it is the group minimum)."""
+    from ner_spark.functions.dedup import conv_dedup
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    ).select("conv_id", "turn_idx", "text")
+    dups = t.where(
+        F.substring(F.md5(F.col("conv_id")), 1, 1) == "0"
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("~dup")))
+    return conv_dedup(t.unionByName(dups))
+
+
+@query(
+    "mixture_weights",
+    """
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+    q AS (SELECT lang, n_docs, n_total,
+            CAST(floor(power(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE),
+                             0.3) * 1e12 + 0.5) AS BIGINT) AS qint
+          FROM c, t),
+    qt AS (SELECT CAST(sum(qint) AS BIGINT) AS q_total FROM q)
+    SELECT lang, n_docs,
+           CAST(n_docs * 1000000 // n_total AS BIGINT) AS p_micro,
+           CAST(qint * 1000000 // q_total AS BIGINT) AS q_micro,
+           CAST(floor(1e6 * ((CAST(qint AS DOUBLE) / CAST(q_total AS DOUBLE))
+                             / (CAST(n_docs AS DOUBLE)
+                                / CAST(n_total AS DOUBLE))) + 0.5)
+                AS BIGINT) AS weight_micro
+    FROM q, qt
+    """,
+)
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-based language-mixture resampling weights
+    (functions/datasets.py:mixture_weights, alpha=0.3): per-language
+    corpus share, temperature-annealed sampling probability, and the
+    per-document weight a sampler broadcast-joins onto the corpus. The
+    single libm pow is quantized to int64 before the normalizing sum,
+    so the sum is order-independent and cross-engine exact."""
+    from ner_spark.functions.datasets import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "filter_report",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1e6 *
+                    (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                                                'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE))) AS BIGINT)
+        END AS alpha_micro,
+        CAST(floor(1e6 * (1.0 -
+               CAST(len(CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_distinct(list_transform(
+                                    range(1, len(toks) - 1),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + 2), ' ')))
+                        END) AS DOUBLE)
+               / CAST(greatest(len(toks) - 2, 1) AS DOUBLE)))
+             AS BIGINT) AS rep_micro
+      FROM t)
+    SELECT doc_id, n_tokens, alpha_micro, rep_micro,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN alpha_micro < 810000 THEN 'low_alpha'
+                WHEN rep_micro > 50000 THEN 'repetitive'
+                ELSE 'kept' END AS verdict
+    FROM s
+    """,
+)
+def q_filter_report(spark, sf_dir):
+    """Quality-filter chain with first-failing-rule attribution
+    (functions/datasets.py:filter_report) — per-document verdict
+    (too_short / low_alpha / repetitive / kept) plus the three signals
+    behind it, the audit view a curation pipeline reads before
+    committing to a filter config. Pure row-local built-ins, no
+    exchange."""
+    from ner_spark.functions.datasets import filter_report
+
+    return filter_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "kg_entity_cards",
     f"""
     WITH n AS (
@@ -3388,9 +3506,9 @@ _DRIVER_ORDER = [
     "pack_windows", "tfidf_terms", "bm25_topk",
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
+    "conv_dedup", "mixture_weights", "filter_report",
     # KG pipeline (the headline surface)
-    "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
-    "kg_link_edges",
+    "kg_relations", "kg_link_edges",
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
@@ -3404,7 +3522,10 @@ _DRIVER_ORDER = [
     # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
     # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
     # kg_stream_triples were demoted below the cap by the 10 session-3
-    # queries above — all eight hold green CORRECTNESS_r01/r02 rows.)
+    # queries above; kg_tags/kg_mentions/kg_triples by the conv_dedup/
+    # mixture_weights/filter_report trio — all hold green
+    # CORRECTNESS_r01/r02 rows.)
+    "kg_tags", "kg_mentions", "kg_triples",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",

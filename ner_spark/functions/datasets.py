@@ -215,6 +215,132 @@ def kg_negative_samples(
     )
 
 
+def mixture_weights(
+    df: DataFrame, group_col: str = "lang", alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture reweighting (the multilingual-corpus
+    balancing rule of XLM-R / mT5): sample group ``l`` with probability
+    ``q_l ∝ p_l^alpha`` where ``p_l`` is the group's corpus share —
+    ``alpha < 1`` upsamples tail languages/sources so the head doesn't
+    drown them. Returns one row per group: ``(lang, n_docs, p_micro,
+    q_micro, weight_micro)`` where ``weight_micro`` ≈ 1e6·q_l/p_l is
+    the per-document sampling weight a downstream sampler broadcast-
+    joins onto the corpus.
+
+    Determinism: the one libm call (``pow``) is quantized to an int64
+    immediately (1e12 grid, round-half-up) so the normalizing sum is an
+    INTEGER sum — order-independent — and every later step is integer
+    division or a single fixed-order IEEE expression, bit-identical
+    across engines. (1e6·qint ≤ 1e18 stays inside int64.)
+
+    Scale shape: one map-side-combinable count keyed on the group (key
+    cardinality = #languages/#sources — tiny), then two broadcast cross
+    joins of one-row totals. Nothing here grows with corpus size except
+    the first count's input.
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(F.sum("n_docs").alias("n_total"))
+    qint = F.floor(
+        F.pow(
+            F.col("n_docs").cast("double") / F.col("n_total").cast("double"),
+            F.lit(float(alpha)),
+        )
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    c = counts.crossJoin(F.broadcast(totals)).withColumn("qint", qint)
+    qtot = c.agg(F.sum("qint").alias("q_total"))
+    c = c.crossJoin(F.broadcast(qtot))
+    weight = F.floor(
+        F.lit(1e6)
+        * (
+            (F.col("qint").cast("double") / F.col("q_total").cast("double"))
+            / (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return c.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.expr("n_docs * 1000000L div n_total").alias("p_micro"),
+        F.expr("qint * 1000000L div q_total").alias("q_micro"),
+        weight.alias("weight_micro"),
+    )
+
+
+def filter_report(
+    df: DataFrame,
+    min_tokens: int = 20,
+    min_alpha_micro: int = 810_000,
+    max_rep_micro: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-filter chain with FIRST-FAILING-RULE attribution — the
+    curation audit view ("which rule is eating my corpus") that a
+    kept/dropped boolean can't answer. Rules run in fixed priority
+    order and the verdict is the first one that fires:
+
+    1. ``too_short``  — fewer than ``min_tokens`` whitespace tokens;
+    2. ``low_alpha``  — ascii-letter character ratio below
+       ``min_alpha_micro`` (1e-6 grid);
+    3. ``repetitive`` — duplicated word-3-gram fraction above
+       ``max_rep_micro`` (the Gopher-style repetition signal);
+    4. ``kept``.
+
+    Returns ``(doc_id, n_tokens, alpha_micro, rep_micro, verdict)`` —
+    one row per document, so the per-rule drop counts are one tiny
+    groupBy away and every dropped doc is auditable by id.
+
+    All three signals are row-local built-ins (split/regexp/shingle
+    higher-order functions) composed from the same text.py/dedup.py
+    columns the standalone quality queries use; ratios are quantized to
+    the 1e-6 integer grid via a single IEEE division each, so the
+    verdict is a pure function of the text on any engine. No exchange
+    at all — the operator is a narrow map over the corpus scan.
+    """
+    from ner_spark.functions.dedup import word_shingles_col
+    from ner_spark.functions.text import tokens_col
+
+    text = F.col(text_col)
+    n_tokens = F.size(tokens_col(text))
+    # empty text would put Inf/NaN through the ANSI long cast — pin it to 0
+    alpha_micro = F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            F.lit(1e6)
+            * (
+                F.length(F.regexp_replace(F.lower(text), r"[^a-z]", "")).cast(
+                    "double"
+                )
+                / F.length(text).cast("double")
+            )
+        ).cast("long")
+    )
+    total3 = F.greatest(n_tokens - F.lit(2), F.lit(1))
+    rep_micro = F.floor(
+        F.lit(1e6)
+        * (
+            F.lit(1.0)
+            - F.size(word_shingles_col(text, k=3)).cast("double")
+            / total3.cast("double")
+        )
+    ).cast("long")
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_micro") < min_alpha_micro, F.lit("low_alpha"))
+        .when(F.col("rep_micro") > max_rep_micro, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        alpha_micro.alias("alpha_micro"),
+        rep_micro.alias("rep_micro"),
+    ).withColumn("verdict", verdict)
+
+
 def mention_contexts(
     mentions: DataFrame, transcripts: DataFrame, window: int = 3
 ) -> DataFrame:

@@ -685,3 +685,53 @@ def salted_two_sided_join(
     return light.unionByName(
         l_heavy.join(r_heavy, [*keys, "_u"]).drop("_u")
     )
+
+
+# --------------------------------------------------------------------------
+# conversation-granularity exact dedup
+# --------------------------------------------------------------------------
+
+
+def conv_dedup(transcripts: DataFrame) -> DataFrame:
+    """Exact dedup at CONVERSATION granularity — the unit a chat-corpus
+    training pipeline actually dedups (the same support dialogue
+    re-ingested from two exports, a scraped forum thread mirrored on
+    two hosts): ``(conv_id, conv_hash, survivor_id, is_dup)``, one row
+    per conversation, where ``conv_hash`` is the md5 of the
+    conversation's turn texts joined in ``turn_idx`` order by the 0x1f
+    unit separator, and ``survivor_id`` is the minimum ``conv_id`` in
+    the hash group (``is_dup`` = 1 for the rest).
+
+    Cross-engine spec: DuckDB's ``md5(string_agg(text, chr(31) ORDER BY
+    turn_idx))`` is bit-identical because ``turn_idx`` is unique within
+    a conversation, so the sort_array order equals the ORDER BY order.
+
+    Scale shape: the content hash rides ONE groupBy keyed on
+    ``conv_id`` (partitions bounded by conversation length — the same
+    invariant the tagging pipeline's stable turn order relies on); the
+    survivor assignment is an unordered window over ``conv_hash``
+    partitions whose size is the duplicate-group multiplicity (almost
+    always 1), never a sort and never corpus-wide. Two exchanges total,
+    both on well-distributed keys.
+    """
+    from pyspark.sql import Window
+
+    per_conv = transcripts.groupBy("conv_id").agg(
+        F.md5(
+            F.concat_ws(
+                "\u001f",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s["text"],
+                ),
+            )
+        ).alias("conv_hash")
+    )
+    w = Window.partitionBy("conv_hash")
+    survivor = F.min("conv_id").over(w)
+    return per_conv.select(
+        "conv_id",
+        "conv_hash",
+        survivor.alias("survivor_id"),
+        (F.col("conv_id") != survivor).cast("long").alias("is_dup"),
+    )

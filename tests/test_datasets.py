@@ -190,3 +190,90 @@ def test_mention_contexts_skips_join_when_text_present(spark):
     assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
     r = out.collect()[0]
     assert (r["mention_text"], r["context"]) == ("fox", "a fox ran")
+
+
+# ---------------------------------------------------------------------------
+# mixture_weights / filter_report / conv_dedup (round-3 curation wave)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_weights_two_groups(spark):
+    """Hand-checked alpha=0.5 case: counts 90/10 -> p = 0.9/0.1,
+    q ~ sqrt(p) normalized, tail weight > 1 > head weight."""
+    from ner_spark.functions.datasets import mixture_weights
+
+    rows = [("en", i) for i in range(90)] + [("de", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = {
+        r["lang"]: r.asDict()
+        for r in mixture_weights(df, alpha=0.5).collect()
+    }
+    assert got["en"]["n_docs"] == 90 and got["de"]["n_docs"] == 10
+    assert got["en"]["p_micro"] == 900_000 and got["de"]["p_micro"] == 100_000
+    # q = sqrt(p)/(sqrt(.9)+sqrt(.1)) -> en ~0.75, de ~0.25
+    assert abs(got["en"]["q_micro"] - 750_000) < 2_000
+    assert abs(got["de"]["q_micro"] - 250_000) < 2_000
+    # head downsampled, tail upsampled, and weights invert the shares
+    assert got["en"]["weight_micro"] < 1_000_000 < got["de"]["weight_micro"]
+    assert abs(got["de"]["weight_micro"] - 2_500_000) < 20_000
+
+
+def test_mixture_weights_uniform_is_identity(spark):
+    from ner_spark.functions.datasets import mixture_weights
+
+    rows = [(l, i) for l in ("a", "b") for i in range(5)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    for r in mixture_weights(df, alpha=0.3).collect():
+        assert r["p_micro"] == r["q_micro"] == 500_000
+        assert r["weight_micro"] == 1_000_000
+
+
+def test_filter_report_rule_priority_and_edges(spark):
+    from ner_spark.functions.datasets import filter_report
+
+    long_ok = " ".join(f"token{chr(97 + i)}" for i in range(26)) + " aa bb cc dd"
+    # 30 tokens, high alpha ratio, but only 3 distinct trigrams
+    repetitive = " ".join(["looping wording phrases"] * 10)
+    digits = " ".join(f"12{i}" for i in range(30))  # long but digit-heavy
+    short_and_digits = "123 456"  # fails two rules: too_short wins
+    rows = [
+        (1, long_ok),
+        (2, repetitive),
+        (3, digits),
+        (4, short_and_digits),
+        (5, ""),  # empty: too_short, and no div-by-zero under ANSI
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"] for r in filter_report(df).collect()}
+    assert got == {
+        1: "kept",
+        2: "repetitive",
+        3: "low_alpha",
+        4: "too_short",
+        5: "too_short",
+    }
+
+
+def test_conv_dedup_orders_and_survivor(spark):
+    from ner_spark.functions.dedup import conv_dedup
+
+    rows = [
+        # c1 and c3 are the same conversation (c3 arrives with turns
+        # out of row order — the hash must follow turn_idx order)
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+        ("c3", 1, "world"), ("c3", 0, "hello"),
+        # same texts in the OPPOSITE turn order: different conversation
+        ("c2", 0, "world"), ("c2", 1, "hello"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, text string")
+    got = {r["conv_id"]: r.asDict() for r in conv_dedup(df).collect()}
+    assert got["c1"]["survivor_id"] == "c1" and got["c1"]["is_dup"] == 0
+    assert got["c3"]["survivor_id"] == "c1" and got["c3"]["is_dup"] == 1
+    assert got["c2"]["survivor_id"] == "c2" and got["c2"]["is_dup"] == 0
+    # turn-boundary safety: ["ab", "c"] must not hash equal to ["a", "bc"]
+    df2 = spark.createDataFrame(
+        [("x", 0, "ab"), ("x", 1, "c"), ("y", 0, "a"), ("y", 1, "bc")],
+        "conv_id string, turn_idx long, text string",
+    )
+    got2 = {r["conv_id"]: r["conv_hash"] for r in conv_dedup(df2).collect()}
+    assert got2["x"] != got2["y"]

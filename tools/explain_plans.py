@@ -602,6 +602,39 @@ CHECKS = {
             "counts totals together)."
         ),
     ),
+    "filter_report": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "The quality-filter chain (first-failing-rule attribution) "
+            "is one codegen span over the scan — all three signals and "
+            "the verdict are row-local built-ins, zero shuffles; scales "
+            "embarrassingly with input splits."
+        ),
+    ),
+    "mixture_weights": dict(
+        requires=["BroadcastNestedLoopJoin"],
+        forbids=["Python", "SortMergeJoin"],
+        note=(
+            "Temperature mixture weights: one map-side-combinable count "
+            "keyed on the language (key cardinality = #langs), then the "
+            "two one-row totals attach as broadcast nested-loop cross "
+            "joins — nothing after the first aggregate grows with the "
+            "corpus."
+        ),
+    ),
+    "conv_dedup": dict(
+        requires=[],
+        forbids=["Python", "SortMergeJoin"],
+        max_tree_exchanges=2,
+        note=(
+            "Conversation dedup is two exchanges total (asserted): the "
+            "content hash rides the conv_id groupBy (bounded by "
+            "conversation length), the survivor window exchanges on "
+            "conv_hash with partition size = duplicate multiplicity. No "
+            "join, no sort beyond the per-group window."
+        ),
+    ),
 }
 
 
