@@ -193,6 +193,9 @@ def main() -> None:
     kg_nodes = materialize_nodes(_nodes, _assign).cache()
     kg_nodes.count()
     run("kg_alias_pairs", lambda: alias_pairs(kg_nodes).count(), best_of=2)
+    from ner_spark.operators.alias import alias_clusters
+
+    run("kg_alias_clusters", lambda: alias_clusters(kg_nodes).count())
     from ner_spark.operators.graph import entity_cards
 
     run("kg_entity_cards", lambda: entity_cards(kg_nodes, kg_edges).count())
@@ -252,6 +255,10 @@ def main() -> None:
         "bm25_topk",
         "kg_topic_segments",
         "tool_transitions",
+        "turn_latency",
+        "conv_dedup",
+        "mixture_weights",
+        "filter_report",
     ):
         run(
             qname,

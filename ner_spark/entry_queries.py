@@ -2554,6 +2554,88 @@ def q_filter_report(spark, sf_dir):
 
 
 @query(
+    "turn_latency",
+    f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx, role, epoch_ms(ts) AS ms
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')),
+    g AS (
+      SELECT conv_id, role,
+             ms - lag(ms) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap
+      FROM t)
+    SELECT conv_id, role,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           CAST(max(gap) AS BIGINT) AS max_gap_ms,
+           CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap_ms
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY conv_id, role
+    """,
+)
+def q_turn_latency(spark, sf_dir):
+    """Per-(conversation, role) response-latency profile
+    (operators/segments.py:turn_latency): epoch-ms gap to the previous
+    turn, aggregated as count / max / int64-floor mean per responding
+    role — the agent-ops timing view. One conv-partitioned lag window
+    + one map-side aggregate, all on the integer millisecond grid."""
+    from ner_spark.operators.segments import turn_latency
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return turn_latency(t)
+
+
+def _kg_alias_clusters_oracle() -> str:
+    nodes_pq = os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")
+    return f"""
+    WITH RECURSIVE n AS (
+      SELECT entity_id, entity_type, canonical_name
+      FROM read_parquet('{nodes_pq}')
+      WHERE length(canonical_name) >= 1),
+    p AS (
+      SELECT x.entity_id AS id_a, y.entity_id AS id_b
+      FROM n x JOIN n y
+        ON x.entity_type = y.entity_type AND x.entity_id < y.entity_id
+      WHERE levenshtein(x.canonical_name, y.canonical_name) <= 2),
+    e AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS entity_id, least(a, min(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT entity_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """
+
+
+@query("kg_alias_clusters", _kg_alias_clusters_oracle())
+def q_kg_alias_clusters(spark, sf_dir):
+    """Alias merge GROUPS (operators/alias.py:alias_clusters): the
+    transitive closure of the PassJoin alias pairs via the adaptive
+    connected components — the review queue a data steward works
+    (chains like "ACME"~"ACNE"~"ACNE Inc" surface as one group). The
+    oracle closes the brute-force quadratic pair join with a recursive
+    CTE — a different algorithm end to end."""
+    from ner_spark.operators.alias import alias_clusters
+    from ner_spark.operators.components import connected_components
+    from ner_spark.operators.graph import materialize_nodes
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    return alias_clusters(materialize_nodes(nodes, a))
+
+
+@query(
     "kg_entity_cards",
     f"""
     WITH n AS (
@@ -3507,8 +3589,8 @@ _DRIVER_ORDER = [
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup", "mixture_weights", "filter_report",
+    "turn_latency", "kg_alias_clusters",
     # KG pipeline (the headline surface)
-    "kg_relations", "kg_link_edges",
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
@@ -3525,7 +3607,8 @@ _DRIVER_ORDER = [
     # queries above; kg_tags/kg_mentions/kg_triples by the conv_dedup/
     # mixture_weights/filter_report trio — all hold green
     # CORRECTNESS_r01/r02 rows.)
-    "kg_tags", "kg_mentions", "kg_triples",
+    "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
+    "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",

@@ -172,3 +172,45 @@ def alias_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return verified
+
+
+def alias_clusters(
+    names: DataFrame,
+    id_col: str = "entity_id",
+    name_col: str = "canonical_name",
+    block_col: str | None = "entity_type",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Alias MERGE GROUPS, not just pairs: the transitive closure of
+    ``alias_pairs`` — ``(entity_id, cluster_id, n_members)`` for every
+    entity that participates in at least one alias pair, where
+    ``cluster_id`` is the cluster's minimum entity id. Pairs alone
+    under-state a merge ("ACME"~"ACNE", "ACNE"~"ACNE Inc" must review
+    as ONE group even when the ends differ by more than ``max_dist``),
+    so the review queue a data steward actually works is this view.
+
+    Plan shape: composes the engine's own operators — the lossless
+    PassJoin pair generator and the adaptive connected components
+    (driver union-find under the edge threshold, star-contraction
+    above). The member count is an unordered window over ``cluster_id``
+    partitions bounded by cluster size. Nothing new is quadratic.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.operators.components import connected_components
+
+    pairs = alias_pairs(names, id_col, name_col, block_col, max_dist)
+    ids = (
+        pairs.select(F.col("id_a").alias("node_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("node_id")))
+        .distinct()
+    )
+    assign = connected_components(
+        ids, pairs, id_col="node_id", src_col="id_a", dst_col="id_b"
+    )
+    w = Window.partitionBy("component")
+    return assign.select(
+        F.col("node_id").alias(id_col),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )

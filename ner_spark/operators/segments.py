@@ -95,3 +95,38 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
             F.countDistinct("conv_id").alias("n_convs"),
         )
     )
+
+
+def turn_latency(transcripts: DataFrame) -> DataFrame:
+    """Per-(conversation, role) response-latency profile —
+    ``(conv_id, role, n_responses, max_gap_ms, mean_gap_ms)`` where a
+    turn's gap is the epoch-millisecond delta to the PREVIOUS turn of
+    the conversation (any role) and the row aggregates the gaps of the
+    turns the role produced. This is the agent-ops timing view
+    (assistant think time, tool round-trip, user idle) that
+    ``kg_turn_stats``'s coarse first/last span can't resolve.
+
+    Everything stays on the integer millisecond grid: the mean is
+    int64 floor division (``sum div count``), so the result is exact
+    on any engine, partitioning, or parallelism. One conv-partitioned
+    lag window (bounded by conversation length) + one
+    map-side-combinable aggregate keyed on (conv_id, role).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # the fixture ts is TIMESTAMP_NTZ; unix_millis needs an LTZ input —
+    # callers pin the session timezone to UTC (entry query does) so the
+    # cast is a pure reinterpretation
+    t = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    gaps = t.withColumn("gap", F.col("ms") - F.lag("ms").over(w)).where(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("conv_id", "role").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.max("gap").alias("max_gap_ms"),
+        F.expr("sum(gap) div count(1)").alias("mean_gap_ms"),
+    )

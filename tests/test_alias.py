@@ -116,3 +116,33 @@ def test_salted_two_sided_join_equals_plain_join(spark, threshold):
         for r in left.join(right, "k").select("k", "lid", "rid").collect()
     )
     assert got == exp and got
+
+
+def test_alias_clusters_transitive_chain(spark):
+    """A~B and B~C within dist 2, A~C at dist 4: pairs alone keep them
+    apart, the cluster view must merge all three under the min id; an
+    isolated name stays out of the output entirely."""
+    from ner_spark.operators.alias import alias_clusters, alias_pairs
+
+    names = spark.createDataFrame(
+        [
+            ("e1", "person", "jonathan"),
+            ("e2", "person", "jonathaaan"),   # dist 2 from e1
+            ("e3", "person", "jonathaaaaan"), # dist 2 from e2, 4 from e1
+            ("e4", "person", "zzzzzzzz"),     # isolated
+        ],
+        "entity_id string, entity_type string, canonical_name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in alias_pairs(names).collect()
+    }
+    assert pairs == {("e1", "e2"), ("e2", "e3")}
+    got = {
+        r.entity_id: (r.cluster_id, r.n_members)
+        for r in alias_clusters(names).collect()
+    }
+    assert got == {
+        "e1": ("e1", 3),
+        "e2": ("e1", 3),
+        "e3": ("e1", 3),
+    }

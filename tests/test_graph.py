@@ -928,3 +928,36 @@ def test_tool_transitions_matrix(spark):
         [], "conv_id string, turn_idx long, role string, tool string"
     )
     assert tool_transitions(empty).count() == 0
+
+
+def test_turn_latency_grid(spark):
+    """Gap arithmetic on the millisecond grid: first turn has no gap,
+    mean is int64 floor division."""
+    import datetime as dt
+
+    from ner_spark.operators.segments import turn_latency
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(offset_ms):
+        return t0 + dt.timedelta(milliseconds=offset_ms)
+
+    rows = [
+        ("c1", 0, "user", ts(0)),
+        ("c1", 1, "assistant", ts(1500)),   # gap 1500
+        ("c1", 2, "user", ts(1600)),        # gap 100
+        ("c1", 3, "assistant", ts(1853)),   # gap 253
+        ("c2", 0, "user", ts(0)),           # no gap (first turn)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, ts timestamp"
+    )
+    got = {
+        (r.conv_id, r.role): (r.n_responses, r.max_gap_ms, r.mean_gap_ms)
+        for r in turn_latency(df).collect()
+    }
+    # assistant gaps: 1500, 253 -> mean floor((1500+253)/2) = 876
+    assert got[("c1", "assistant")] == (2, 1500, 876)
+    assert got[("c1", "user")] == (1, 100, 100)
+    assert ("c2", "user") not in got

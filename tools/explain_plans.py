@@ -623,6 +623,18 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "turn_latency": dict(
+        requires=[],
+        forbids=["Python", "Join"],
+        max_tree_exchanges=1,
+        note=(
+            "ONE exchange (asserted): the lag window partitions by "
+            "conv_id, and HashPartitioning(conv_id) already satisfies "
+            "the (conv_id, role) aggregate's clustered distribution — "
+            "the groupBy reuses the window's shuffle instead of adding "
+            "its own. Everything else is the integer-ms grid in codegen."
+        ),
+    ),
     "conv_dedup": dict(
         requires=[],
         forbids=["Python", "SortMergeJoin"],
