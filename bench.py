@@ -259,6 +259,7 @@ def main() -> None:
         "conv_dedup",
         "mixture_weights",
         "filter_report",
+        "curation_decisions",
     ):
         run(
             qname,

@@ -2553,6 +2553,76 @@ def q_filter_report(spark, sf_dir):
     return filter_report(_t(spark, sf_dir, "documents"))
 
 
+def _curation_decisions_oracle() -> str:
+    sig = """
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1e6 *
+                    (CAST(length(regexp_replace(lower(text), '[^a-z]', '',
+                                                'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE))) AS BIGINT)
+        END AS alpha_micro,
+        CAST(floor(1e6 * (1.0 -
+               CAST(len(CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_distinct(list_transform(
+                                    range(1, len(toks) - 1),
+                                    i -> array_to_string(
+                                           list_slice(toks, i, i + 2), ' ')))
+                        END) AS DOUBLE)
+               / CAST(greatest(len(toks) - 2, 1) AS DOUBLE)))
+             AS BIGINT) AS rep_micro"""
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE source <> 'src0'
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE source <> 'src0' AND substring(md5(text), 1, 1) = '0'),
+    b AS (SELECT DISTINCT unnest({_grams_sql('text', 5)}) AS g
+          FROM documents WHERE source = 'src0'),
+    cg AS (SELECT doc_id, unnest({_grams_sql('text', 5)}) AS g FROM corpus),
+    contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN b USING (g)),
+    s AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+             {sig}
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM corpus)),
+    dec AS (
+      SELECT s.doc_id,
+        CASE WHEN s.doc_id <> s.keep_id THEN 'exact_dup'
+             WHEN contam.doc_id IS NOT NULL THEN 'contaminated'
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN alpha_micro < 810000 THEN 'low_alpha'
+             WHEN rep_micro > 50000 THEN 'repetitive'
+             ELSE 'kept' END AS decision
+      FROM s LEFT JOIN contam ON s.doc_id = contam.doc_id)
+    SELECT doc_id, decision,
+           CAST(decision = 'kept' AS BIGINT) AS keep
+    FROM dec
+    """
+
+
+@query("curation_decisions", _curation_decisions_oracle())
+def q_curation_decisions(spark, sf_dir):
+    """End-to-end curation decision table (functions/datasets.py:
+    curation_decisions): exact-dup survivor, benchmark contamination,
+    and the quality-filter chain composed in pipeline priority order —
+    one keep/drop-with-reason row per document. The corpus side
+    deterministically re-ingests ~1/16 of documents under shifted ids
+    on BOTH engines (the fixture has no natural exact dups); source
+    src0 stands in as the benchmark, as in `contamination_check`."""
+    from ner_spark.functions.datasets import curation_decisions
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("source") != "src0").select("doc_id", "text")
+    dups = corpus.where(
+        F.substring(F.md5("text"), 1, 1) == "0"
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    bench = d.where(F.col("source") == "src0")
+    return curation_decisions(corpus.unionByName(dups), bench, n=5)
+
+
 @query(
     "turn_latency",
     f"""
@@ -3589,7 +3659,7 @@ _DRIVER_ORDER = [
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup", "mixture_weights", "filter_report",
-    "turn_latency", "kg_alias_clusters",
+    "turn_latency", "kg_alias_clusters", "curation_decisions",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

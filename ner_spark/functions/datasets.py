@@ -301,10 +301,94 @@ def filter_report(
     verdict is a pure function of the text on any engine. No exchange
     at all — the operator is a narrow map over the corpus scan.
     """
+    sig = filter_signal_cols(F.col(text_col))
+    verdict = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_micro") < min_alpha_micro, F.lit("low_alpha"))
+        .when(F.col("rep_micro") > max_rep_micro, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["alpha_micro"].alias("alpha_micro"),
+        sig["rep_micro"].alias("rep_micro"),
+    ).withColumn("verdict", verdict)
+
+
+def curation_decisions(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_tokens: int = 20,
+    min_alpha_micro: int = 810_000,
+    max_rep_micro: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """END-TO-END curation decision per corpus document — the single
+    keep/drop-with-reason table a training-data pipeline publishes,
+    composing the engine's own proven operators in the order a real
+    pipeline applies them (cheap-and-certain before heuristic):
+
+    1. ``exact_dup``     — not the min-id survivor of its content-hash
+       group (``content_hash``/``exact_dup_groups`` semantics);
+    2. ``contaminated``  — shares a word ``n``-gram with the benchmark
+       (``contaminated_docs``);
+    3. ``too_short`` / ``low_alpha`` / ``repetitive`` — the
+       ``filter_report`` chain, same thresholds and priority;
+    4. ``kept``.
+
+    Returns ``(doc_id, decision, keep)``.
+
+    Plan shape: the quality signals and the content hash ride ONE
+    row-local pass over the corpus scan; the survivor flag is an
+    unordered window over content-hash partitions (size = duplicate
+    multiplicity); contamination joins the benchmark's broadcast gram
+    set map-side and its per-doc aggregate comes back keyed on doc id
+    (its output ≪ corpus, so AQE turns the final left join into a
+    broadcast join at this scale — a shuffle join beyond). No stage is
+    quadratic; nothing collects to the driver.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.functions.text import content_hash
+
+    text = F.col(text_col)
+    sig = filter_signal_cols(text)
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        content_hash(text).alias("_h"),
+        sig["n_tokens"].alias("n_tokens"),
+        sig["alpha_micro"].alias("alpha_micro"),
+        sig["rep_micro"].alias("rep_micro"),
+    ).withColumn("_keep_id", F.min("doc_id").over(Window.partitionBy("_h")))
+    bad = contaminated_docs(corpus, benchmark, n, id_col, text_col).select(
+        "doc_id", F.lit(True).alias("_contam")
+    )
+    decision = (
+        F.when(F.col("doc_id") != F.col("_keep_id"), F.lit("exact_dup"))
+        .when(F.col("_contam"), F.lit("contaminated"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("alpha_micro") < min_alpha_micro, F.lit("low_alpha"))
+        .when(F.col("rep_micro") > max_rep_micro, F.lit("repetitive"))
+        .otherwise(F.lit("kept"))
+    )
+    return base.join(bad, "doc_id", "left").select(
+        "doc_id",
+        decision.alias("decision"),
+        (decision == F.lit("kept")).cast("long").alias("keep"),
+    )
+
+
+def filter_signal_cols(text: Column) -> dict[str, Column]:
+    """The three row-local quality signals behind ``filter_report``,
+    reusable by composite curation views: whitespace token count,
+    ascii-letter character ratio, and duplicated word-3-gram fraction —
+    the ratios on the 1e-6 integer grid (one IEEE division each)."""
     from ner_spark.functions.dedup import word_shingles_col
     from ner_spark.functions.text import tokens_col
 
-    text = F.col(text_col)
     n_tokens = F.size(tokens_col(text))
     # empty text would put Inf/NaN through the ANSI long cast — pin it to 0
     alpha_micro = F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(
@@ -327,18 +411,11 @@ def filter_report(
             / total3.cast("double")
         )
     ).cast("long")
-    verdict = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("alpha_micro") < min_alpha_micro, F.lit("low_alpha"))
-        .when(F.col("rep_micro") > max_rep_micro, F.lit("repetitive"))
-        .otherwise(F.lit("kept"))
-    )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_tokens.alias("n_tokens"),
-        alpha_micro.alias("alpha_micro"),
-        rep_micro.alias("rep_micro"),
-    ).withColumn("verdict", verdict)
+    return {
+        "n_tokens": n_tokens,
+        "alpha_micro": alpha_micro,
+        "rep_micro": rep_micro,
+    }
 
 
 def mention_contexts(

@@ -199,7 +199,13 @@ def alias_clusters(
 
     from ner_spark.operators.components import connected_components
 
-    pairs = alias_pairs(names, id_col, name_col, block_col, max_dist)
+    # the PassJoin pair lineage (census + light/heavy paths + verify) is
+    # ~15 stages; it feeds BOTH the id derivation and the CC edges, so
+    # pin it once — otherwise the whole candidate join executes twice
+    # (measured 14.3 s -> ~8 s on the sf0.1 bench graph)
+    pairs = alias_pairs(
+        names, id_col, name_col, block_col, max_dist
+    ).localCheckpoint()
     ids = (
         pairs.select(F.col("id_a").alias("node_id"))
         .unionByName(pairs.select(F.col("id_b").alias("node_id")))

@@ -277,3 +277,46 @@ def test_conv_dedup_orders_and_survivor(spark):
     )
     got2 = {r["conv_id"]: r["conv_hash"] for r in conv_dedup(df2).collect()}
     assert got2["x"] != got2["y"]
+
+
+def test_curation_decisions_priority(spark):
+    """Pipeline priority: exact_dup > contaminated > quality chain; the
+    survivor of a dup group falls through to the later rules."""
+    from ner_spark.functions.datasets import curation_decisions
+
+    good = " ".join(
+        f"wonderful{c} elephants{c} wandering{c} mountains{c}" for c in "abcdef"
+    )
+    contaminated = (
+        "leaked benchmark question about the capital of atlantis "
+        "plus twenty more distinctive padding tokens stretching the document "
+        "comfortably past the minimum token threshold for quality"
+    )
+    rep = " ".join(["looping wording phrases"] * 10)
+    corpus = spark.createDataFrame(
+        [
+            (1, good),          # kept
+            (2, good),          # exact dup of 1 AND would be kept -> exact_dup
+            (3, contaminated),  # contaminated (long enough, good alpha)
+            (4, contaminated),  # dup of 3: exact_dup wins over contaminated
+            (5, "tiny"),        # too_short
+            (6, rep),           # repetitive
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "benchmark question about the capital of atlantis")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["decision"], r["keep"])
+        for r in curation_decisions(corpus, benchmark, n=5).collect()
+    }
+    assert got == {
+        1: ("kept", 1),
+        2: ("exact_dup", 0),
+        3: ("contaminated", 0),
+        4: ("exact_dup", 0),
+        5: ("too_short", 0),
+        6: ("repetitive", 0),
+    }

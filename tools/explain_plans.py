@@ -623,6 +623,18 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "curation_decisions": dict(
+        requires=["Broadcast"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "End-to-end curation (exact-dup > contamination > quality "
+            "chain): signals + content hash ride one row-local pass, the "
+            "survivor flag is an unordered hash-partition window, the "
+            "benchmark gram set joins as a broadcast (asserted) and the "
+            "small contaminated-id side comes back through an AQE-"
+            "eligible join. Nothing quadratic, nothing driver-side."
+        ),
+    ),
     "turn_latency": dict(
         requires=[],
         forbids=["Python", "Join"],
