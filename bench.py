@@ -260,6 +260,7 @@ def main() -> None:
         "mixture_weights",
         "filter_report",
         "curation_decisions",
+        "kg_conv_cards",
     ):
         run(
             qname,

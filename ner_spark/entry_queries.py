@@ -2553,6 +2553,65 @@ def q_filter_report(spark, sf_dir):
     return filter_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "kg_conv_cards",
+    f"""
+    WITH base AS (
+      SELECT conv_id,
+             CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_user_turns,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_assistant_turns,
+             CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tool_calls,
+             CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT)
+               AS duration_ms,
+             coalesce(array_to_string(list_sort(list_distinct(
+               list_filter(list(tool), x -> x IS NOT NULL))), ','), '')
+               AS tools
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      GROUP BY conv_id),
+    tri AS (
+      SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_triples.parquet")}')
+      GROUP BY conv_id),
+    tp AS (
+      SELECT conv_id, pred AS top_pred FROM (
+        SELECT conv_id, pred,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY cnt DESC, pred DESC) AS rn
+        FROM (SELECT conv_id, pred, count(*) AS cnt
+              FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_triples.parquet")}')
+              GROUP BY 1, 2))
+      WHERE rn = 1)
+    SELECT base.conv_id, n_turns, n_user_turns, n_assistant_turns,
+           n_tool_calls, duration_ms, tools,
+           coalesce(tri.n_triples, 0) AS n_triples,
+           coalesce(tp.top_pred, '') AS top_pred
+    FROM base
+    LEFT JOIN tri ON base.conv_id = tri.conv_id
+    LEFT JOIN tp ON base.conv_id = tp.conv_id
+    """,
+)
+def q_kg_conv_cards(spark, sf_dir):
+    """Per-conversation profile card (operators/segments.py:conv_cards)
+    — role/tool/turn volumes, wall-clock span, and the KG extraction
+    summary (triple count, dominant predicate) in one row per
+    conversation. The Spark side aggregates the PIPELINE's own triples;
+    the oracle aggregates the plain-Python reference goldens — a
+    cross-implementation check of the whole tag→extract slice folded
+    into the profile view."""
+    from ner_spark.operators.extraction import mentions_to_triples
+    from ner_spark.operators.segments import conv_cards
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return conv_cards(t, mentions_to_triples(_mentions(spark, _fx(sf_dir))))
+
+
 def _curation_decisions_oracle() -> str:
     sig = """
         CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -3660,6 +3719,7 @@ _DRIVER_ORDER = [
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup", "mixture_weights", "filter_report",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
+    "kg_conv_cards",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

@@ -130,3 +130,63 @@ def turn_latency(transcripts: DataFrame) -> DataFrame:
         F.max("gap").alias("max_gap_ms"),
         F.expr("sum(gap) div count(1)").alias("mean_gap_ms"),
     )
+
+
+def conv_cards(transcripts: DataFrame, triples: DataFrame) -> DataFrame:
+    """Per-conversation profile card — the "conversation page" a
+    transcript browser, labeling UI, or sampling dashboard reads (the
+    conversation-granularity sibling of ``entity_cards``): turn volume
+    by role, tool usage, wall-clock span, and what the KG extracted
+    from it. One row per conversation:
+
+    ``(conv_id, n_turns, n_user_turns, n_assistant_turns, n_tool_calls,
+    duration_ms, tools, n_triples, top_pred)`` — ``tools`` is the
+    sorted distinct tool list serialized ``","``-joined (array cells
+    don't survive the driver's canonicalizer), ``top_pred`` is the
+    conversation's most frequent extracted predicate with ties broken
+    to the lexicographically LAST (max struct — deterministic under any
+    partitioning), empty string when nothing was extracted.
+
+    Scale shape: two map-side-combinable aggregates keyed on conv_id
+    (transcripts and triples never join row-to-row — only their
+    per-conversation summaries meet, an entity-dimension-sized join)
+    plus a (conv_id, pred)-keyed count whose arg-max folds into a
+    struct max, never a window sort. Tool-list buffers are bounded by
+    the tool vocabulary, not by conversation length.
+    """
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    base = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user_turns"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias(
+            "n_assistant_turns"
+        ),
+        F.sum(F.col("tool").isNotNull().cast("long")).alias("n_tool_calls"),
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+        F.concat_ws(",", F.array_sort(F.collect_set("tool"))).alias("tools"),
+    )
+    tri = triples.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    tp = (
+        triples.groupBy("conv_id", "pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("conv_id")
+        .agg(F.max(F.struct("cnt", "pred")).alias("m"))
+        .select("conv_id", F.col("m.pred").alias("top_pred"))
+    )
+    return (
+        base.join(tri, "conv_id", "left")
+        .join(tp, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_user_turns",
+            "n_assistant_turns",
+            "n_tool_calls",
+            "duration_ms",
+            "tools",
+            F.coalesce("n_triples", F.lit(0).cast("long")).alias("n_triples"),
+            F.coalesce("top_pred", F.lit("")).alias("top_pred"),
+        )
+    )

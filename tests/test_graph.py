@@ -961,3 +961,46 @@ def test_turn_latency_grid(spark):
     assert got[("c1", "assistant")] == (2, 1500, 876)
     assert got[("c1", "user")] == (1, 100, 100)
     assert ("c2", "user") not in got
+
+
+def test_conv_cards_profile(spark):
+    import datetime as dt
+
+    from ner_spark.operators.segments import conv_cards
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    transcripts = spark.createDataFrame(
+        [
+            ("c1", 0, "user", None, "hi", ts(0)),
+            ("c1", 1, "assistant", None, "hello", ts(2)),
+            ("c1", 2, "tool", "search", "results", ts(5)),
+            ("c1", 3, "tool", "db", "rows", ts(6)),
+            ("c2", 0, "user", None, "lone turn", ts(0)),
+        ],
+        "conv_id string, turn_idx long, role string, tool string, "
+        "text string, ts timestamp",
+    )
+    triples = spark.createDataFrame(
+        [
+            ("c1", 1, "s", "brand", "acme"),
+            ("c1", 2, "s", "brand", "initech"),
+            ("c1", 2, "s", "place", "austin"),
+            # tie between brand(2) and place(2)? no: brand=2, place=1
+        ],
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    got = {r["conv_id"]: r.asDict() for r in conv_cards(transcripts, triples).collect()}
+    c1 = got["c1"]
+    assert (c1["n_turns"], c1["n_user_turns"], c1["n_assistant_turns"]) == (4, 1, 1)
+    assert c1["n_tool_calls"] == 2 and c1["tools"] == "db,search"
+    assert c1["duration_ms"] == 6000
+    assert c1["n_triples"] == 3 and c1["top_pred"] == "brand"
+    # conversation with no triples and no tools: zeroed/empty profile
+    c2 = got["c2"]
+    assert (c2["n_triples"], c2["top_pred"], c2["tools"]) == (0, "", "")
+    assert c2["duration_ms"] == 0
