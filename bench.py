@@ -261,6 +261,7 @@ def main() -> None:
         "filter_report",
         "curation_decisions",
         "kg_conv_cards",
+        "token_percentiles",
     ):
         run(
             qname,

@@ -2554,6 +2554,38 @@ def q_filter_report(spark, sf_dir):
 
 
 @query(
+    "token_percentiles",
+    """
+    WITH d AS (SELECT lang AS grp, len(string_split(text, ' ')) AS v
+               FROM documents),
+    hist AS (SELECT grp, v, count(*) AS c FROM d GROUP BY 1, 2),
+    cum AS (SELECT grp, v, c,
+                   sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum
+            FROM hist),
+    tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_docs
+            FROM hist GROUP BY 1)
+    SELECT grp AS lang, n_docs,
+           CAST(min(CASE WHEN cum >= (n_docs + 1) // 2 THEN v END)
+                AS INTEGER) AS p50_tokens,
+           CAST(min(CASE WHEN cum >= (9 * n_docs + 9) // 10 THEN v END)
+                AS INTEGER) AS p90_tokens,
+           CAST(max(v) AS INTEGER) AS max_tokens
+    FROM cum JOIN tot USING (grp)
+    GROUP BY grp, n_docs
+    """,
+)
+def q_token_percentiles(spark, sf_dir):
+    """Exact per-language token-count percentiles via the scale-safe
+    histogram-cumsum method (functions/text.py:token_percentiles): the
+    cumulative window rides the VALUE DOMAIN (distinct token counts),
+    never the corpus, so no group ever lands on one task — the
+    per-group exact order statistic without the per-group sort."""
+    from ner_spark.functions.text import token_percentiles
+
+    return token_percentiles(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "kg_conv_cards",
     f"""
     WITH base AS (
@@ -3719,7 +3751,7 @@ _DRIVER_ORDER = [
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup", "mixture_weights", "filter_report",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
-    "kg_conv_cards",
+    "kg_conv_cards", "token_percentiles",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

@@ -414,3 +414,58 @@ def bm25_topk(
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def token_percentiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-group order statistics of the whitespace token count —
+    ``(lang, n_docs, p50_tokens, p90_tokens, max_tokens)`` where
+    ``pXX`` is the value at ascending rank ``ceil(q·n)`` (the classic
+    discrete percentile; no interpolation, so the result is an actual
+    observed value and identical on every engine).
+
+    The scale story is the point: the naive exact percentile sorts each
+    group inside one window partition — the per-group resurrection of
+    the single-partition-window anti-pattern (a 100 TB 'en' group lands
+    on ONE task). Token counts are small-domain integers, so this
+    computes a per-(group, value) HISTOGRAM first (map-side-combinable
+    aggregate), then cumulative-sums over the VALUE DOMAIN — the window
+    partition is bounded by the number of distinct token counts (≤ max
+    document length), never by corpus size — and picks the first value
+    whose running count reaches the rank. Exact, two exchanges, no
+    corpus-wide sort.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.size(tokens_col(F.col(text_col))).alias("v"),
+    )
+    hist = d.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy("v")
+    # the group total is an UNORDERED window over the same partition key
+    # as the cumsum — one exchange serves both, no totals join at all
+    j = hist.select(
+        "grp",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("grp")).alias("n_docs"),
+    )
+    # ceil(q*n) in exact integer arithmetic: ceil(a*n/b) = (a*n + b - 1) div b
+    r50 = F.expr("(n_docs + 1) div 2")
+    r90 = F.expr("(9 * n_docs + 9) div 10")
+    return j.groupBy("grp", "n_docs").agg(
+        F.min(F.when(F.col("cum") >= r50, F.col("v"))).alias("p50_tokens"),
+        F.min(F.when(F.col("cum") >= r90, F.col("v"))).alias("p90_tokens"),
+        F.max("v").alias("max_tokens"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "p50_tokens",
+        "p90_tokens",
+        "max_tokens",
+    )

@@ -320,3 +320,24 @@ def test_curation_decisions_priority(spark):
         5: ("too_short", 0),
         6: ("repetitive", 0),
     }
+
+
+def test_token_percentiles_exact_ranks(spark):
+    """Discrete percentile = value at ascending rank ceil(q*n); verify
+    against a hand-sorted list including duplicates."""
+    from ner_spark.functions.text import token_percentiles
+
+    # lang a: token counts [1,2,2,3,10] -> n=5, p50 rank 3 -> 2,
+    # p90 rank ceil(4.5)=5 -> 10
+    texts_a = ["w", "w w", "w w", "w w w", " ".join(["w"] * 10)]
+    # lang b: [4,4] -> n=2, p50 rank 1 -> 4, p90 rank 2 -> 4
+    texts_b = ["a b c d", "e f g h"]
+    rows = [(i, "a", t) for i, t in enumerate(texts_a)] + [
+        (100 + i, "b", t) for i, t in enumerate(texts_b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: (r["n_docs"], r["p50_tokens"], r["p90_tokens"], r["max_tokens"])
+        for r in token_percentiles(df).collect()
+    }
+    assert got == {"a": (5, 2, 10, 10), "b": (2, 4, 4, 4)}

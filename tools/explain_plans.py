@@ -623,6 +623,17 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "token_percentiles": dict(
+        requires=[],
+        forbids=["Python", "Join"],
+        note=(
+            "Exact per-group percentiles WITHOUT the per-group sort: the "
+            "cumulative window's partition is the per-group HISTOGRAM "
+            "(bounded by the token-count value domain), not the corpus — "
+            "a 100 TB 'en' group never lands on one task. The histogram "
+            "aggregate combines map-side; ranks are integer ceil-division."
+        ),
+    ),
     "curation_decisions": dict(
         requires=["Broadcast"],
         forbids=["Python", "CartesianProduct"],
