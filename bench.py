@@ -190,6 +190,23 @@ def main() -> None:
         best_of=2,
     )
     run("kg_edge_split", lambda: edge_holdout_split(kg_edges).count())
+    from pyspark.sql import functions as F
+
+    from ner_spark.operators.graph import bottleneck_paths
+    from ner_spark.operators.linking import md5_hash60_col as _h60c
+
+    def _bneck() -> int:
+        nodes = (
+            kg_edges.select(F.col("src_entity").alias("x"))
+            .unionByName(kg_edges.select(F.col("dst_entity").alias("x")))
+            .distinct()
+        )
+        srcs = nodes.where(
+            F.pmod(_h60c(F.concat(F.lit("bneck|"), F.col("x"))), F.lit(29)) == 0
+        )
+        return bottleneck_paths(kg_edges, srcs, max_hops=3).count()
+
+    run("kg_bottleneck_paths", _bneck, best_of=2)
     kg_nodes = materialize_nodes(_nodes, _assign).cache()
     kg_nodes.count()
     run("kg_alias_pairs", lambda: alias_pairs(kg_nodes).count(), best_of=2)

@@ -2553,6 +2553,69 @@ def q_filter_report(spark, sf_dir):
     return filter_report(_t(spark, sf_dir, "documents"))
 
 
+def _kg_bottleneck_sql() -> str:
+    edges_pq = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    src_rule = f"({_h60(chr(39) + 'bneck|' + chr(39) + ' || x')}) % 29 = 0"
+    rounds = []
+    prev = "r1"
+    for i in (2, 3):
+        rounds.append(
+            f"""b{i} AS (
+      SELECT {prev}.src, e.v AS x, least({prev}.strength, e.w) AS strength
+      FROM {prev} JOIN e ON e.u = {prev}.x
+      UNION ALL SELECT src, x, strength FROM {prev}),
+    r{i} AS MATERIALIZED (
+      SELECT src, x, max(strength) AS strength FROM b{i} GROUP BY 1, 2)"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH raw AS (
+      SELECT src_entity AS u, dst_entity AS v, n_turns AS w
+      FROM read_parquet('{edges_pq}')
+      UNION ALL
+      SELECT dst_entity, src_entity, n_turns
+      FROM read_parquet('{edges_pq}')),
+    e AS MATERIALIZED (
+      SELECT u, v, CAST(max(w) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
+    nodes AS (SELECT DISTINCT u AS x FROM e),
+    s AS (SELECT x AS src FROM nodes WHERE {src_rule}),
+    r1 AS MATERIALIZED (
+      SELECT s.src, e.v AS x, max(e.w) AS strength
+      FROM s JOIN e ON e.u = s.src GROUP BY 1, 2),
+    {','.join(rounds)}
+    SELECT src AS src_entity, x AS entity_id, strength
+    FROM r3 WHERE x <> src
+    """
+
+
+@query("kg_bottleneck_paths", _kg_bottleneck_sql())
+def q_kg_bottleneck_paths(spark, sf_dir):
+    """Max-min (bottleneck) path strength within 3 undirected hops of a
+    deterministic md5-sampled source set (operators/graph.py:
+    bottleneck_paths) — the trust-chain view: a connection is only as
+    strong as its weakest assertion, on the all-integer max/min
+    semiring. Oracle = the relaxation unrolled to 3 rounds in SQL over
+    the golden edge table (MATERIALIZED per round so the CTE chain
+    doesn't inline exponentially)."""
+    from ner_spark.functions.dedup import register_persist
+    from ner_spark.operators.graph import bottleneck_paths
+    from ner_spark.operators.linking import md5_hash60_col
+
+    edges = register_persist(_kg_edges(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_entity").alias("x"))
+        .unionByName(edges.select(F.col("dst_entity").alias("x")))
+        .distinct()
+    )
+    sources = nodes.where(
+        F.pmod(
+            md5_hash60_col(F.concat(F.lit("bneck|"), F.col("x"))), F.lit(29)
+        )
+        == 0
+    )
+    return bottleneck_paths(edges, sources, max_hops=3)
+
+
 @query(
     "token_percentiles",
     """
@@ -3751,7 +3814,7 @@ _DRIVER_ORDER = [
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup", "mixture_weights", "filter_report",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
-    "kg_conv_cards", "token_percentiles",
+    "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

@@ -1360,3 +1360,69 @@ def entity_cards(
             F.coalesce("top_preds", F.lit("")).alias("top_preds"),
         )
     )
+
+
+def bottleneck_paths(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Max-min (bottleneck) path strength from a source set over the
+    UNDIRECTED support graph: ``(src_entity, entity_id, strength)``
+    where ``strength`` is the maximum over ≤ ``max_hops``-edge walks of
+    the minimum edge support (``n_turns``) along the walk — the "how
+    strongly is X connected to Y" trust-chain view (a chain is only as
+    credible as its weakest assertion). Revisiting a node can never
+    raise a walk's minimum, so the walk optimum equals the simple-path
+    optimum and the relaxation is exact.
+
+    All-integer max/min semiring — no floats anywhere, so the fixpoint
+    is deterministic under any partitioning and engine. Bounded-hop
+    Bellman-Ford shape: per round ONE frontier⋈edges join plus a
+    (src, node)-keyed max; the frame is localCheckpointed per round so
+    the plan stays one round deep (same device as pagerank/k-core).
+    Parallel edges collapse to their strongest support before the loop,
+    so the join input is the slim distinct adjacency.
+    """
+    raw = edges.select(
+        F.col("src_entity").alias("u"),
+        F.col("dst_entity").alias("v"),
+        F.col("n_turns").cast("long").alias("w"),
+    )
+    e = (
+        raw.unionByName(
+            raw.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+        .persist()
+    )
+    src = sources.select(
+        F.col(sources.columns[0]).alias("src")
+    ).distinct()
+    best = (
+        src.join(e, src.src == e.u)
+        .groupBy("src", F.col("v").alias("x"))
+        .agg(F.max("w").alias("strength"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(1, max_hops):
+            cand = (
+                best.join(e, best.x == e.u)
+                .select("src", F.col("v").alias("x"),
+                        F.least("strength", "w").alias("strength"))
+            )
+            best = (
+                best.unionByName(cand)
+                .groupBy("src", "x")
+                .agg(F.max("strength").alias("strength"))
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return best.where(F.col("x") != F.col("src")).select(
+        F.col("src").alias("src_entity"),
+        F.col("x").alias("entity_id"),
+        "strength",
+    )

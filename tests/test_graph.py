@@ -1004,3 +1004,38 @@ def test_conv_cards_profile(spark):
     c2 = got["c2"]
     assert (c2["n_triples"], c2["top_pred"], c2["tools"]) == (0, "", "")
     assert c2["duration_ms"] == 0
+
+
+def test_bottleneck_paths_semiring(spark):
+    """Hand-checked max-min relaxation: parallel edges take the
+    strongest, a path's strength is its weakest edge, the best of
+    several paths wins, and the hop bound truncates."""
+    from ner_spark.operators.graph import bottleneck_paths
+
+    edges = spark.createDataFrame(
+        [
+            # a -> b twice (parallel preds): strongest support wins (5)
+            ("a", "p", "b", 5), ("a", "q", "b", 2),
+            ("b", "p", "c", 3),            # a-b-c strength min(5,3)=3
+            ("a", "p", "c", 1),            # direct but weak: max(1,3)=3
+            ("c", "p", "d", 9),            # a..d = min(3,9)=3 (3 hops)
+            ("d", "p", "z", 9),            # z is 4 hops from a
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns long",
+    )
+    sources = spark.createDataFrame([("a",)], "entity_id string")
+    got = {
+        r["entity_id"]: r["strength"]
+        for r in bottleneck_paths(edges, sources, max_hops=3).collect()
+    }
+    # z at exactly 3 hops only via the weak direct a-c edge: min(1,9,9);
+    # the stronger a-b-c prefix would need 4 hops to reach z
+    assert got == {"b": 5, "c": 3, "d": 3, "z": 1}
+    # undirected: from d, strength to a is min over d-c-b-a = 3
+    got_d = {
+        r["entity_id"]: r["strength"]
+        for r in bottleneck_paths(
+            edges, spark.createDataFrame([("d",)], "entity_id string"), 3
+        ).collect()
+    }
+    assert got_d["a"] == 3 and got_d["z"] == 9
