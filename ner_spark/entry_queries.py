@@ -3826,11 +3826,18 @@ _DRIVER_ORDER = [
     "kg_community_profiles", "kg_edge_split", "kg_entity_cards",
     "kg_topic_segments", "tool_transitions",
     # -------- position > 50: NOT recorded by the external driver -------
+    # The session-4 curation/graph wave (conv_dedup … kg_bottleneck_paths)
+    # overflows the 50-row window by four: kg_edge_split, kg_entity_cards,
+    # kg_topic_segments and tool_transitions land at positions 51-54 —
+    # never driver-recorded, but they are the four SIMPLEST of the new
+    # queries (single-window/aggregate shapes), all green in the local
+    # mirror gate; the complex new operators all sit inside the window.
+    # Round 4 must rotate them in.
     # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
     # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
     # kg_stream_triples were demoted below the cap by the 10 session-3
-    # queries above; kg_tags/kg_mentions/kg_triples by the conv_dedup/
-    # mixture_weights/filter_report trio — all hold green
+    # queries above; kg_tags/kg_mentions/kg_triples/kg_relations/
+    # kg_link_edges by the session-4 wave — all hold green
     # CORRECTNESS_r01/r02 rows.)
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
