@@ -279,6 +279,7 @@ def main() -> None:
         "curation_decisions",
         "kg_conv_cards",
         "token_percentiles",
+        "embedding_centroids",
     ):
         run(
             qname,

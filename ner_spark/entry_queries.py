@@ -2553,6 +2553,43 @@ def q_filter_report(spark, sf_dir):
     return filter_report(_t(spark, sf_dir, "documents"))
 
 
+def _embedding_centroids_sql(dim: int = 64) -> str:
+    sums = ",\n           ".join(
+        f"sum(CAST(floor(embedding[{i + 1}]::DOUBLE * 1e6 + 0.5) AS BIGINT))"
+        f" AS s{i}"
+        for i in range(dim)
+    )
+    means = ",\n             ".join(
+        f"CAST(floor(CAST(s{i} AS DOUBLE) / CAST(n_vectors AS DOUBLE) + 0.5)"
+        f" AS BIGINT)"
+        for i in range(dim)
+    )
+    return f"""
+    WITH s AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           {sums}
+      FROM embeddings GROUP BY label)
+    SELECT label, n_vectors,
+           array_to_string([{means}], ',') AS centroid
+    FROM s
+    """
+
+
+@query("embedding_centroids", _embedding_centroids_sql())
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (functions/similarity.py:
+    embedding_centroids): each element int64-quantized on the 1e-6
+    grid BEFORE the group sum, so the vector mean is order-independent
+    and cross-engine exact; the 64 sums ride one map-side-combinable
+    aggregate (no explode). Centroid serialized for the driver
+    canonicalizer."""
+    from ner_spark.functions.similarity import embedding_centroids
+
+    return embedding_centroids(
+        _t(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
 def _kg_bottleneck_sql() -> str:
     edges_pq = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
     src_rule = f"({_h60(chr(39) + 'bneck|' + chr(39) + ' || x')}) % 29 = 0"
@@ -3815,6 +3852,7 @@ _DRIVER_ORDER = [
     "conv_dedup", "mixture_weights", "filter_report",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
+    "embedding_centroids",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

@@ -358,3 +358,66 @@ def cosine_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_centroids(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean embedding — ``(label, n_vectors, centroid)`` with
+    the centroid serialized as a comma-joined list of 1e-6-grid
+    integers (array cells don't survive the driver's canonicalizer).
+    This is the distributed vector aggregation behind class prototypes,
+    IVF coarse quantizers, and embedding-drift monitors.
+
+    Determinism is the design problem floats create here: a naive
+    ``sum(embedding[i])`` is reduction-order-dependent, so two runs (or
+    two engines) disagree in the last ulp. Each element is therefore
+    quantized to an int64 on the 1e-6 grid FIRST; the group sums are
+    integer (order-independent), and the mean is one fixed-order IEEE
+    division + round per element.
+
+    Plan shape: the ``dim`` sums ride ONE map-side-combinable aggregate
+    keyed on the group — no explode (which would multiply rows ×dim
+    before the shuffle); partial aggregation reduces every partition to
+    |groups| rows of dim+1 columns before the single exchange. ``dim``
+    defaults to probing one row (bounded driver action, same device as
+    the vocab-dim probe).
+    """
+    if dim is None:
+        dim = len(
+            embeddings.select(F.col(vec_col).alias("v")).head()["v"]
+        )
+    vec = F.col(vec_col)
+    q = [
+        F.floor(
+            F.element_at(vec, i + 1).cast("double") * F.lit(float(grid))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(dim)
+    ]
+    base = embeddings.select(F.col(group_col).alias("grp"), *q)
+    aggs = [F.count(F.lit(1)).alias("n_vectors")] + [
+        F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)
+    ]
+    summed = base.groupBy("grp").agg(*aggs)
+    mean = [
+        F.floor(
+            F.col(f"s{i}").cast("double")
+            / F.col("n_vectors").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .cast("string")
+        for i in range(dim)
+    ]
+    return summed.select(
+        F.col("grp").alias(group_col),
+        "n_vectors",
+        F.concat_ws(",", F.array(*mean)).alias("centroid"),
+    )

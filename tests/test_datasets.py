@@ -341,3 +341,29 @@ def test_token_percentiles_exact_ranks(spark):
         for r in token_percentiles(df).collect()
     }
     assert got == {"a": (5, 2, 10, 10), "b": (2, 4, 4, 4)}
+
+
+def test_embedding_centroids_exact_integer_mean(spark):
+    from ner_spark.functions.similarity import embedding_centroids
+
+    rows = [
+        (0, [1.0, -0.5], 0),
+        (1, [2.0, 0.5], 0),
+        (2, [0.25, 0.25], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["centroid"])
+        for r in embedding_centroids(df, dim=2).collect()
+    }
+    # label 0: mean (1.5, 0.0) -> "1500000,0"; label 1: (0.25, 0.25)
+    assert got[0] == (2, "1500000,0")
+    assert got[1] == (1, "250000,250000")
+    # dim probe (dim=None) agrees
+    got2 = {
+        r["label"]: r["centroid"]
+        for r in embedding_centroids(df).collect()
+    }
+    assert got2[0] == "1500000,0"

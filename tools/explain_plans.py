@@ -623,6 +623,17 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "embedding_centroids": dict(
+        requires=[],
+        forbids=["Python", "Generate", "Join"],
+        max_tree_exchanges=1,
+        note=(
+            "Distributed vector mean: 64 int64-quantized element sums in "
+            "ONE map-side-combinable aggregate — no explode (asserted: no "
+            "Generate), so partitions reduce to |groups| rows of dim+1 "
+            "columns before the single exchange."
+        ),
+    ),
     "token_percentiles": dict(
         requires=[],
         forbids=["Python", "Join"],
