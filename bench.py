@@ -280,6 +280,8 @@ def main() -> None:
         "kg_conv_cards",
         "token_percentiles",
         "embedding_centroids",
+        "tool_ngrams",
+        "corpus_drift",
     ):
         run(
             qname,

@@ -2553,6 +2553,88 @@ def q_filter_report(spark, sf_dir):
     return filter_report(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "corpus_drift",
+    """
+    WITH ho AS (
+      SELECT lang AS grp, len(string_split(text, ' ')) AS v,
+             count(*) AS c
+      FROM documents GROUP BY 1, 2),
+    o AS (
+      SELECT grp, v,
+             CAST(floor(1e6 * (CAST(c AS DOUBLE)
+                  / CAST(sum(c) OVER (PARTITION BY grp) AS DOUBLE)) + 0.5)
+               AS BIGINT) AS f_old,
+             CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_old
+      FROM ho),
+    hn AS (
+      SELECT lang AS grp, len(string_split(text, ' ')) AS v,
+             count(*) AS c
+      FROM documents WHERE source NOT IN ('src0', 'src1') GROUP BY 1, 2),
+    n AS (
+      SELECT grp, v,
+             CAST(floor(1e6 * (CAST(c AS DOUBLE)
+                  / CAST(sum(c) OVER (PARTITION BY grp) AS DOUBLE)) + 0.5)
+               AS BIGINT) AS f_new,
+             CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_new
+      FROM hn)
+    SELECT coalesce(o.grp, n.grp) AS lang,
+           coalesce(max(n_old), 0) AS old_n,
+           coalesce(max(n_new), 0) AS new_n,
+           CAST(sum(abs(coalesce(f_old, 0) - coalesce(f_new, 0)))
+                AS BIGINT) AS l1_drift_micro
+    FROM o FULL OUTER JOIN n ON o.grp = n.grp AND o.v = n.v
+    GROUP BY 1
+    """,
+)
+def q_corpus_drift(spark, sf_dir):
+    """Snapshot drift monitor (functions/datasets.py:corpus_drift):
+    per-language L1 distance between the full corpus's and a
+    two-sources-removed snapshot's token-count histograms, every bucket
+    frequency quantized to the 1e-6 grid before the |Δ| sum — an exact
+    integer in [0, 2e6] at any corpus size. Histograms reduce map-side;
+    the only joins carry the value domain."""
+    from ner_spark.functions.datasets import corpus_drift
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_drift(
+        d, d.where(~F.col("source").isin("src0", "src1"))
+    )
+
+
+@query(
+    "tool_ngrams",
+    f"""
+    WITH seq AS (
+      SELECT conv_id, list(tool ORDER BY turn_idx) AS s
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      WHERE tool IS NOT NULL GROUP BY conv_id),
+    g AS (
+      SELECT conv_id,
+             unnest(list_transform(range(1, len(s) - 1),
+                    i -> array_to_string(list_slice(s, i, i + 2), '>')))
+               AS gram
+      FROM seq WHERE len(s) >= 3)
+    SELECT gram, count(*) AS n_occurrences,
+           count(DISTINCT conv_id) AS n_convs
+    FROM g GROUP BY 1
+    ORDER BY n_occurrences DESC, gram ASC LIMIT 20
+    """,
+)
+def q_tool_ngrams(spark, sf_dir):
+    """Top-20 tool-call trigrams across agent conversations
+    (operators/segments.py:tool_ngrams) — the multi-step playbook
+    miner behind tool-policy audits. Sequence assembly bounded by
+    conversation length, gram keys bounded by |tools|^3, top-k as
+    TakeOrderedAndProject."""
+    from ner_spark.operators.segments import tool_ngrams
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return tool_ngrams(t, n=3, k=20)
+
+
 def _embedding_centroids_sql(dim: int = 64) -> str:
     sums = ",\n           ".join(
         f"sum(CAST(floor(embedding[{i + 1}]::DOUBLE * 1e6 + 0.5) AS BIGINT))"
@@ -3852,7 +3934,7 @@ _DRIVER_ORDER = [
     "conv_dedup", "mixture_weights", "filter_report",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
-    "embedding_centroids",
+    "embedding_centroids", "tool_ngrams", "corpus_drift",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",

@@ -469,3 +469,66 @@ def mention_contexts(
             ).alias("context"),
         )
     )
+
+
+def corpus_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per group —
+    ``(lang, old_n, new_n, l1_drift_micro)`` where ``l1_drift_micro``
+    is the L1 distance between the two snapshots' token-count
+    histograms (each bucket's frequency quantized to the 1e-6 grid
+    BEFORE the |Δ| sum, so the statistic is an exact integer in
+    [0, 2e6] regardless of corpus size — no overflow, no
+    reduction-order dependence). This is the monitor a recurring
+    ingest runs: "did this week's crawl change what a typical 'de'
+    document looks like", the integer-grid stand-in for a KS test.
+
+    Plan: each side is the token_percentiles histogram shape (map-side
+    (group, value) counts, group total as an unordered window over the
+    same partition key), the two histograms meet in ONE full-outer join
+    keyed (group, value) with absent buckets as frequency 0, and the
+    drift is a map-side-combinable sum per group. Nothing scales past
+    the value domain after the first aggregates.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.functions.text import tokens_col
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        d = df.select(
+            F.col(group_col).alias("grp"),
+            F.size(tokens_col(F.col(text_col))).alias("v"),
+        )
+        h = d.groupBy("grp", "v").agg(F.count(F.lit(1)).alias("c"))
+        n = F.sum("c").over(Window.partitionBy("grp"))
+        f = F.floor(
+            F.lit(1e6) * (F.col("c").cast("double") / n.cast("double"))
+            + F.lit(0.5)
+        ).cast("long")
+        return h.select(
+            "grp", "v", f.alias(f"f_{side}"), n.alias(f"n_{side}")
+        )
+
+    o = hist(old, "old")
+    w = hist(new, "new")
+    j = o.join(w, ["grp", "v"], "full")
+    zero = F.lit(0).cast("long")
+    per_grp = j.groupBy("grp").agg(
+        F.max("n_old").alias("old_n"),
+        F.max("n_new").alias("new_n"),
+        F.sum(
+            F.abs(
+                F.coalesce("f_old", zero) - F.coalesce("f_new", zero)
+            )
+        ).alias("l1"),
+    )
+    return per_grp.select(
+        F.col("grp").alias(group_col),
+        F.coalesce("old_n", zero).alias("old_n"),
+        F.coalesce("new_n", zero).alias("new_n"),
+        F.col("l1").alias("l1_drift_micro"),
+    )

@@ -190,3 +190,50 @@ def conv_cards(transcripts: DataFrame, triples: DataFrame) -> DataFrame:
             F.coalesce("top_pred", F.lit("")).alias("top_pred"),
         )
     )
+
+
+def tool_ngrams(transcripts: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-``k`` most frequent tool-call ``n``-grams across
+    conversations — ``(gram, n_occurrences, n_convs)`` with the gram
+    serialized ``"a>b>c"``. Where ``tool_transitions`` gives the
+    1-step funnel, this mines the actual multi-step playbooks
+    ("search>db_query>calculator") an agent-ops team audits and a
+    tool-policy distillation samples.
+
+    Plan: each conversation's tool sequence assembles in one conv_id
+    groupBy (buffer bounded by conversation length — the same bound as
+    the content hash in conv_dedup); gram enumeration is row-local
+    slicing; counts reduce map-side on gram keys whose cardinality is
+    bounded by |tools|^n; the top-k compiles to TakeOrderedAndProject
+    (per-task local top-k — no global sort). Ties break (count desc,
+    gram asc): a total order, so the cut is deterministic.
+    """
+    seq = (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "tool"))),
+                lambda s: s["tool"],
+            ).alias("s")
+        )
+        .where(F.size("s") >= n)
+    )
+    grams = seq.select(
+        "conv_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - (n - 1)),
+                lambda i: F.array_join(F.slice("s", i, n), ">"),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )

@@ -367,3 +367,64 @@ def test_embedding_centroids_exact_integer_mean(spark):
         for r in embedding_centroids(df).collect()
     }
     assert got2[0] == "1500000,0"
+
+
+def test_corpus_drift_l1_and_missing_groups(spark):
+    from ner_spark.functions.datasets import corpus_drift
+
+    old = spark.createDataFrame(
+        [
+            (0, "a", "w"),            # lang a: counts {1: 2, 2: 1}
+            (1, "a", "x"),
+            (2, "a", "y z"),
+            (3, "b", "only old lang"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (0, "a", "w"),            # lang a: counts {1: 1, 2: 1}
+            (2, "a", "y z"),
+            (4, "c", "brand new lang"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: (r["old_n"], r["new_n"], r["l1_drift_micro"])
+        for r in corpus_drift(old, new).collect()
+    }
+    # lang a: old freqs {1: 2/3, 2: 1/3}, new {1: 1/2, 2: 1/2}
+    # |666667-500000| + |333333-500000| = 166667 + 166667
+    assert got["a"] == (3, 2, 333334)
+    # group only in old / only in new: full drift vs zero-filled side
+    assert got["b"] == (1, 0, 1_000_000)
+    assert got["c"] == (0, 1, 1_000_000)
+
+
+def test_tool_ngrams_counts(spark):
+    from ner_spark.operators.segments import tool_ngrams
+
+    rows = []
+    # conv A: search > db > calc > db  -> trigrams: s>d>c, d>c>d
+    for i, tool in enumerate(["search", "db", "calc", "db"]):
+        rows.append(("A", i, "tool", tool, "call", None))
+    # conv B: search > db > calc      -> trigram: s>d>c
+    for i, tool in enumerate(["search", "db", "calc"]):
+        rows.append(("B", i, "tool", tool, "call", None))
+    # conv C: too few tool calls
+    rows.append(("C", 0, "tool", "search", "call", None))
+    # non-tool turns never contribute
+    rows.append(("A", 9, "user", None, "thanks", None))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "text string, ts timestamp",
+    )
+    got = {
+        r["gram"]: (r["n_occurrences"], r["n_convs"])
+        for r in tool_ngrams(df, n=3, k=10).collect()
+    }
+    assert got == {
+        "search>db>calc": (2, 2),
+        "db>calc>db": (1, 1),
+    }

@@ -623,6 +623,15 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "tool_ngrams": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python"],
+        note=(
+            "Playbook mining ends in TakeOrderedAndProject (per-task "
+            "local top-k, no global sort); sequence buffers are bounded "
+            "by conversation length and gram keys by |tools|^n."
+        ),
+    ),
     "embedding_centroids": dict(
         requires=[],
         forbids=["Python", "Generate", "Join"],
