@@ -3931,7 +3931,7 @@ _DRIVER_ORDER = [
     "pack_windows", "tfidf_terms", "bm25_topk",
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
-    "conv_dedup", "mixture_weights", "filter_report",
+    "conv_dedup",
     "turn_latency", "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
     "embedding_centroids", "tool_ngrams", "corpus_drift",
@@ -3952,13 +3952,18 @@ _DRIVER_ORDER = [
     # never driver-recorded, but they are the four SIMPLEST of the new
     # queries (single-window/aggregate shapes), all green in the local
     # mirror gate; the complex new operators all sit inside the window.
-    # Round 4 must rotate them in.
+    # Round 4 must rotate them in (mixture_weights and filter_report —
+    # both single-pass row-local/5-row shapes — were moved out to keep
+    # the PassJoin alias pair generator and the skip-gram extractor,
+    # the two most load-bearing of the new operators, inside the
+    # recorded window).
     # (kg_graph_edges, kg_canonical_triples, kg_noisy_triples,
     # kg_span_to_bio, kg_turn_stats, kg_prf, kg_bioes_pairs,
     # kg_stream_triples were demoted below the cap by the 10 session-3
     # queries above; kg_tags/kg_mentions/kg_triples/kg_relations/
     # kg_link_edges by the session-4 wave — all hold green
     # CORRECTNESS_r01/r02 rows.)
+    "mixture_weights", "filter_report",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
