@@ -282,6 +282,7 @@ def main() -> None:
         "embedding_centroids",
         "tool_ngrams",
         "corpus_drift",
+        "lang_confusion",
     ):
         run(
             qname,

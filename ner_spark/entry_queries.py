@@ -2554,6 +2554,49 @@ def q_filter_report(spark, sf_dir):
 
 
 @query(
+    "lang_confusion",
+    """
+    WITH t AS (
+      SELECT lang, string_split(lower(text), ' ') AS ltoks FROM documents),
+    h AS (
+      SELECT lang,
+        CAST(len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','von','zu','ein'], x))) AS INTEGER) AS h_de,
+        CAST(len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','in','is','that'], x))) AS INTEGER) AS h_en,
+        CAST(len(list_filter(ltoks, x -> list_contains(['el','la','los','y','de','un','una','es'], x))) AS INTEGER) AS h_es,
+        CAST(len(list_filter(ltoks, x -> list_contains(['le','la','les','et','de','un','une','est'], x))) AS INTEGER) AS h_fr,
+        CAST(len(list_filter(ltoks, x -> list_contains(['的','是','了','在','和','有','我','不'], x))) AS INTEGER) AS h_zh
+      FROM t),
+    p AS (
+      SELECT lang,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+      FROM h)
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM p GROUP BY 1, 2
+    """,
+)
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against the gold ``lang`` column —
+    the standard evaluation view for the heuristic classifier
+    (functions/text.py:lang_id): (gold, predicted, count), |langs|²-key
+    map-side aggregate over one row-local scoring pass. Off-diagonal
+    mass is the classifier's error budget; the operator a curation
+    pipeline tunes its stopword inventories against."""
+    from ner_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "corpus_drift",
     """
     WITH ho AS (
@@ -3932,9 +3975,10 @@ _DRIVER_ORDER = [
     "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup",
-    "turn_latency", "kg_alias_clusters", "curation_decisions",
+    "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
     "embedding_centroids", "tool_ngrams", "corpus_drift",
+    "lang_confusion",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
@@ -3963,7 +4007,7 @@ _DRIVER_ORDER = [
     # queries above; kg_tags/kg_mentions/kg_triples/kg_relations/
     # kg_link_edges by the session-4 wave — all hold green
     # CORRECTNESS_r01/r02 rows.)
-    "mixture_weights", "filter_report",
+    "mixture_weights", "filter_report", "turn_latency",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
