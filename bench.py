@@ -283,6 +283,7 @@ def main() -> None:
         "tool_ngrams",
         "corpus_drift",
         "lang_confusion",
+        "mixture_resample",
     ):
         run(
             qname,

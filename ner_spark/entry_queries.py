@@ -2509,6 +2509,50 @@ def q_mixture_weights(spark, sf_dir):
 
 
 @query(
+    "mixture_resample",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+    q AS (SELECT lang, n_docs, n_total,
+            CAST(floor(power(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE),
+                             0.3) * 1e12 + 0.5) AS BIGINT) AS qint
+          FROM c, t),
+    qt AS (SELECT CAST(sum(qint) AS BIGINT) AS q_total FROM q),
+    wts AS (
+      SELECT lang,
+             CAST(floor(1e6 * ((CAST(qint AS DOUBLE) / CAST(q_total AS DOUBLE))
+                               / (CAST(n_docs AS DOUBLE)
+                                  / CAST(n_total AS DOUBLE))) + 0.5)
+                  AS BIGINT) AS weight_micro
+      FROM q, qt),
+    n AS (
+      SELECT d.doc_id, d.lang,
+             w.weight_micro // 1000000
+             + CASE WHEN ({_h60("'mix|' || CAST(d.doc_id AS VARCHAR)")})
+                         % 1000000 < w.weight_micro % 1000000
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN wts w USING (lang))
+    SELECT doc_id, lang,
+           CAST(unnest(range(CAST(1 AS BIGINT),
+                             CAST(n_copies + 1 AS BIGINT))) AS INTEGER)
+             AS copy_idx
+    FROM n WHERE n_copies > 0
+    """,
+)
+def q_mixture_resample(spark, sf_dir):
+    """Materialized temperature-balanced corpus (functions/datasets.py:
+    mixture_resample ∘ mixture_weights): floor(w) copies per document
+    plus an md5-hash Bernoulli coin for the fractional part — expected
+    multiplicity exactly w, a pure function of (corpus, weights) with
+    split-style growth stability. Broadcast weights join + row-local
+    integer arithmetic + one bounded explode; no shuffle."""
+    from ner_spark.functions.datasets import mixture_resample, mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_resample(d, mixture_weights(d))
+
+
+@query(
     "filter_report",
     """
     WITH t AS (
@@ -3972,13 +4016,13 @@ _DRIVER_ORDER = [
     "priority_count", "region_order_counts", "supplier_balance_by_nation",
     # new in round 3 — need their first driver row
     "pack_windows", "tfidf_terms", "bm25_topk",
-    "pii_scan", "pii_redact", "kg_degree_stats", "kg_pagerank",
+    "pii_scan", "pii_redact", "kg_pagerank",
     "events_asof_view", "ngram_topk", "kg_triangles",
     "conv_dedup",
     "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
     "embedding_centroids", "tool_ngrams", "corpus_drift",
-    "lang_confusion",
+    "lang_confusion", "mixture_resample",
     # KG pipeline (the headline surface)
     "kg_incremental_edges", "kg_edge_temporal",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
@@ -4008,6 +4052,7 @@ _DRIVER_ORDER = [
     # kg_link_edges by the session-4 wave — all hold green
     # CORRECTNESS_r01/r02 rows.)
     "mixture_weights", "filter_report", "turn_latency",
+    "kg_degree_stats",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

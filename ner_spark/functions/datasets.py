@@ -532,3 +532,59 @@ def corpus_drift(
         F.coalesce("new_n", zero).alias("new_n"),
         F.col("l1").alias("l1_drift_micro"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a temperature-balanced corpus from per-group
+    sampling weights (the actionable half of ``mixture_weights``):
+    every input row yields ``floor(w)`` copies plus one more with
+    probability ``frac(w)`` — ``(doc_id, lang, copy_idx)``, expected
+    multiplicity exactly ``weight_micro/1e6``.
+
+    The fractional coin is NOT random: row ``i`` gets its extra copy
+    iff ``h60(salt|id) mod 1e6 < weight_micro mod 1e6`` — the repo's
+    cross-engine md5 hash spec, so the resampled corpus is a pure
+    function of (corpus, weights): identical across runs, engines and
+    partitionings, and STABLE under corpus growth the same way the
+    train/val split is (an existing row's multiplicity never changes
+    when new rows arrive, only when the weights table does).
+
+    Plan: weights join as a broadcast (one row per group), the copy
+    count and coin are row-local integer arithmetic, and the expansion
+    is one ``explode`` of a bounded sequence — no shuffle at all; the
+    output is written partition-aligned with the input scan.
+    """
+    w = F.broadcast(
+        weights.select(
+            F.col(group_col).alias("grp"), "weight_micro"
+        )
+    )
+    joined = df.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")
+    ).join(w, "grp")
+    coin = F.pmod(
+        md5_hash60_col(
+            F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+        ),
+        F.lit(1_000_000),
+    )
+    n_copies = F.expr("weight_micro div 1000000L") + F.when(
+        coin < F.pmod(F.col("weight_micro"), F.lit(1_000_000)), 1
+    ).otherwise(0)
+    return (
+        joined.withColumn("n_copies", n_copies)
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            F.col("grp").alias(group_col),
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies").cast("int"))
+            ).alias("copy_idx"),
+        )
+    )

@@ -428,3 +428,34 @@ def test_tool_ngrams_counts(spark):
         "search>db>calc": (2, 2),
         "db>calc>db": (1, 1),
     }
+
+
+def test_mixture_resample_multiplicity(spark):
+    """floor(w) copies always; the fractional coin is a pure function
+    of the id; expected multiplicity matches the weight."""
+    from ner_spark.functions.datasets import mixture_resample
+
+    docs = spark.createDataFrame(
+        [(i, "tail") for i in range(200)] + [(1000 + i, "head") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    weights = spark.createDataFrame(
+        [("tail", 2_500_000), ("head", 400_000)],
+        "lang string, weight_micro long",
+    )
+    out = mixture_resample(docs, weights).collect()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + 1
+        assert 1 <= r["copy_idx"] <= per_doc[r["doc_id"]]
+    tail_counts = [per_doc.get(i, 0) for i in range(200)]
+    head_counts = [per_doc.get(1000 + i, 0) for i in range(200)]
+    # tail: every doc gets 2 or 3 copies; mean ~2.5
+    assert set(tail_counts) <= {2, 3}
+    assert 2.3 < sum(tail_counts) / 200 < 2.7
+    # head: 0 or 1 copies, mean ~0.4
+    assert set(head_counts) <= {0, 1}
+    assert 0.3 < sum(head_counts) / 200 < 0.5
+    # deterministic
+    again = mixture_resample(docs, weights).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

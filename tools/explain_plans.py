@@ -623,6 +623,16 @@ CHECKS = {
             "corpus."
         ),
     ),
+    "mixture_resample": dict(
+        requires=["Broadcast"],
+        forbids=["Python", "SortMergeJoin"],
+        note=(
+            "Corpus rebalancing is shuffle-free: the per-group weights "
+            "join as a broadcast (asserted), copy counts are row-local "
+            "integer arithmetic + the md5 coin, and the expansion is one "
+            "bounded-sequence explode riding the scan tasks."
+        ),
+    ),
     "tool_ngrams": dict(
         requires=["TakeOrderedAndProject"],
         forbids=["Python"],
