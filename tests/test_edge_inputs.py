@@ -132,3 +132,45 @@ def test_sample_frames_zero_frames_empty(spark):
         for r in sample_frames(df, every=10).collect()
     }
     assert got == {0: [], 1: [0], 2: [0, 10, 20]}
+
+
+def test_transcript_analytics_on_edge_inputs(spark, edge_df):
+    """The session-4 transcript analytics must survive the degenerate
+    corpus (empty text, 5000-token turn, all-null tools, single-turn
+    conversations) without crashing or emitting malformed rows."""
+    from ner_spark.functions.dedup import conv_dedup
+    from ner_spark.operators.segments import (
+        conv_cards,
+        tool_ngrams,
+        topic_segments,
+        tool_transitions,
+        turn_latency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    dd = {r["conv_id"]: r for r in conv_dedup(edge_df).collect()}
+    assert len(dd) == edge_df.select("conv_id").distinct().count()
+    assert all(r["is_dup"] == 0 for r in dd.values())  # no dups here
+
+    seg = topic_segments(edge_df).collect()
+    assert len(seg) == edge_df.count()
+    firsts = [r for r in seg if r["turn_idx"] == 0]
+    assert all(r["jaccard_micro"] == -1 and r["segment_id"] == 0 for r in firsts)
+
+    # every ts identical -> all gaps are 0, no negative/null leakage
+    for r in turn_latency(edge_df).collect():
+        assert r["max_gap_ms"] == 0 and r["mean_gap_ms"] == 0
+
+    # all tools are null: the tool views are empty, not crashed
+    assert tool_transitions(edge_df).count() == 0
+    assert tool_ngrams(edge_df).count() == 0
+
+    triples = spark.createDataFrame(
+        [], "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    cards = {r["conv_id"]: r for r in conv_cards(edge_df, triples).collect()}
+    assert cards["c-empty"]["n_triples"] == 0
+    assert cards["c-empty"]["top_pred"] == ""
+    assert cards["c-empty"]["tools"] == ""
+    assert cards["c-long"]["n_turns"] == 2
