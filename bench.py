@@ -190,6 +190,9 @@ def main() -> None:
         best_of=2,
     )
     run("kg_edge_split", lambda: edge_holdout_split(kg_edges).count())
+    from ner_spark.operators.graph import pred_cooccurrence
+
+    run("kg_pred_cooccurrence", lambda: pred_cooccurrence(kg_edges).count())
     from pyspark.sql import functions as F
 
     from ner_spark.operators.graph import bottleneck_paths

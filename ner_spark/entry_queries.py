@@ -2598,6 +2598,74 @@ def q_filter_report(spark, sf_dir):
 
 
 @query(
+    "kg_ego_edges",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src_entity AS s, dst_entity AS d
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    nodes AS (
+      SELECT DISTINCT x FROM (
+        SELECT s AS x FROM e UNION ALL SELECT d AS x FROM e)),
+    src AS (
+      SELECT x FROM nodes
+      WHERE ('0x' || substring(md5('bfs|' || x), 1, 15))::BIGINT % 41 = 0),
+    reach(x, h) AS (
+      SELECT x, 0 FROM src
+      UNION ALL
+      SELECT e.d, r.h + 1 FROM reach r JOIN e ON e.s = r.x WHERE r.h < 4),
+    reached AS (SELECT DISTINCT x FROM reach)
+    SELECT g.src_entity, g.pred, g.dst_entity, g.n_turns
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}') g
+    JOIN reached a ON g.src_entity = a.x
+    JOIN reached b ON g.dst_entity = b.x
+    """,
+)
+def q_kg_ego_edges(spark, sf_dir):
+    """Induced edge set of the 4-hop ego network around the same
+    md5-sampled sources as kg_bfs_hops (operators/graph.py:ego_edges)
+    — the subgraph a retriever or GNN sampler consumes: two LEFT SEMI
+    joins of the edge table against the BFS reach frame."""
+    from ner_spark.functions.dedup import register_persist
+    from ner_spark.operators.graph import ego_edges
+    from ner_spark.operators.linking import md5_hash60_col
+
+    edges = register_persist(_kg_edges(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_entity").alias("x"))
+        .unionByName(edges.select(F.col("dst_entity").alias("x")))
+        .distinct()
+    )
+    sources = nodes.where(
+        F.pmod(
+            md5_hash60_col(F.concat(F.lit("bfs|"), F.col("x"))), F.lit(41)
+        )
+        == 0
+    )
+    return ego_edges(edges, sources, max_hops=4)
+
+
+@query(
+    "kg_pred_cooccurrence",
+    f"""
+    WITH sp AS (
+      SELECT DISTINCT src_entity AS subj, pred
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}'))
+    SELECT x.pred AS pred_a, y.pred AS pred_b, count(*) AS n_subjects
+    FROM sp x JOIN sp y ON x.subj = y.subj AND x.pred < y.pred
+    GROUP BY 1, 2
+    """,
+)
+def q_kg_pred_cooccurrence(spark, sf_dir):
+    """Predicate co-assertion counts over subjects
+    (operators/graph.py:pred_cooccurrence) — the schema-discovery view
+    of which predicates describe the same kind of entity. Per-subject
+    pair fan-out bounded by the predicate vocabulary."""
+    from ner_spark.operators.graph import pred_cooccurrence
+
+    return pred_cooccurrence(_kg_edges(spark, sf_dir))
+
+
+@query(
     "lang_confusion",
     """
     WITH t AS (
@@ -4017,14 +4085,15 @@ _DRIVER_ORDER = [
     # new in round 3 — need their first driver row
     "pack_windows", "tfidf_terms", "bm25_topk",
     "pii_scan", "pii_redact", "kg_pagerank",
-    "events_asof_view", "ngram_topk", "kg_triangles",
+    "events_asof_view", "kg_triangles",
     "conv_dedup",
     "kg_alias_clusters", "curation_decisions",
     "kg_conv_cards", "token_percentiles", "kg_bottleneck_paths",
     "embedding_centroids", "tool_ngrams", "corpus_drift",
     "lang_confusion", "mixture_resample",
+    "kg_ego_edges", "kg_pred_cooccurrence",
     # KG pipeline (the headline surface)
-    "kg_incremental_edges", "kg_edge_temporal",
+    "kg_incremental_edges",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
@@ -4052,7 +4121,7 @@ _DRIVER_ORDER = [
     # kg_link_edges by the session-4 wave — all hold green
     # CORRECTNESS_r01/r02 rows.)
     "mixture_weights", "filter_report", "turn_latency",
-    "kg_degree_stats",
+    "kg_degree_stats", "ngram_topk", "kg_edge_temporal",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

@@ -1426,3 +1426,62 @@ def bottleneck_paths(
         F.col("x").alias("entity_id"),
         "strength",
     )
+
+
+def ego_edges(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """The EDGE set of the k-hop ego network — the subgraph a KGQA
+    retriever or GNN sampler actually consumes (``bfs_hops`` gives the
+    node frontier; the model needs the induced edges): every canonical
+    edge whose BOTH endpoints lie within ``max_hops`` directed hops of
+    the source set, original weights preserved.
+
+    Plan: the reach set comes from the level-synchronous BFS (per-hop
+    frontier joins, checkpointed); the induction is two LEFT SEMI joins
+    of the edge table against the one-column reach frame — no weights
+    or predicates travel through the BFS itself, and the semi joins
+    broadcast whenever the ego network fits (AQE decides).
+    """
+    reached = bfs_hops(edges, sources, max_hops).select("entity_id")
+    return (
+        edges.join(
+            reached.withColumnRenamed("entity_id", "src_entity"),
+            "src_entity",
+            "left_semi",
+        )
+        .join(
+            reached.withColumnRenamed("entity_id", "dst_entity"),
+            "dst_entity",
+            "left_semi",
+        )
+        .select("src_entity", "pred", "dst_entity", "n_turns")
+    )
+
+
+def pred_cooccurrence(edges: DataFrame) -> DataFrame:
+    """Predicate co-assertion counts — ``(pred_a, pred_b, n_subjects)``
+    with ``pred_a < pred_b``: how many subjects assert BOTH predicates.
+    This is the schema-discovery complement of ``pred_signatures``
+    (which types a predicate's arguments): co-occurrence mass reveals
+    which predicates describe the same kind of entity ("makes" and
+    "based_in" co-fire on brands) and feeds attribute-grouping for
+    entity-card layout and ontology clustering.
+
+    Scale shape: the per-subject distinct predicate set is bounded by
+    the PREDICATE VOCABULARY (≤ a few hundred in any real ontology),
+    so the within-subject pair expansion is O(|preds|²) per subject —
+    a constant — and the final count reduces map-side on |preds|² keys.
+    One exchange on the subject key, one on the tiny pair key.
+    """
+    sp = edges.select(
+        F.col("src_entity").alias("subj"), "pred"
+    ).distinct()
+    a = sp.select("subj", F.col("pred").alias("pred_a"))
+    b = sp.select("subj", F.col("pred").alias("pred_b"))
+    return (
+        a.join(b, "subj")
+        .where(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_subjects"))
+    )

@@ -1039,3 +1039,45 @@ def test_bottleneck_paths_semiring(spark):
         ).collect()
     }
     assert got_d["a"] == 3 and got_d["z"] == 9
+
+
+def test_ego_edges_induced_subgraph(spark):
+    from ner_spark.operators.graph import ego_edges
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "p", "b", 1),
+            ("b", "p", "c", 2),
+            ("c", "p", "far", 3),   # far is 3 hops out: excluded at k=2
+            ("x", "p", "y", 4),     # disconnected component: excluded
+            ("b", "q", "a", 5),     # back-edge inside the ego: included
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns long",
+    )
+    sources = spark.createDataFrame([("a",)], "entity_id string")
+    got = {
+        (r["src_entity"], r["pred"], r["dst_entity"])
+        for r in ego_edges(edges, sources, max_hops=2).collect()
+    }
+    assert got == {("a", "p", "b"), ("b", "p", "c"), ("b", "q", "a")}
+
+
+def test_pred_cooccurrence_counts(spark):
+    from ner_spark.operators.graph import pred_cooccurrence
+
+    edges = spark.createDataFrame(
+        [
+            ("s1", "makes", "o1", 1),
+            ("s1", "makes", "o2", 1),    # duplicate (subj, pred): one set entry
+            ("s1", "based_in", "o3", 1),
+            ("s2", "makes", "o4", 1),
+            ("s2", "based_in", "o5", 1),
+            ("s3", "makes", "o6", 1),    # single-pred subject: no pair
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns long",
+    )
+    got = {
+        (r["pred_a"], r["pred_b"]): r["n_subjects"]
+        for r in pred_cooccurrence(edges).collect()
+    }
+    assert got == {("based_in", "makes"): 2}
