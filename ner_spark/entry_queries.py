@@ -3828,6 +3828,207 @@ def q_ngram_topk(spark, sf_dir):
 
 
 # ===========================================================================
+# Corpus-global curation statistics — functions/corpus.py
+# ===========================================================================
+
+
+@query(
+    "dup_span_fraction",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
+               range(CAST(1 AS BIGINT), CAST(len(t) - 6 AS BIGINT)),
+               i -> {_h60("array_to_string(t[i:i+7], ' ')")}))
+             ELSE [] END AS hs
+      FROM toks),
+    spans AS (SELECT doc_id, unnest(hs) AS h FROM gh),
+    dfreq AS (SELECT h, count(*) AS n_docs FROM spans GROUP BY h),
+    fl AS (
+      SELECT doc_id, count(*) AS n_spans,
+             CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM spans JOIN dfreq USING (h) GROUP BY doc_id)
+    SELECT g.doc_id,
+           coalesce(n_spans, 0) AS n_spans,
+           coalesce(n_dup, 0) AS n_dup_spans,
+           CASE WHEN coalesce(n_spans, 0) > 0
+                THEN CAST(floor(1000000 * n_dup / n_spans) AS BIGINT)
+                ELSE 0 END AS dup_fraction_micro
+    FROM gh g LEFT JOIN fl USING (doc_id)
+    """,
+)
+def q_dup_span_fraction(spark, sf_dir):
+    """Per-document repeated-span (word 8-gram) audit — the exact
+    n-gram memorization check of Lee et al. 2022 (functions/corpus.py:
+    dup_span_fraction). Gram hashes computed + deduped row-local before
+    the explode so both exchanges carry (doc_id, int64) only; count(*)
+    IS document frequency (per-doc dedup), hash join back on the
+    uniform 64-bit key."""
+    from ner_spark.functions.corpus import dup_span_fraction
+
+    return dup_span_fraction(_t(spark, sf_dir, "documents"), n=8)
+
+
+@query(
+    "unigram_logprob",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(t) AS token FROM base),
+    tok2 AS (
+      SELECT doc_id, token FROM tok
+      WHERE token IS NOT NULL AND token <> ''),
+    lex AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+    st AS (SELECT sum(c) AS total, count(*) AS vocab FROM lex),
+    lexq AS (
+      SELECT token,
+             CAST(floor(-1000000.0 * ln(
+               (c + 1)::DOUBLE / (st.total + st.vocab)::DOUBLE))
+             AS BIGINT) AS nll_micro
+      FROM lex, st),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(nll_micro) AS nll_sum
+      FROM tok2 JOIN lexq USING (token) GROUP BY doc_id)
+    SELECT b.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN CAST(nll_sum // n_tokens AS BIGINT)
+                ELSE 0 END AS mean_nll_micro
+    FROM base b LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-as-LM quality score per doc — add-one-smoothed unigram
+    mean NLL, the KenLM-filter proxy (functions/corpus.py:
+    unigram_logprob). One libm ln per DISTINCT vocab entry floored onto
+    the micro grid; everything order-dependent is integer."""
+    from ner_spark.functions.corpus import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             {_h60("CAST(user_id AS VARCHAR)")} AS h
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             count(DISTINCT CASE WHEN h < {(1 << 60) // 16} THEN h END)
+               AS n_kept,
+             count(DISTINCT h) AS exact_distinct
+      FROM h GROUP BY event_type)
+    SELECT event_type, n_kept,
+           CAST(n_kept * 16 AS BIGINT) AS est_distinct,
+           exact_distinct,
+           CASE WHEN exact_distinct > 0
+                THEN CAST(floor(1000000 * abs(n_kept * 16 - exact_distinct)
+                                / exact_distinct) AS BIGINT)
+                ELSE 0 END AS err_micro
+    FROM agg
+    """,
+)
+def q_distinct_sketch(spark, sf_dir):
+    """Bounded-state distinct-user estimate per event type via
+    deterministic hash-threshold sampling (theta/KMV-sketch family,
+    rate 16) with the exact count and relative error as eval columns
+    (functions/corpus.py:distinct_sketch). One map-side-combinable
+    aggregate; kept-set state is |distinct|/16, union-mergeable."""
+    from ner_spark.functions.corpus import distinct_sketch
+
+    return distinct_sketch(_t(spark, sf_dir, "events"), rate=16)
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    el AS (
+      SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS v
+      FROM q),
+    cs AS (
+      SELECT i, CAST(floor(sum(v)::DOUBLE / count(*)::DOUBLE + 0.5)
+                     AS BIGINT) AS c
+      FROM el GROUP BY i),
+    d AS (
+      SELECT vec_id, CAST(sum((v - c) * (v - c)) AS BIGINT) AS dist_q
+      FROM el JOIN cs USING (i) GROUP BY vec_id)
+    SELECT q.vec_id, q.label, d.dist_q,
+           CAST(row_number() OVER (ORDER BY dist_q DESC, vec_id ASC)
+                AS INTEGER) AS rank
+    FROM d JOIN q USING (vec_id)
+    ORDER BY dist_q DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embedding_outliers(spark, sf_dir):
+    """Top-20 centroid-distance outliers over the embeddings corpus —
+    the distribution-shift / broken-vector filter (functions/
+    similarity.py:embedding_outliers). Centroid and distances entirely
+    on the 1e-6 integer grid (order-independent sums); top-k is
+    TakeOrderedAndProject, the rank window sees ≤ k rows."""
+    from ner_spark.functions.similarity import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"), k=20, dim=64)
+
+
+def _rrf_oracle(k_each: int = 50, k: int = 10, rrf_k: int = 60) -> str:
+    dense_cos = _cos2("qv", "e.embedding")
+    return f"""
+    WITH lex AS (SELECT doc_id, score_micro FROM ({_bm25_oracle(_BM25_TERMS, k=k_each)})),
+    lexr AS (
+      SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS lex_rank
+      FROM lex),
+    qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ds AS (
+      SELECT e.vec_id AS doc_id, {dense_cos} AS cosine
+      FROM embeddings e, qe WHERE e.vec_id <> 0
+      ORDER BY cosine DESC, doc_id ASC LIMIT {k_each}),
+    dr AS (
+      SELECT doc_id, CAST(row_number() OVER (
+        ORDER BY cosine DESC, doc_id ASC) AS INTEGER) AS dense_rank
+      FROM ds),
+    f AS (
+      SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, lex_rank, dense_rank,
+             CAST(coalesce(floor(1000000 / ({rrf_k} + lex_rank)), 0)
+                  + coalesce(floor(1000000 / ({rrf_k} + dense_rank)), 0)
+               AS BIGINT) AS rrf_micro
+      FROM lexr l FULL OUTER JOIN dr d ON l.doc_id = d.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf_micro FROM f
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("hybrid_rrf_topk", _rrf_oracle())
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-50 and the brute-cosine dense top-50 (query = embedding of
+    doc 0; doc and vec ids share a domain), contributions floored onto
+    the micro grid before the sum (functions/similarity.py:
+    rrf_fuse_topk). Both arms end in TakeOrderedAndProject, so the
+    fusion join and rank windows see ≤ 2·k_each rows."""
+    from ner_spark.functions.similarity import rrf_fuse_topk
+
+    return rrf_fuse_topk(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        query_vec_id=0,
+    )
+
+
+# ===========================================================================
 # As-of (temporal) join — operators/asof.py
 # ===========================================================================
 
@@ -4122,6 +4323,9 @@ _DRIVER_ORDER = [
     # CORRECTNESS_r01/r02 rows.)
     "mixture_weights", "filter_report", "turn_latency",
     "kg_degree_stats", "ngram_topk", "kg_edge_temporal",
+    # session-5 additions (born below the cap; round-4 rotation pool)
+    "dup_span_fraction", "unigram_logprob", "distinct_sketch",
+    "embedding_outliers", "hybrid_rrf_topk",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

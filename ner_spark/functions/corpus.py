@@ -1,0 +1,244 @@
+"""Cross-document corpus statistics: repeated-span audits, unigram
+language-model quality scoring, and bounded-state distinct sketches.
+
+These are the corpus-global curation operators that complement the
+row-local scores in ``functions/text.py``: each one needs information
+from OTHER rows (gram document frequencies, corpus token counts, hash
+populations), so the design problem is keeping the shuffled rows slim
+and the aggregates map-side combinable. Every function has an exact
+ANSI-SQL restatement used by the DuckDB oracle in
+``__spark_entry__.py`` — the quantization grids and tie orders are part
+of the operator spec, not test hackery.
+
+Reference anchor: the reference repo scores corpora with set-based
+micro P/R/F1 over extracted pairs (/root/reference/utils.py:613-634);
+these operators are the corpus-hygiene stage that runs BEFORE such a
+model ever sees the data (dedup audits, LM filtering), per the
+training-data-pipeline scope in SURVEY §6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ner_spark.functions.text import tokens_col
+from ner_spark.operators.linking import md5_hash60_col
+
+# hash-threshold for the distinct sketch: keep h when h < 2^60 / RATE
+SKETCH_RATE = 256
+H60_SPACE = 1 << 60
+
+
+def dup_span_fraction(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repeated-span audit — ``(doc_id, n_spans,
+    n_dup_spans, dup_fraction_micro)`` where a *span* is a word
+    ``n``-gram (lowercased single-space tokens, the corpus-wide
+    convention) and a span is *duplicated* when the SAME n-gram occurs
+    in at least one OTHER document. ``dup_fraction_micro`` =
+    floor(1e6 · n_dup/n_spans) (0 for docs shorter than ``n`` tokens —
+    degenerate inputs pinned, they still get a row).
+
+    This is the exact n-gram restatement of the memorization audit in
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022): documents with a high duplicated-span fraction are
+    near-copies or heavy boilerplate even when no whole-document hash
+    matches, and are the first candidates for removal before training.
+
+    Scale shape: gram *hashes* (60-bit md5 longs) are computed inside a
+    row-local array transform and de-duplicated per document BEFORE the
+    explode, so every shuffled row is a slim ``(doc_id, long)`` pair —
+    the gram STRINGS never leave the scan stage. The document-frequency
+    aggregate is map-side combinable on the hash key; because each doc
+    contributes a gram at most once, ``count(*)`` IS the document
+    frequency (no countDistinct expansion). The join back to the
+    per-doc gram list is a plain hash join on the uniformly-distributed
+    64-bit key — no skew by construction. Two exchanges total, both
+    carrying integers.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    gram_hashes = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: md5_hash60_col(
+                    F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"), gram_hashes.alias("gh")
+    )
+    spans = per_doc.select(
+        "doc_id", F.explode("gh").alias("h")
+    )
+    # per-doc dedup above makes count(*) the document frequency
+    dfreq = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = spans.join(dfreq, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+    )
+    # left join restores span-free (short/NULL-text) docs with zeros
+    return (
+        per_doc.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.floor(
+                    F.lit(1_000_000)
+                    * F.col("n_dup_spans")
+                    / F.col("n_spans")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_fraction_micro"),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score per document —
+    ``(doc_id, n_tokens, mean_nll_micro)`` where the corpus itself is
+    the LM: add-one-smoothed token probability
+    p(w) = (count(w)+1)/(total+vocab), per-token negative log
+    likelihood quantized to the 1e-6 grid, and the per-doc mean taken
+    in INTEGER arithmetic (sum of int64 micro-NLLs ``div`` token
+    count). Empty/NULL-text docs get (0, 0) — degenerate inputs pinned.
+
+    This is the distributed restatement of the KenLM perplexity filter
+    used by CCNet/The Pile-style curation: documents whose tokens are
+    systematically improbable under the corpus distribution (junk,
+    encoding noise, non-text) score a high mean NLL and are pruned or
+    down-weighted before training.
+
+    Determinism across engines and partitionings: the ONLY float step
+    is one ``ln`` per distinct vocabulary entry, floored onto the
+    micro grid immediately (the same libm-then-floor contract the BM25
+    scorer uses); everything that touches corpus order — the token
+    counts, the per-doc sum, the mean — is integer. Plan shape: one
+    token-keyed hash aggregate builds the lexicon (map-side combined),
+    a scalar (total, vocab) aggregate is broadcast via crossJoin, and
+    the scoring pass is a hash join from exploded slim ``(doc_id,
+    token)`` rows to the lexicon followed by one doc-keyed aggregate.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    tok_rows = base.select(
+        "doc_id", F.explode_outer("t").alias("token")
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+    lex_counts = tok_rows.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = lex_counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    lexicon = lex_counts.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.floor(
+            F.lit(-1_000_000.0)
+            * F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("total") + F.col("vocab")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    scored = (
+        tok_rows.join(lexicon, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("nll_sum"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.expr("nll_sum div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_nll_micro"),
+        )
+    )
+
+
+def distinct_sketch(
+    df: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+    rate: int = SKETCH_RATE,
+) -> DataFrame:
+    """Bounded-state distinct-count estimation per group —
+    ``(event_type, n_kept, est_distinct, exact_distinct, err_micro)``
+    via deterministic hash-threshold sampling: a key survives when its
+    60-bit md5 hash falls below ``2^60 / rate``, so the kept set is a
+    uniform 1/rate sample of the DISTINCT key population (duplicates
+    hash identically — frequency doesn't bias the sketch), and
+    ``est = n_kept · rate``.
+
+    This is the mergeable-sketch pattern (KMV / theta-sketch family,
+    DataSketches) that makes COUNT DISTINCT feasible at 100 TB: the
+    per-group state is the kept-hash set, expected |distinct|/rate
+    entries, union-mergeable across partitions/days with no rescan.
+    The estimator is a pure function of the key SET — identical on any
+    engine, partitioning, or arrival order (no RNG, no HLL register
+    race). Relative error concentrates as 1/sqrt(n_kept).
+
+    ``exact_distinct``/``err_micro`` are EVAL columns (this query is
+    the estimator's accuracy report card); production callers read
+    ``est_distinct`` only and never pay the exact pass. Plan: ONE
+    group-keyed aggregate — the kept-set count is
+    ``count_distinct(when(h < T, h))``, partial-aggregated map-side
+    alongside the exact count.
+    """
+    threshold = H60_SPACE // rate
+    h = md5_hash60_col(F.col(key_col).cast("string"))
+    base = df.select(F.col(group_col).alias("grp"), h.alias("h"))
+    out = base.groupBy("grp").agg(
+        F.count_distinct(
+            F.when(F.col("h") < threshold, F.col("h"))
+        ).alias("n_kept"),
+        F.count_distinct("h").alias("exact_distinct"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        (F.col("n_kept") * rate).alias("est_distinct"),
+        "exact_distinct",
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.floor(
+                F.lit(1_000_000)
+                * F.abs(F.col("n_kept") * rate - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("err_micro"),
+    )

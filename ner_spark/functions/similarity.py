@@ -421,3 +421,158 @@ def embedding_centroids(
         "n_vectors",
         F.concat_ws(",", F.array(*mean)).alias("centroid"),
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` embedding-space outliers — ``(vec_id, label, dist_q,
+    rank)`` where ``dist_q`` is the squared euclidean distance to the
+    GLOBAL corpus centroid, computed entirely on the 1e-6 integer grid.
+    This is the distribution-shift/garbage filter of an embedding-based
+    curation stack: encoding noise, off-domain documents, and broken
+    vectors sit far from the corpus mean and surface here first.
+
+    Determinism: both the centroid (same floor(sum/n + 0.5) per-dim
+    arithmetic as ``embedding_centroids`` — the sums are
+    order-independent int64) and every per-row distance are integers;
+    rank ties break on vec_id ascending (total order).
+
+    Plan shape: one map-side-combinable aggregate produces the
+    single-row centroid (dim int64 sums, no explode), broadcast back
+    via crossJoin; the distance is a row-local ``zip_with`` +
+    ``aggregate`` inside codegen; the top-k is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject (never a global
+    sort), and the final rank window runs over ≤ k rows by
+    construction."""
+    if dim is None:
+        dim = len(embeddings.select(F.col(vec_col).alias("v")).head()["v"])
+    vec = F.col(vec_col)
+    qcols = [
+        F.floor(
+            F.element_at(vec, i + 1).cast("double") * F.lit(float(grid))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"q{i}")
+        for i in range(dim)
+    ]
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.array(*qcols).alias("qv"),
+    )
+    cent = (
+        base.select([F.element_at("qv", i + 1).alias(f"q{i}") for i in range(dim)])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"q{i}").alias(f"s{i}") for i in range(dim)],
+        )
+        .select(
+            F.array(
+                *[
+                    F.floor(
+                        F.col(f"s{i}").cast("double") / F.col("n").cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                    for i in range(dim)
+                ]
+            ).alias("cv")
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dist_q"),
+    )
+    top = scored.orderBy(F.col("dist_q").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("dist_q").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 50,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — ``(doc_id,
+    lex_rank, dense_rank, rrf_micro)``: the top-``k_each`` BM25 lexical
+    list and the top-``k_each`` brute-force-cosine dense list (the
+    document's embedding shares its id) are fused with the standard
+    RRF score Σ 1/(rrf_k + rank), each contribution floored onto the
+    1e-6 integer grid BEFORE the sum so the fused score is exact and
+    engine-independent. A doc present in only one list keeps a NULL
+    rank on the other side and simply receives that list's
+    contribution — the textbook RRF treatment.
+
+    This closes the retrieval story: BM25 (`bm25_topk`) finds literal
+    term matches, the dense arm finds paraphrases, and RRF is the
+    standard zero-tuning fusion (Cormack et al., 2009) used by hybrid
+    RAG stacks.
+
+    Scale shape: both arms end in TakeOrderedAndProject(k_each), so
+    everything downstream — the rank windows, the full-outer join, the
+    final top-k — operates on ≤ 2·k_each rows by construction; the
+    expensive parts are exactly the two arm queries, each already
+    scale-shaped (BM25: no inverted-index shuffle for a bounded query;
+    dense: broadcast query, streamed corpus)."""
+    from ner_spark.functions.text import bm25_topk
+
+    lex = bm25_topk(documents, terms, k=k_each)
+    wl = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("int").alias("lex_rank")
+    )
+    # single-query dense arm: TakeOrderedAndProject over the streamed
+    # corpus (brute_force_topk's per-query rank window would put the
+    # WHOLE corpus in one window partition for a 1-query set), then the
+    # rank window runs over the k_each survivors only
+    qv = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    dense_scored = (
+        embeddings.crossJoin(F.broadcast(qv))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_col(F.col("qv"), F.col("embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(k_each)
+    )
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    dense = dense_scored.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("dense_rank")
+    )
+    fused = lex_r.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.floor(F.lit(1_000_000) / (F.lit(rrf_k) + F.col("lex_rank"))),
+                F.lit(0),
+            )
+            + F.coalesce(
+                F.floor(F.lit(1_000_000) / (F.lit(rrf_k) + F.col("dense_rank"))),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(k)

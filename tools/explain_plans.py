@@ -229,6 +229,67 @@ CHECKS = {
             "narrow projection — no shuffle, no Python boundary."
         ),
     ),
+    "dup_span_fraction": dict(
+        requires=[],
+        forbids=["Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        note=(
+            "The 8-gram hashes are computed and per-doc deduped INSIDE a "
+            "row-local array transform before the explode, so every "
+            "exchanged row is a slim (doc_id, int64) pair — the gram "
+            "strings never leave the scan stage. Per-doc dedup makes "
+            "count(*) the document frequency (no countDistinct expand); "
+            "the join back rides the uniformly-distributed 64-bit hash "
+            "key, skew-free by construction. No Python anywhere."
+        ),
+    ),
+    "unigram_logprob": dict(
+        requires=["BroadcastNestedLoopJoin"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "The lexicon is one token-keyed hash aggregate with map-side "
+            "combine; the scalar (total, vocab) row joins back as a "
+            "broadcast nested-loop over ONE row (the required plan for a "
+            "scalar crossJoin — asserted present so a regression to a "
+            "shuffled cartesian is caught); scoring is a hash join from "
+            "slim (doc_id, token) rows to the lexicon plus one doc-keyed "
+            "aggregate. The only float op is one ln per DISTINCT vocab "
+            "entry, floored onto the micro grid."
+        ),
+    ),
+    "distinct_sketch": dict(
+        requires=[],
+        forbids=["Python", "Join"],
+        note=(
+            "ONE group-keyed aggregate, no join: the kept-set count is "
+            "count_distinct(when(h < T, h)) partial-aggregated map-side "
+            "alongside the exact count. The sketch state per group is "
+            "|distinct|/rate hashes — the mergeable theta-sketch pattern "
+            "that makes COUNT DISTINCT feasible at 100 TB."
+        ),
+    ),
+    "embedding_outliers": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "The centroid is a single map-side-combinable aggregate (64 "
+            "int64 sums, no explode) broadcast back over one row; the "
+            "distance is row-local zip_with/aggregate codegen; the top-k "
+            "is TakeOrderedAndProject (asserted — never a global sort), "
+            "and the rank window sees ≤ k rows by construction."
+        ),
+    ),
+    "hybrid_rrf_topk": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Both retrieval arms end in TakeOrderedAndProject(k_each), "
+            "so the fusion full-outer join and both rank windows operate "
+            "on ≤ 2·k_each rows by construction; the expensive stages "
+            "are exactly the two arm scans, each already scale-shaped "
+            "(BM25: no inverted-index shuffle for a bounded query; "
+            "dense: broadcast 1-row query, streamed corpus)."
+        ),
+    ),
     "ngram_topk": dict(
         requires=["TakeOrderedAndProject"],
         forbids=["Python"],
