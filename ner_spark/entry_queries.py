@@ -809,6 +809,32 @@ def q_minhash_bands(spark, sf_dir):
 # shared CTE chain: documents → 3-gram shingles → MinHash → band keys →
 # verified near-dup pairs (Jaccard ≥ 0.5) — reused by lsh_dup_pairs and
 # the transitive-closure survivors oracle
+def _lsh_cte(d_clause: str, thr: float = 0.5) -> str:
+    """LSH candidate/verify CTE chain over any ``d AS (SELECT doc_id,
+    text, string_split(text, ' ') AS toks FROM ...)`` clause — shared by
+    the document-level and conversation-level near-dup oracles."""
+    return f"""{d_clause},
+    t AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM d),
+    hh AS (SELECT doc_id, sh, {_hs_sql('sh')} AS hs FROM t),
+    m AS (SELECT doc_id, sh, {_sig_sql()} AS sig
+          FROM hh),
+    b AS (SELECT doc_id,
+            b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
+          FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id),
+    j AS (SELECT id_a, id_b,
+            round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+          FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id),
+    dup_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {thr})"""
+
+
 _LSH_CTE_BODY = f"""d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
     t AS (SELECT doc_id,
             CASE WHEN len(toks) < 3 THEN [text]
@@ -4010,6 +4036,140 @@ def _rrf_oracle(k_each: int = 50, k: int = 10, rrf_k: int = 60) -> str:
     """
 
 
+_TRANSCRIPTS_PQ = os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+
+
+@query(
+    "conv_near_dup",
+    f"""
+    WITH base AS (
+      SELECT conv_id, turn_idx, text FROM read_parquet('{_TRANSCRIPTS_PQ}')),
+    mx AS (SELECT conv_id, max(turn_idx) AS mt FROM base GROUP BY conv_id),
+    aug AS (
+      SELECT conv_id, turn_idx, text FROM base
+      UNION ALL
+      SELECT b.conv_id || '~v2' AS conv_id, b.turn_idx, b.text
+      FROM base b JOIN mx USING (conv_id)
+      WHERE substring(md5(b.conv_id), 1, 1) = '1' AND b.turn_idx < mx.mt),
+    {_lsh_cte('''docs AS (
+      SELECT conv_id AS doc_id,
+             string_agg(text, ' ' ORDER BY turn_idx) AS text
+      FROM aug GROUP BY conv_id),
+    d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs)''', thr=0.5)}
+    SELECT id_a, id_b, jaccard FROM dup_pairs
+    """,
+)
+def q_conv_near_dup(spark, sf_dir):
+    """Near-duplicate CONVERSATION pairs (functions/dedup.py:
+    conv_near_dup_pairs): turn texts flattened per conv in turn order,
+    then the document MinHash-LSH candidate/verify stage at conv
+    granularity. The fixture has no near-dup conversations, so the
+    query deterministically re-ingests ~1/16 of conversations under a
+    '~v2' id with the LAST turn dropped — the truncated-re-export
+    scenario exact conv_dedup cannot catch — identically on both
+    engines."""
+    from ner_spark.functions.dedup import conv_near_dup_pairs
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    ).select("conv_id", "turn_idx", "text")
+    mx = t.groupBy("conv_id").agg(F.max("turn_idx").alias("mt"))
+    dups = (
+        t.join(mx, "conv_id")
+        .where(
+            (F.substring(F.md5(F.col("conv_id")), 1, 1) == "1")
+            & (F.col("turn_idx") < F.col("mt"))
+        )
+        .select(
+            F.concat(F.col("conv_id"), F.lit("~v2")).alias("conv_id"),
+            "turn_idx",
+            "text",
+        )
+    )
+    return conv_near_dup_pairs(t.unionByName(dups), threshold=0.5)
+
+
+@query(
+    "source_overlap",
+    f"""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+    gh AS (
+      SELECT source,
+             CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
+               range(CAST(1 AS BIGINT), CAST(len(t) - 3 AS BIGINT)),
+               i -> {_h60("array_to_string(t[i:i+4], ' ')")}))
+             ELSE [] END AS hs
+      FROM toks),
+    sg AS (
+      SELECT DISTINCT source, h
+      FROM (SELECT source, unnest(hs) AS h FROM gh)),
+    totals AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common,
+           ta.n_grams AS n_a, tb.n_grams AS n_b,
+           CAST(floor(1000000 * n_common
+                      / (ta.n_grams + tb.n_grams - n_common)) AS BIGINT)
+             AS jaccard_micro
+    FROM common
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source word-5-gram contamination matrix (functions/
+    corpus.py:source_overlap) — the provenance view that catches one
+    crawl re-packaging another before mixture weights are assigned.
+    Gram hashes deduped to (source, h) rows; the self-join fan-out per
+    hash key is bounded by the source count, never corpus-quadratic."""
+    from ner_spark.functions.corpus import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), n=5)
+
+
+@query(
+    "pq_codes",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, s, qv[s*16+1 : s*16+16] AS sv
+      FROM q, (SELECT unnest(range(0, 4)) AS s) ss),
+    cb AS (SELECT vec_id AS cell, s, sv AS cv FROM sub WHERE vec_id < 16),
+    d AS (
+      SELECT v.vec_id, v.s, c.cell,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT)
+               AS dist
+      FROM sub v JOIN cb c USING (s)),
+    best AS (
+      SELECT vec_id, s, arg_min(cell, dist * 16 + cell) AS cell,
+             min(dist) AS dist
+      FROM d GROUP BY vec_id, s)
+    SELECT vec_id,
+           string_agg(cell::VARCHAR, ',' ORDER BY s) AS codes,
+           CAST(sum(dist) AS BIGINT) AS recon_err_q
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes over the embeddings corpus
+    (functions/similarity.py:pq_codes): 4 subspaces × 16-entry seed
+    codebook, integer-grid distances, composite-key tie-break — the
+    memory side of the production IVF+PQ ANN pair (64 floats → 4
+    bytes). Codebook broadcast; nothing wider than |corpus|·4 slim
+    rows shuffles."""
+    from ner_spark.functions.similarity import pq_codes
+
+    return pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
 @query("hybrid_rrf_topk", _rrf_oracle())
 def q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
@@ -4326,6 +4486,7 @@ _DRIVER_ORDER = [
     # session-5 additions (born below the cap; round-4 rotation pool)
     "dup_span_fraction", "unigram_logprob", "distinct_sketch",
     "embedding_outliers", "hybrid_rrf_topk",
+    "conv_near_dup", "source_overlap", "pq_codes",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

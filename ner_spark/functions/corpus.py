@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ner_spark.functions.colutil import let
 from ner_spark.functions.text import tokens_col
 from ner_spark.operators.linking import md5_hash60_col
 
@@ -61,18 +62,22 @@ def dup_span_fraction(
     64-bit key — no skew by construction. Two exchanges total, both
     carrying integers.
     """
-    toks = tokens_col(F.lower(F.col(text_col)))
-    gram_hashes = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: md5_hash60_col(
-                    F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    # let-bind the token array: an inlined split would re-tokenize the
+    # text once per gram index (quadratic in document length)
+    gram_hashes = let(
+        tokens_col(F.lower(F.col(text_col))),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: md5_hash60_col(
+                        F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
     per_doc = df.select(
         F.col(id_col).alias("doc_id"), gram_hashes.alias("gh")
     )
@@ -241,4 +246,86 @@ def distinct_sketch(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("err_micro"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-source n-gram contamination matrix — ``(source_a,
+    source_b, n_common, n_a, n_b, jaccard_micro)`` for every source
+    pair sharing at least one word ``n``-gram: the provenance view a
+    curation pipeline uses to catch one crawl re-packaging another (or
+    an eval set leaking into a training source) BEFORE mixing weights
+    are assigned. Jaccard is over each source's distinct-gram SET,
+    floored onto the 1e-6 grid.
+
+    Scale shape: gram hashes are computed row-local and deduped to
+    ``(source, h)`` rows (one exchange; the distinct is map-side
+    combinable), so each gram appears at most once per source and the
+    self-join on the uniform 64-bit hash key has per-key fan-out
+    bounded by the SOURCE COUNT — the pair enumeration is
+    |common grams| × O(|sources|²) worst case, never corpus-quadratic.
+    Per-source totals are a tiny aggregate broadcast onto the pair
+    counts. At a real corpus's source cardinality (thousands), the
+    matrix itself stays driver-small while all heavy work is
+    gram-partitioned.
+    """
+    # let-bind the token array: an inlined split would re-tokenize the
+    # text once per gram index (quadratic in document length)
+    gram_hashes = let(
+        tokens_col(F.lower(F.col(text_col))),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: md5_hash60_col(
+                        F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    sg = (
+        df.select(F.col(group_col).alias("src"), gram_hashes.alias("gh"))
+        .select("src", F.explode("gh").alias("h"))
+        .distinct()
+    )
+    totals = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("src").alias("source_a"), "h")
+    b = sg.select(F.col("src").alias("source_b"), "h")
+    common = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(totals.withColumnRenamed("src", "source_a")), "source_a"
+        )
+        .withColumnRenamed("n_grams", "n_a")
+        .join(
+            F.broadcast(totals.withColumnRenamed("src", "source_b")), "source_b"
+        )
+        .withColumnRenamed("n_grams", "n_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.floor(
+                F.lit(1_000_000)
+                * F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            )
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
     )

@@ -56,16 +56,24 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def word_shingles_col(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams joined by spaces (whole text when short)."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    return F.when(n < k, F.array(text)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.array_join(F.slice(toks, i, k), " "),
+    """Distinct word k-grams joined by spaces (whole text when short).
+
+    The token array is LET-BOUND (evaluated once per row): naming the
+    split expression inside the per-index lambda would re-tokenize the
+    whole text for every shingle — O(tokens × chars), a 150 s straggler
+    on a single 46k-token conversation vs ~1 s bound."""
+    from ner_spark.functions.colutil import let
+
+    return let(
+        tokens_col(text),
+        lambda toks: F.when(F.size(toks) < k, F.array(text)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                )
             )
-        )
+        ),
     )
 
 
@@ -734,4 +742,44 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
         "conv_hash",
         survivor.alias("survivor_id"),
         (F.col("conv_id") != survivor).cast("long").alias("is_dup"),
+    )
+
+
+def conv_near_dup_pairs(
+    transcripts: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs — ``(id_a, id_b, jaccard)``
+    over conv_ids: each conversation is flattened to one document (turn
+    texts joined by single spaces in ``turn_idx`` order — the same
+    conv-bounded ordered aggregate as ``conv_dedup``), then the
+    document-level MinHash-LSH candidate/verify stage
+    (``minhash_lsh_pairs``) runs at conversation granularity.
+
+    This is the curation gap ``conv_dedup`` (exact hash) leaves open: a
+    re-ingested dialogue with one edited/truncated turn hashes
+    differently but shares almost all its 3-gram shingles, and shows up
+    here. Scale shape inherits from the parts: the flatten is one
+    conv-keyed aggregate (partition size = conversation length), and
+    the LSH stage shuffles band keys + shingle arrays exactly as the
+    document path does.
+    """
+    docs = transcripts.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("conv_text")
+    )
+    return minhash_lsh_pairs(
+        docs,
+        id_col="conv_id",
+        text_col="conv_text",
+        threshold=threshold,
+        k=k,
+        max_band_bucket=max_band_bucket,
     )

@@ -576,3 +576,85 @@ def rrf_fuse_topk(
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_sub: int = 4,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization encoding — ``(vec_id, codes,
+    recon_err_q)``: the vector is split into ``n_sub`` contiguous
+    subspaces; each subvector is assigned to its nearest of ``n_cells``
+    per-subspace codebook entries (here the deterministic seed
+    codebook: the first ``n_cells`` corpus vectors, the same convention
+    as the IVF coarse quantizer); ``codes`` is the comma-joined cell
+    sequence and ``recon_err_q`` the total squared quantization error
+    on the 1e-6 integer grid.
+
+    PQ is the memory side of the production ANN pair (IVF for the
+    candidate list, PQ for the in-list distance): 64 float32 dims
+    compress to ``n_sub`` bytes, a 64× reduction that lets a
+    1000-executor cluster hold a trillion-vector index in RAM. This
+    operator materializes the codes table that such an index serves
+    from; `kmeans_centroids` plugs in as a trained codebook the same
+    way it does for IVF.
+
+    Determinism: distances are integer (both operands on the 1e-6
+    grid); the assignment tie-breaks through the composite integer key
+    ``dist·n_cells + cell`` (min is unique), so codes are identical on
+    any engine or partitioning. Plan shape: quantize + subspace-slice
+    are row-local; the codebook (n_cells·n_sub slim rows) broadcasts
+    onto the exploded (vec, subspace) stream; one (vec, sub)-keyed
+    min_by aggregate and one vec-keyed rollup — no corpus self-join,
+    nothing wider than |corpus|·n_sub slim rows ever shuffles.
+    """
+    sub_dim = dim // n_sub
+    vec = F.col(vec_col)
+    qv = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.slice(qv, s * sub_dim + 1, sub_dim),
+    )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("sub", "sv")
+    )
+    cb = (
+        embeddings.where(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell"), F.posexplode(subs).alias("sub", "cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    assigned = (
+        base.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", F.col("cell"), dist.alias("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(
+                "cell", F.col("dist") * n_cells + F.col("cell")
+            ).alias("cell"),
+            F.min("dist").alias("dist"),
+        )
+    )
+    return assigned.groupBy("vec_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "cell"))),
+                lambda s: s["cell"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.sum("dist").alias("recon_err_q"),
+    )

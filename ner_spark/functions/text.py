@@ -147,13 +147,18 @@ def lang_id(text: Column) -> Column:
 def fingerprint_minhash(text: Column, ngram: int = 4) -> Column:
     """Document fingerprint: min 60-bit hash over word ``ngram``-grams
     (winnowing-style content fingerprint; whole text when shorter)."""
-    toks = tokens_col(text)
-    n = F.size(toks)
-    grams = F.when(n < ngram, F.array(text)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - (ngram - 1)),
-            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
-        )
+    from ner_spark.functions.colutil import let
+
+    # let-bound token array: an inlined split re-tokenizes per gram
+    # index (quadratic in document length)
+    grams = let(
+        tokens_col(text),
+        lambda toks: F.when(F.size(toks) < ngram, F.array(text)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (ngram - 1)),
+                lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+            )
+        ),
     )
     return F.array_min(F.transform(grams, md5_hash60_col))
 
@@ -293,14 +298,20 @@ def ngram_topk(
     task, not one row per occurrence). The final top-k is
     TakeOrderedAndProject (bounded by k), never a global sort of the
     gram dimension."""
-    toks = tokens_col(F.lower(F.col(text_col)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ner_spark.functions.colutil import let
+
+    # let-bind the token array: an inlined split would re-tokenize the
+    # text once per gram index (quadratic in document length)
+    grams = let(
+        tokens_col(F.lower(F.col(text_col))),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + F.lit(1), n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     exploded = df.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
     )

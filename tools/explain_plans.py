@@ -229,6 +229,29 @@ CHECKS = {
             "narrow projection — no shuffle, no Python boundary."
         ),
     ),
+    "source_overlap": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
+        note=(
+            "Gram hashes dedup to (source, h) rows before the self-join, "
+            "so per-hash fan-out is bounded by the SOURCE COUNT — never "
+            "corpus-quadratic; the per-source totals join back as "
+            "broadcasts (asserted). The token array is let-bound: an "
+            "inlined split would re-tokenize per gram index (quadratic "
+            "in document length)."
+        ),
+    ),
+    "pq_codes": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "SortMergeJoin"],
+        note=(
+            "The PQ codebook (n_cells·n_sub slim rows) broadcasts onto "
+            "the exploded (vec, subspace) stream (asserted — a "
+            "shuffle/sort-merge join here would move the corpus); the "
+            "assignment is one (vec, sub)-keyed min_by aggregate and one "
+            "vec-keyed rollup, all integer arithmetic."
+        ),
+    ),
     "dup_span_fraction": dict(
         requires=[],
         forbids=["Python", "CartesianProduct", "BroadcastNestedLoopJoin"],
