@@ -1185,28 +1185,37 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """
     from pyspark.sql.types import ArrayType
 
+    from ner_spark.functions.colutil import let
+
     if isinstance(walks.schema["path"].dataType, ArrayType):
-        toks = F.col("path")
+        toks_expr = F.col("path")
     else:
-        toks = F.split(F.col("path"), "->")
-    n = F.size(toks)
+        toks_expr = F.split(F.col("path"), "->")
 
-    def per_center(i):
-        lo = F.greatest(F.lit(0), i - F.lit(window))
-        hi = F.least(n - 1, i + F.lit(window))
-        return F.filter(
-            F.transform(
-                F.sequence(lo, hi),
-                lambda j: F.struct(
-                    F.element_at(toks, i + 1).alias("center"),
-                    F.element_at(toks, j + 1).alias("context"),
-                    (j != i).alias("ok"),
+    # let-bind the token array: in the string-path branch an inlined
+    # split would re-split the walk once per (center, context) index
+    # (quadratic in walk length)
+    def build(toks):
+        n = F.size(toks)
+
+        def per_center(i):
+            lo = F.greatest(F.lit(0), i - F.lit(window))
+            hi = F.least(n - 1, i + F.lit(window))
+            return F.filter(
+                F.transform(
+                    F.sequence(lo, hi),
+                    lambda j: F.struct(
+                        F.element_at(toks, i + 1).alias("center"),
+                        F.element_at(toks, j + 1).alias("context"),
+                        (j != i).alias("ok"),
+                    ),
                 ),
-            ),
-            lambda s: s.ok,
-        )
+                lambda s: s.ok,
+            )
 
-    pairs = F.flatten(F.transform(F.sequence(F.lit(0), n - 1), per_center))
+        return F.flatten(F.transform(F.sequence(F.lit(0), n - 1), per_center))
+
+    pairs = let(toks_expr, build)
     return (
         walks.select(F.explode(pairs).alias("p"))
         .select("p.center", "p.context")
