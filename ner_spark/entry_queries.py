@@ -4170,6 +4170,167 @@ def q_pq_codes(spark, sf_dir):
     return pq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "sft_pairs",
+    f"""
+    SELECT conv_id, turn_idx, text AS prompt, next_text AS response FROM (
+      SELECT conv_id, turn_idx, role, text,
+             lead(role) OVER w AS next_role,
+             lead(text) OVER w AS next_text
+      FROM read_parquet('{_TRANSCRIPTS_PQ}')
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    WHERE role = 'user' AND next_role = 'assistant'
+    """,
+)
+def q_sft_pairs(spark, sf_dir):
+    """Supervised-fine-tuning pair extraction — every user turn
+    immediately followed by an assistant turn becomes one (prompt,
+    response) example (functions/datasets.py:sft_pairs). One
+    conv_id-keyed exchange feeds the lead window; window partitions are
+    bounded by dialogue length."""
+    from ner_spark.functions.datasets import sft_pairs
+
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return sft_pairs(t)
+
+
+@query(
+    "kg_edge_decay",
+    f"""
+    WITH t AS (
+      SELECT ct.subj AS src_entity, ct.pred, ct.obj AS dst_entity,
+             CAST(floor(epoch(tr.ts)) AS BIGINT) AS ep
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') ct
+      JOIN read_parquet('{_TRANSCRIPTS_PQ}') tr USING (conv_id, turn_idx)),
+    r AS (SELECT max(ep) AS ref_ep FROM t)
+    SELECT src_entity, pred, dst_entity,
+           count(*) AS n_turns,
+           max(ep) AS last_ep,
+           CAST(sum(1000000 >> CAST(least((r.ref_ep - ep) // 86400 // 7, 30)
+                                    AS INTEGER)) AS BIGINT)
+             AS weight_decay_micro
+    FROM t, r
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_kg_edge_decay(spark, sf_dir):
+    """Recency-weighted edge strength (operators/graph.py:
+    edge_decay_weights, half-life 7 days): each assertion contributes
+    1e6 right-shifted by its whole-half-life age — an exact
+    power-of-two decay whose per-edge sum is order-independent integer
+    arithmetic (a float exp() decay would drift across engines). The
+    freshness signal a living KG ranks edges by."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.graph import edge_decay_weights
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    fx = _fx(sf_dir)
+    m = _mentions(spark, fx)
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    ct = canonicalize_triples(extract_relations(m), a, nodes)
+    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
+    return edge_decay_weights(ct, t, halflife_days=7)
+
+
+def _linkpred_oracle() -> str:
+    edges_pq = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity,
+             ('0x' || substring(md5('edgesplit|' || src_entity || '|' ||
+               pred || '|' || dst_entity), 1, 15))::BIGINT % 100 AS h
+      FROM read_parquet('{edges_pq}')),
+    tagged AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity,
+             CASE WHEN h < 10 THEN 'test'
+                  WHEN h < 20 THEN 'valid'
+                  ELSE 'train' END AS split0
+      FROM raw),
+    tn AS MATERIALIZED (
+      SELECT DISTINCT x FROM (
+        SELECT src_entity AS x FROM tagged WHERE split0 = 'train'
+        UNION ALL
+        SELECT dst_entity FROM tagged WHERE split0 = 'train')),
+    final AS MATERIALIZED (
+      SELECT src_entity, pred, dst_entity,
+             CASE WHEN split0 <> 'train'
+                   AND (src_entity NOT IN (SELECT x FROM tn)
+                        OR dst_entity NOT IN (SELECT x FROM tn))
+                  THEN 'train' ELSE split0 END AS split
+      FROM tagged),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+             greatest(src_entity, dst_entity) AS b
+      FROM final WHERE split = 'train' AND src_entity <> dst_entity),
+    adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+    mids AS (
+      SELECT adj.z, adj.n,
+             CAST(floor(1e9 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS contrib
+      FROM adj JOIN deg ON adj.z = deg.z
+      WHERE deg.d BETWEEN 2 AND 65536),
+    aa AS MATERIALIZED (
+      SELECT u, v, s FROM (
+        SELECT m1.n AS u, m2.n AS v, CAST(sum(m1.contrib) AS BIGINT) AS s
+        FROM mids m1 JOIN mids m2 ON m1.z = m2.z AND m1.n < m2.n
+        GROUP BY 1, 2) p
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.v)),
+    cand AS MATERIALIZED (
+      SELECT u AS q, v AS t, s FROM aa UNION ALL SELECT v, u, s FROM aa),
+    test AS MATERIALIZED (
+      SELECT DISTINCT least(src_entity, dst_entity) AS u,
+             greatest(src_entity, dst_entity) AS v
+      FROM final WHERE split = 'test' AND src_entity <> dst_entity),
+    ev AS (SELECT u AS q, v AS t FROM test UNION ALL SELECT v, u FROM test),
+    scored AS MATERIALIZED (
+      SELECT ev.q, ev.t, c.s
+      FROM ev LEFT JOIN cand c ON c.q = ev.q AND c.t = ev.t),
+    better AS (
+      SELECT s.q, s.t, count(*) AS nb
+      FROM scored s JOIN cand c ON c.q = s.q
+      WHERE s.s IS NOT NULL
+        AND (c.s > s.s OR (c.s = s.s AND c.t < s.t))
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT s.q, s.t,
+             CASE WHEN s.s IS NULL THEN NULL
+                  ELSE coalesce(b.nb, 0) + 1 END AS rnk
+      FROM scored s LEFT JOIN better b ON b.q = s.q AND b.t = s.t)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_test_edges,
+           count(*) AS n_eval,
+           count(rnk) AS n_ranked,
+           CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_1,
+           CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hits_at_10,
+           CAST(sum(coalesce(1000000 // rnk, 0)) // count(*) AS BIGINT)
+             AS mrr_micro
+    FROM ranked
+    """
+
+
+@query("kg_linkpred_eval", _linkpred_oracle())
+def q_kg_linkpred_eval(spark, sf_dir):
+    """Link-prediction evaluation closing the KG-completion loop
+    (operators/graph.py:linkpred_eval): Adamic-Adar scores candidate
+    pairs over the TRAIN split of the deterministic edge holdout, and
+    every held-out test edge is ranked in both directions against its
+    query node's candidate list — hits@1/10 and an exact integer MRR
+    (per-item reciprocal ranks floored onto the micro grid before the
+    mean). Unsurfaced edges count as misses; n_ranked reports scorer
+    coverage honestly."""
+    from ner_spark.operators.graph import linkpred_eval
+
+    return linkpred_eval(_kg_edges(spark, sf_dir), k=10)
+
+
 @query("hybrid_rrf_topk", _rrf_oracle())
 def q_hybrid_rrf_topk(spark, sf_dir):
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
@@ -4487,6 +4648,7 @@ _DRIVER_ORDER = [
     "dup_span_fraction", "unigram_logprob", "distinct_sketch",
     "embedding_outliers", "hybrid_rrf_topk",
     "conv_near_dup", "source_overlap", "pq_codes",
+    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

@@ -588,3 +588,40 @@ def mixture_resample(
             ).alias("copy_idx"),
         )
     )
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Supervised-fine-tuning pair extraction from the transcripts —
+    ``(conv_id, turn_idx, prompt, response)``: every user turn whose
+    IMMEDIATELY following turn (in ``turn_idx`` order within the
+    conversation) is an assistant turn becomes one training example.
+    Tool turns and user→user repairs break adjacency and emit nothing —
+    the conservative pairing a chat-SFT dataset builder starts from
+    (multi-turn packing composes on top via ``pack_sequences``).
+
+    Plan shape: ONE conv_id-keyed exchange feeds the lead window (the
+    window partition is a conversation — bounded by dialogue length,
+    the pipeline-wide invariant), and everything else is row-local.
+    Deterministic by construction: adjacency is a pure function of the
+    (conv_id, turn_idx) order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lead("role").over(w).alias("next_role"),
+            F.lead("text").over(w).alias("next_text"),
+        )
+        .where((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("text").alias("prompt"),
+            F.col("next_text").alias("response"),
+        )
+    )

@@ -1494,3 +1494,148 @@ def pred_cooccurrence(edges: DataFrame) -> DataFrame:
         .groupBy("pred_a", "pred_b")
         .agg(F.count(F.lit(1)).alias("n_subjects"))
     )
+
+
+def edge_decay_weights(
+    canonical_triples: DataFrame,
+    transcripts: DataFrame,
+    halflife_days: int = 7,
+) -> DataFrame:
+    """Recency-weighted edge strength — ``(src_entity, pred,
+    dst_entity, n_turns, last_ep, weight_decay_micro)`` where each
+    assertion contributes ``1e6 >> k`` with ``k = min(age_days //
+    halflife_days, 30)`` half-lives of age relative to the corpus's
+    newest timestamp. This is the freshness signal a living KG ranks
+    edges by: an edge asserted 100× last year scores below one asserted
+    5× today, without ever deleting history (``kg_current_facts`` keeps
+    the latest VALUE; this keeps a decayed WEIGHT).
+
+    Exactness is the design point: textbook exponential decay
+    (``exp(-λ·age)``) is an order-dependent float sum and drifts
+    across engines; bucketing age into WHOLE half-lives makes every
+    contribution an exact power-of-two right-shift of 1e6 — an
+    integer, so the per-edge sum is order-independent and bit-identical
+    anywhere, while keeping the decay semantics (weight halves per
+    half-life). The shift is capped at 30 (1e6 >> 30 is already 0), so
+    no overflow path exists.
+
+    Plan shape: ts rides a (conv_id, turn_idx)-keyed join onto the
+    triples (at 10^12-turn scale thread ts through extraction instead —
+    see ``edge_temporal_profile``); the reference epoch is one scalar
+    max broadcast back; the rollup is a single map-side-combinable
+    edge-keyed aggregate.
+    """
+    t = canonical_triples.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).select(
+        F.col("subj").alias("src_entity"),
+        "pred",
+        F.col("obj").alias("dst_entity"),
+        F.unix_timestamp("ts").alias("ep"),
+    )
+    ref = t.agg(F.max("ep").alias("ref_ep"))
+    scored = t.crossJoin(F.broadcast(ref)).withColumn(
+        "contrib",
+        F.expr(
+            "shiftright(1000000L, cast(least((ref_ep - ep) div 86400 "
+            f"div {int(halflife_days)}, 30L) as int))"
+        ),
+    )
+    return scored.groupBy("src_entity", "pred", "dst_entity").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("ep").alias("last_ep"),
+        F.sum("contrib").alias("weight_decay_micro"),
+    )
+
+
+def linkpred_eval(edges: DataFrame, k: int = 10) -> DataFrame:
+    """End-to-end link-prediction evaluation of the Adamic-Adar scorer
+    on the deterministic edge holdout — ONE summary row
+    ``(n_test_edges, n_eval, n_ranked, hits_at_1, hits_at_10,
+    mrr_micro)``. This closes the KG-completion loop the engine
+    already ships the parts for: ``edge_holdout_split`` makes the
+    transductive split, Adamic-Adar scores candidate pairs over the
+    TRAIN graph only, and every test edge is ranked in both directions
+    (q→t and t→q) against q's candidate list.
+
+    Protocol (pinned, mirrored in the SQL oracle): candidates are the
+    train-non-adjacent AA pairs; a test edge absent from its query's
+    candidate list is unranked (contributes 0 to MRR and hits — the
+    honest accounting; ``n_ranked`` reports how often the scorer even
+    surfaces the held-out edge). Rank ties break (score desc, node id
+    asc) — a total order. Per-item reciprocal ranks are floored onto
+    the 1e-6 grid BEFORE the mean, so the MRR is an exact integer at
+    any scale or partitioning.
+
+    Scale shape: all heavy lifting is inside ``adamic_adar`` (salted
+    wedge join, integer scores); the eval overlay joins slim (q, t)
+    rows — the rank count touches only candidate lists of TEST query
+    nodes (a semi-join-sized slice), never the full candidate table.
+    """
+    from ner_spark.functions.dedup import register_persist
+
+    # the split feeds THREE consumers (train graph ×2 via AA's own
+    # lineage, test edges) — persist so the upstream extraction lineage
+    # executes once, not once per branch
+    split = register_persist(edge_holdout_split(edges))
+    train = split.where(F.col("split") == "train").select(
+        "src_entity", "pred", "dst_entity"
+    )
+    test = (
+        split.where(
+            (F.col("split") == "test")
+            & (F.col("src_entity") != F.col("dst_entity"))
+        )
+        .select(
+            F.least("src_entity", "dst_entity").alias("u"),
+            F.greatest("src_entity", "dst_entity").alias("v"),
+        )
+        .distinct()
+    )
+    aa = adamic_adar(train)
+    cand = aa.select(
+        F.col("node_u").alias("q"), F.col("node_v").alias("t"),
+        F.col("aa_nano").alias("s"),
+    ).unionByName(
+        aa.select(
+            F.col("node_v").alias("q"), F.col("node_u").alias("t"),
+            F.col("aa_nano").alias("s"),
+        )
+    )
+    ev = test.select(F.col("u").alias("q"), F.col("v").alias("t")).unionByName(
+        test.select(F.col("v").alias("q"), F.col("u").alias("t"))
+    )
+    scored = ev.join(cand, ["q", "t"], "left")
+    better = (
+        scored.where(F.col("s").isNotNull())
+        .select("q", "t", "s")
+        .join(
+            cand.withColumnsRenamed({"t": "t2", "s": "s2"}), "q"
+        )
+        .where(
+            (F.col("s2") > F.col("s"))
+            | ((F.col("s2") == F.col("s")) & (F.col("t2") < F.col("t")))
+        )
+        .groupBy("q", "t")
+        .agg(F.count(F.lit(1)).alias("n_better"))
+    )
+    ranked = scored.join(better, ["q", "t"], "left").select(
+        "q",
+        "t",
+        F.when(
+            F.col("s").isNotNull(), F.coalesce("n_better", F.lit(0)) + 1
+        ).alias("rnk"),
+    )
+    return ranked.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_test_edges"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.count("rnk").alias("n_ranked"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).alias("hits_at_1"),
+        F.sum(F.when(F.col("rnk") <= k, 1).otherwise(0)).alias(
+            f"hits_at_{k}"
+        ),
+        F.expr("sum(coalesce(1000000 div rnk, 0)) div count(1)").alias(
+            "mrr_micro"
+        ),
+    )

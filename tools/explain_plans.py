@@ -355,6 +355,31 @@ CHECKS = {
             "Dangling mass is a scalar full-reduction per iteration."
         ),
     ),
+    "kg_edge_decay": dict(
+        requires=[],
+        forbids=["Python", "SortMergeJoin", "CartesianProduct"],
+        builder="decay",
+        note=(
+            "Recency-decayed edge weights over the materialized canonical "
+            "triples: the decay contribution is an exact power-of-two "
+            "right-shift of 1e6 (whole half-life buckets) so the per-edge "
+            "sum is order-independent integer arithmetic; the reference "
+            "epoch is ONE scalar max broadcast back; the rollup aggregate "
+            "partials map-side. No float exp() anywhere in the plan."
+        ),
+    ),
+    "sft_pairs": dict(
+        requires=["Window"],
+        forbids=["Python", "Join"],
+        max_tree_exchanges=1,
+        note=(
+            "SFT (prompt, response) extraction compiles to ONE conv_id "
+            "exchange feeding the lead window (partition = a "
+            "conversation, bounded by dialogue length — the pipeline-wide "
+            "invariant) plus row-local filters: no join, no Python, one "
+            "exchange (asserted)."
+        ),
+    ),
     "kg_edge_temporal": dict(
         requires=[],
         forbids=["Python", "SortMergeJoin"],
@@ -848,6 +873,18 @@ def main() -> None:
         )
         return edge_temporal_profile(ct, t)
 
+    def _decay_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import edge_decay_weights
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        t = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+        )
+        return edge_decay_weights(ct, t, halflife_days=7)
+
     def _pmi_over_goldens():
         from ner_spark.entry_queries import FIXTURES_SQL_ROOT
         from ner_spark.operators.graph import entity_cooccurrence_pmi
@@ -935,6 +972,8 @@ def main() -> None:
             df = _over_materialized_edges(name)
         elif spec.get("builder") == "temporal":
             df = _temporal_over_goldens()
+        elif spec.get("builder") == "decay":
+            df = _decay_over_goldens()
         elif spec.get("builder") == "current_facts":
             df = _current_facts_over_goldens()
         elif spec.get("builder") == "lpa_round":
