@@ -167,6 +167,9 @@ def main() -> None:
     _ct = canonicalize_triples(extract_relations(mentions), _assign, _nodes).cache()
     _ct.count()
     run("kg_current_facts", lambda: current_facts(_ct, t).count())
+    from ner_spark.operators.graph import edge_decay_weights
+
+    run("kg_edge_decay", lambda: edge_decay_weights(_ct, t).count())
     _ct.unpersist()
 
     # KG-consumer layer added in r3 session 3: link prediction, walk
@@ -183,6 +186,10 @@ def main() -> None:
     )
 
     run("kg_adamic_adar", lambda: adamic_adar(kg_edges).count(), best_of=2)
+    from ner_spark.operators.graph import linkpred_eval
+
+    # one summary row; the cost is AA-on-train + the rank overlay
+    run("kg_linkpred_eval", lambda: linkpred_eval(kg_edges).count(), best_of=2)
     run("kg_random_walks", lambda: random_walks(kg_edges).count(), best_of=2)
     run(
         "kg_community_profiles",
@@ -247,9 +254,24 @@ def main() -> None:
     # pair-enumeration queries inside a long bench session.
     n_turns = t.count()
     mentions.unpersist()
+    # drop any remaining cached/persisted frames from the KG section:
+    # leftover storage memory measured as a 3-90x slowdown of later
+    # single-shot queries in a long bench session (kg_topic_segments
+    # 0.35 s standalone vs 32 s mid-session before this teardown)
+    release_persisted_blocks()
+    spark.catalog.clearCache()
 
     # -- headline: training-data ops + relational core --------------------
-    heavy = {"token_jaccard_pairs", "simhash_band_pairs", "embedding_dup_pairs_ivf"}
+    heavy = {
+        "token_jaccard_pairs",
+        "simhash_band_pairs",
+        "embedding_dup_pairs_ivf",
+        # session-history-sensitive single-shot outliers (first run can
+        # pay page-cache + JIT churn mid-session; standalone steady
+        # state is 10-90x faster — same best-of-N philosophy as above)
+        "kg_topic_segments",
+        "conv_near_dup",
+    }
     for qname in (
         "dedup_exact",
         "lsh_dup_pairs",
@@ -287,6 +309,16 @@ def main() -> None:
         "corpus_drift",
         "lang_confusion",
         "mixture_resample",
+        # session-5 additions
+        "dup_span_fraction",
+        "unigram_logprob",
+        "distinct_sketch",
+        "embedding_outliers",
+        "hybrid_rrf_topk",
+        "conv_near_dup",
+        "source_overlap",
+        "pq_codes",
+        "sft_pairs",
     ):
         run(
             qname,

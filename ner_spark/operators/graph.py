@@ -1593,7 +1593,10 @@ def linkpred_eval(edges: DataFrame, k: int = 10) -> DataFrame:
         )
         .distinct()
     )
-    aa = adamic_adar(train)
+    # the candidate table feeds TWO joins below AND is itself a 2-way
+    # union of the same AA result — without a persist the salted wedge
+    # join (the expensive part) executes once per branch per consumer
+    aa = register_persist(adamic_adar(train))
     cand = aa.select(
         F.col("node_u").alias("q"), F.col("node_v").alias("t"),
         F.col("aa_nano").alias("s"),
