@@ -4350,6 +4350,31 @@ def q_hybrid_rrf_topk(spark, sf_dir):
 
 
 # ===========================================================================
+# BPE merge induction — functions/bpe.py
+# ===========================================================================
+
+
+def _bpe_oracle() -> str:
+    from ner_spark.functions.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=24, min_count=2)
+
+
+@query("bpe_merges", _bpe_oracle())
+def q_bpe_merges(spark, sf_dir):
+    """Learn the top-24 BPE merge pairs from the documents corpus
+    (functions/bpe.py — tokenizer training; the reference only ever
+    CONSUMES a fixed WordPiece vocab, data_utils.py:24-40).  One
+    corpus-scale histogram pass, then vocab-sized iterations with a
+    deterministic (count desc, lexicographic) argmax; vs a 24-step
+    unrolled DuckDB restatement sharing the identical chr(31)
+    merge fold."""
+    from ner_spark.functions.bpe import bpe_merges
+
+    return bpe_merges(spark, _t(spark, sf_dir, "documents"), n_merges=24)
+
+
+# ===========================================================================
 # As-of (temporal) join — operators/asof.py
 # ===========================================================================
 
@@ -4648,7 +4673,7 @@ _DRIVER_ORDER = [
     "dup_span_fraction", "unigram_logprob", "distinct_sketch",
     "embedding_outliers", "hybrid_rrf_topk",
     "conv_near_dup", "source_overlap", "pq_codes",
-    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval",
+    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

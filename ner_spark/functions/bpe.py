@@ -1,0 +1,208 @@
+"""BPE merge-pair induction — tokenizer TRAINING at corpus scale.
+
+Reference parity: the reference tokenizes with a FIXED WordPiece vocab
+(/root/reference/bert_model/vocab.txt consumed via data_utils.py:24-40
+and the vendored BERT tokenizer) — it never learns one. This operator
+adds the training half of that story: learn the merge table that a
+WordPiece/BPE-style subword tokenizer needs, from the corpus itself
+(public algorithm: Sennrich, Haddow & Birch 2015, "Neural Machine
+Translation of Rare Words with Subword Units"; standard word-histogram
+formulation, as in the original subword-nmt trainer).
+
+Spark-first shape — the ONLY corpus-scale pass is the word histogram
+(one explode + one map-side-combined groupBy on `word`).  Every merge
+iteration then runs over the VOCAB-sized histogram, independent of
+corpus size: one adjacent-pair aggregation (map-side partial agg on
+(l, r)), one 1-row TakeOrderedAndProject collect (count desc, then
+lexicographic — fully deterministic), and one row-local fold rewrite.
+Lineage is cut with localCheckpoint every ``checkpoint_every`` rounds
+(the same device as kmeans/k-core).  At 100 TB the histogram pass
+dominates and scales linearly with executors; the iterations cost the
+same at any corpus size because they see only distinct words.
+
+Merge semantics (pinned, shared bit-for-bit with the DuckDB oracle):
+one merge step rewrites each word's symbol sequence with a
+left-to-right NON-OVERLAPPING scan replacing adjacent (left, right)
+occurrences by left||right.  Both engines implement the scan as the
+SAME left fold over the symbols (accumulator = symbols joined by the
+unit separator chr(31), which never occurs in corpus text): if the
+accumulator's last symbol equals `left` and the incoming symbol equals
+`right`, splice them; else append.  Because a merged token
+left||right can never EQUAL `left` (right is non-empty), the fold is
+exactly the non-overlapping scan — pinned by tests/test_bpe.py on
+adversarial repeats ("aaaa" -> [aa, aa], "aaa" -> [aa, a]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MERGES_SCHEMA = StructType(
+    [
+        StructField("merge_rank", IntegerType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+# adjacent-pair enumeration over the symbol array (row-local, codegen)
+_PAIRS_EXPR = """
+CASE WHEN size(syms) < 2 THEN array() ELSE
+  transform(sequence(1, size(syms) - 1),
+            i -> struct(element_at(syms, i) AS l,
+                        element_at(syms, i + 1) AS r)) END
+"""
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def merge_fold_expr(left: str, right: str) -> str:
+    """Spark SQL for one non-overlapping merge pass over ``syms``.
+
+    Mirrors the DuckDB ``list_reduce`` fold in the oracle exactly: the
+    accumulator is the rewritten symbol list joined by chr(31); a
+    splice keeps everything before the last symbol (which it just
+    matched as ``left``, so its character length is len(left)) and
+    appends the merged token.
+    """
+    l_lit, r_lit = _sql_quote(left), _sql_quote(right)
+    return f"""CASE WHEN size(syms) <= 1 THEN syms ELSE
+  split(aggregate(slice(syms, 2, size(syms) - 1), element_at(syms, 1),
+    (acc, x) -> CASE
+      WHEN element_at(split(acc, chr(31)), -1) = {l_lit} AND x = {r_lit}
+      THEN concat(substring(acc, 1, length(acc) - {len(left)}),
+                  {l_lit}, {r_lit})
+      ELSE concat(acc, chr(31), x) END), chr(31)) END"""
+
+
+def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wcount, syms) — the single corpus-scale pass.
+
+    Single-space tokenization (the corpus-wide tokens_col convention);
+    symbols start as the word's characters.
+    """
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcount"))
+        .withColumn("syms", F.expr("filter(split(word, ''), ch -> ch <> '')"))
+    )
+
+
+def bpe_train(
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Learn up to ``n_merges`` merge pairs from a word histogram.
+
+    Stops early when no adjacent pair reaches ``min_count`` weighted
+    occurrences.  Returns the merge table (merge_rank, left, right,
+    pair_count) with pair_count = the pair's weighted frequency at the
+    moment it was chosen.
+    """
+    words = words.select("wcount", "syms").localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            words.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "wcount")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((rank, l, r, cnt))
+        words = words.withColumn("syms", F.expr(merge_fold_expr(l, r)))
+        if rank % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_merges(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end: corpus -> word histogram -> learned merge table."""
+    return bpe_train(
+        spark, word_histogram(docs, text_col), n_merges, min_count
+    )
+
+
+def bpe_oracle_sql(
+    n_merges: int = 24, min_count: int = 2, table: str = "documents"
+) -> str:
+    """Unrolled DuckDB restatement: ``n_merges`` explicit merge blocks
+    (the same second-engine device as the unrolled PageRank/k-core
+    oracles).  Each block recomputes pair counts, picks the argmax
+    under the identical (cnt DESC, l, r) order, and rewrites the
+    histogram with the identical chr(31) string fold via
+    ``list_reduce`` — LEFT JOIN ON TRUE against the 0-or-1-row best
+    CTE so an exhausted corpus degrades to the identity rewrite and
+    emits nothing, matching the Spark early-stop.  CTEs referenced by
+    the next round are MATERIALIZED so the chain stays linear.
+    """
+    parts = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT word, count(*) AS wcount, string_split(word, '') AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+      WHERE word <> '' GROUP BY word)"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT l, r, sum(wcount) AS cnt FROM (
+        SELECT wcount, list_extract(syms, j) AS l,
+               list_extract(syms, j + 1) AS r
+        FROM (SELECT wcount, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS j
+              FROM w{p}))
+      GROUP BY l, r),
+    m{i} AS MATERIALIZED (
+      SELECT {i} AS merge_rank, l, r, cnt FROM p{i}
+      WHERE cnt >= {min_count}
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    w{i} AS MATERIALIZED (
+      SELECT wcount,
+        CASE WHEN m.l IS NULL THEN syms ELSE
+          string_split(list_reduce(syms, (acc, x) ->
+            CASE WHEN list_extract(string_split(acc, chr(31)), -1) = m.l
+                      AND x = m.r
+                 THEN substr(acc, 1, length(acc) - length(m.l)) || m.l || m.r
+                 ELSE acc || chr(31) || x END), chr(31)) END AS syms
+      FROM w{p} LEFT JOIN m{i} m ON TRUE)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+           l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})"""
+    )
+    return "".join(parts)
