@@ -319,6 +319,7 @@ def main() -> None:
         "source_overlap",
         "pq_codes",
         "sft_pairs",
+        "bpe_merges",
     ):
         run(
             qname,

@@ -4374,6 +4374,25 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_merges(spark, _t(spark, sf_dir, "documents"), n_merges=24)
 
 
+def _bpe_segments_oracle() -> str:
+    from ner_spark.functions.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=24, min_count=2, segments=True)
+
+
+@query("bpe_segments", _bpe_segments_oracle())
+def q_bpe_segments(spark, sf_dir):
+    """Tokenizer application: every distinct corpus word segmented by
+    the 24 learned merges, applied in rank order (functions/bpe.py:
+    bpe_segments).  The oracle re-derives merges AND segmentation from
+    its own unrolled argmax chain, so a divergence at any rank
+    surfaces as a pieces mismatch — this checks the whole train→apply
+    chain, not just the merge table."""
+    from ner_spark.functions.bpe import bpe_segments
+
+    return bpe_segments(spark, _t(spark, sf_dir, "documents"), n_merges=24)
+
+
 # ===========================================================================
 # As-of (temporal) join — operators/asof.py
 # ===========================================================================
@@ -4674,6 +4693,7 @@ _DRIVER_ORDER = [
     "embedding_outliers", "hybrid_rrf_topk",
     "conv_near_dup", "source_overlap", "pq_codes",
     "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
+    "bpe_segments",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

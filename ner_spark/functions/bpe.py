@@ -101,18 +101,19 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(
-    spark: SparkSession,
+def bpe_learn(
     words: DataFrame,
     n_merges: int = 24,
     min_count: int = 2,
     checkpoint_every: int = 6,
-) -> DataFrame:
-    """Learn up to ``n_merges`` merge pairs from a word histogram.
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` merge pairs from a word histogram;
+    returns [(merge_rank, left, right, pair_count), ...] on the driver
+    (one 1-row collect per iteration — the merge table is vocab-level
+    metadata, like the kmeans centroid collect).
 
     Stops early when no adjacent pair reaches ``min_count`` weighted
-    occurrences.  Returns the merge table (merge_rank, left, right,
-    pair_count) with pair_count = the pair's weighted frequency at the
+    occurrences; pair_count = the pair's weighted frequency at the
     moment it was chosen.
     """
     words = words.select("wcount", "syms").localCheckpoint(eager=True)
@@ -134,7 +135,20 @@ def bpe_train(
         words = words.withColumn("syms", F.expr(merge_fold_expr(l, r)))
         if rank % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
-    return spark.createDataFrame(merges, MERGES_SCHEMA)
+    return merges
+
+
+def bpe_train(
+    spark: SparkSession,
+    words: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Merge table (merge_rank, left, right, pair_count) as a DataFrame."""
+    return spark.createDataFrame(
+        bpe_learn(words, n_merges, min_count, checkpoint_every), MERGES_SCHEMA
+    )
 
 
 def bpe_merges(
@@ -150,8 +164,41 @@ def bpe_merges(
     )
 
 
+def bpe_segments(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+    checkpoint_every: int = 6,
+) -> DataFrame:
+    """Tokenizer APPLICATION: segment every distinct corpus word with
+    the merges just learned from the same corpus — (word, wcount,
+    pieces).  Merges apply in rank order (the standard BPE encode),
+    which over the training histogram reproduces training's final
+    symbol state; the DuckDB oracle re-derives BOTH the merges and the
+    segmentation from its own argmax chain, so a divergence at any
+    rank surfaces as a segmentation mismatch.  The rewrite chain is
+    row-local (no extra shuffle beyond the histogram's one groupBy);
+    localCheckpoint every ``checkpoint_every`` folds bounds lineage.
+    """
+    words = word_histogram(docs, text_col).localCheckpoint(eager=True)
+    merges = bpe_learn(words, n_merges, min_count, checkpoint_every)
+    seg = words
+    for i, (_rank, l, r, _cnt) in enumerate(merges, 1):
+        seg = seg.withColumn("syms", F.expr(merge_fold_expr(l, r)))
+        if i % checkpoint_every == 0:
+            seg = seg.localCheckpoint(eager=True)
+    return seg.select(
+        "word", "wcount", F.array_join("syms", " ").alias("pieces")
+    )
+
+
 def bpe_oracle_sql(
-    n_merges: int = 24, min_count: int = 2, table: str = "documents"
+    n_merges: int = 24,
+    min_count: int = 2,
+    table: str = "documents",
+    segments: bool = False,
 ) -> str:
     """Unrolled DuckDB restatement: ``n_merges`` explicit merge blocks
     (the same second-engine device as the unrolled PageRank/k-core
@@ -187,7 +234,7 @@ def bpe_oracle_sql(
       WHERE cnt >= {min_count}
       ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
     w{i} AS MATERIALIZED (
-      SELECT wcount,
+      SELECT word, wcount,
         CASE WHEN m.l IS NULL THEN syms ELSE
           string_split(list_reduce(syms, (acc, x) ->
             CASE WHEN list_extract(string_split(acc, chr(31)), -1) = m.l
@@ -196,13 +243,21 @@ def bpe_oracle_sql(
                  ELSE acc || chr(31) || x END), chr(31)) END AS syms
       FROM w{p} LEFT JOIN m{i} m ON TRUE)"""
         )
-    union = " UNION ALL ".join(
-        f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
-    )
-    parts.append(
-        f"""
+    if segments:
+        parts.append(
+            f"""
+    SELECT word, CAST(wcount AS BIGINT) AS wcount,
+           array_to_string(syms, ' ') AS pieces
+    FROM w{n_merges}"""
+        )
+    else:
+        union = " UNION ALL ".join(
+            f"SELECT * FROM m{i}" for i in range(1, n_merges + 1)
+        )
+        parts.append(
+            f"""
     SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
            l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count
     FROM ({union})"""
-    )
+        )
     return "".join(parts)

@@ -106,6 +106,41 @@ def test_matches_python_reference_and_deterministic(spark):
     ]
 
 
+def _py_segments(texts, n_merges, min_count=2):
+    """Apply _py_bpe's merges in rank order; returns {word: pieces}."""
+    from collections import Counter
+
+    merges = _py_bpe(texts, n_merges, min_count)
+    hist = Counter(w for t in texts for w in t.split(" ") if w)
+    out = {}
+    for w, c in hist.items():
+        syms = list(w)
+        for _rank, l, r, _cnt in merges:
+            nxt, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    nxt.append(l + r)
+                    i += 2
+                else:
+                    nxt.append(syms[i])
+                    i += 1
+            syms = nxt
+        out[w] = (c, " ".join(syms))
+    return out
+
+
+def test_segments_match_python_reference(spark):
+    """Train→apply chain: engine segmentation == textbook reference
+    (rank-ordered merge application over the training histogram)."""
+    from ner_spark.functions.bpe import bpe_segments
+
+    texts = ["the cat sat on the mat", "the cats sat", "low lower lowest"]
+    want = _py_segments(texts, 8)
+    out = bpe_segments(spark, _docs(spark, texts), n_merges=8).collect()
+    got = {r["word"]: (r["wcount"], r["pieces"]) for r in out}
+    assert got == want
+
+
 def test_oracle_sql_matches_python_reference():
     """The unrolled DuckDB oracle independently reproduces the textbook
     reference on the same corpus (so the driver gate compares two real
@@ -126,3 +161,5 @@ def test_oracle_sql_matches_python_reference():
     rows = con.execute(bpe_oracle_sql(n_merges=12)).fetchall()
     got = sorted(tuple(r) for r in rows)
     assert got == sorted(_py_bpe(texts, 12))
+    seg = con.execute(bpe_oracle_sql(n_merges=12, segments=True)).fetchall()
+    assert {w: (c, p) for w, c, p in seg} == _py_segments(texts, 12)
