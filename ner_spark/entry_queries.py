@@ -4364,7 +4364,7 @@ def _bpe_oracle() -> str:
 def q_bpe_merges(spark, sf_dir):
     """Learn the top-24 BPE merge pairs from the documents corpus
     (functions/bpe.py — tokenizer training; the reference only ever
-    CONSUMES a fixed WordPiece vocab, data_utils.py:24-40).  One
+    CONSUMES a fixed WordPiece vocab, train_bert_crf.py:13).  One
     corpus-scale histogram pass, then vocab-sized iterations with a
     deterministic (count desc, lexicographic) argmax; vs a 24-step
     unrolled DuckDB restatement sharing the identical chr(31)

@@ -1,7 +1,7 @@
 """BPE merge-pair induction — tokenizer TRAINING at corpus scale.
 
 Reference parity: the reference tokenizes with a FIXED WordPiece vocab
-(/root/reference/bert_model/vocab.txt consumed via data_utils.py:24-40
+(/root/reference/bert_model/vocab.txt, consumed via train_bert_crf.py:13
 and the vendored BERT tokenizer) — it never learns one. This operator
 adds the training half of that story: learn the merge table that a
 WordPiece/BPE-style subword tokenizer needs, from the corpus itself
