@@ -809,6 +809,21 @@ CHECKS = {
             "join, no sort beyond the per-group window."
         ),
     ),
+    "bpe_round": dict(
+        builder="bpe_round",
+        requires=["TakeOrderedAndProject", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "One BPE merge iteration (the frame the training loop runs "
+            "24×, always over the VOCAB-sized histogram — never the "
+            "corpus): row-local adjacent-pair enumeration, a map-side-"
+            "combined (l, r) count aggregate, and the deterministic "
+            "argmax as TakeOrderedAndProject (a global window here "
+            "would single-partition the pair domain). The fold rewrite "
+            "is pure codegen; the only corpus-scale work in the whole "
+            "operator is the one histogram groupBy."
+        ),
+    ),
 }
 
 
@@ -1010,6 +1025,23 @@ def main() -> None:
             )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "bpe_round":
+            from pyspark.sql import functions as F
+
+            from ner_spark.functions.bpe import _PAIRS_EXPR, word_histogram
+
+            docs = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            w = word_histogram(docs).localCheckpoint(eager=True)
+            df = (
+                w.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"), "wcount")
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("wcount").alias("cnt"))
+                .where(F.col("cnt") >= 2)
+                .orderBy(F.desc("cnt"), "l", "r")
+                .limit(1)
+            )
         elif spec.get("builder") == "kcore":
             # assert ONE peel round's shape (the loop localCheckpoints
             # between rounds, so the final frame's plan is a checkpoint
