@@ -320,6 +320,7 @@ def main() -> None:
         "pq_codes",
         "sft_pairs",
         "bpe_merges",
+        "weighted_sample",
     ):
         run(
             qname,

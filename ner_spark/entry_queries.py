@@ -4349,6 +4349,35 @@ def q_hybrid_rrf_topk(spark, sf_dir):
     )
 
 
+@query(
+    "weighted_sample",
+    """
+    WITH s AS (
+      SELECT doc_id, lang, source,
+             greatest(CAST(n_chars AS DOUBLE), 1.0) AS w,
+             CAST(('0x' || substring(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+               / 1152921504606846976.0 AS u
+      FROM documents)
+    SELECT doc_id, lang, source, CAST(w AS BIGINT) AS wt,
+           CAST(floor((ln(u) / w) * 1000000.0) AS BIGINT) AS sample_key
+    FROM s
+    ORDER BY sample_key DESC, doc_id ASC
+    LIMIT 200
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (functions/datasets.py:weighted_sample — Efraimidis–Spirakis A-ES
+    exponential race, inclusion odds ∝ n_chars): md5-h60 uniform per
+    salted doc id, ln(u)/w floored onto the micro grid BEFORE ranking,
+    doc_id tie-break, top-200 as TakeOrderedAndProject. The
+    length-proportional corpus subsample a training-mix builder draws;
+    redrawable by salt, reproducible across engines and reruns."""
+    from ner_spark.functions.datasets import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), k=200)
+
+
 # ===========================================================================
 # BPE merge induction — functions/bpe.py
 # ===========================================================================
@@ -4693,7 +4722,7 @@ _DRIVER_ORDER = [
     "embedding_outliers", "hybrid_rrf_topk",
     "conv_near_dup", "source_overlap", "pq_codes",
     "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
-    "bpe_segments",
+    "bpe_segments", "weighted_sample",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",

@@ -625,3 +625,46 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
             F.col("next_text").alias("response"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 200,
+    weight_col: str = "n_chars",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    quality/length-proportional corpus subsample every training-mix
+    builder needs (sample k docs with inclusion odds ∝ weight).
+
+    Efraimidis–Spirakis A-ES via the exponential race: doc i gets key
+    u_i^(1/w_i) ⇔ rank by ln(u_i)/w_i descending, where u_i is the
+    md5-h60 uniform of the salted doc id — a pure function of
+    (corpus, salt, k), so the sample is reproducible across engines,
+    partitionings and reruns, and changing ``salt`` redraws it.  The
+    key is floored onto the 1e-6 grid BEFORE ranking (both engines
+    rank identical integers; micro-cell ties break on doc_id — the
+    same libm-then-quantize device as mixture_weights/unigram_logprob)
+    and the top-k is TakeOrderedAndProject: one row-local pass, no
+    shuffle wider than k rows, no window.  At 100 TB this is a scan +
+    per-partition top-k merge.
+    """
+    h = md5_hash60_col(
+        F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))
+    )
+    u = (h + F.lit(1).cast("bigint")).cast("double") / F.lit(
+        1152921504606846976.0
+    )
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    key = F.floor((F.log(u) / w) * F.lit(1000000.0)).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            w.cast("long").alias("wt"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -459,3 +459,36 @@ def test_mixture_resample_multiplicity(spark):
     # deterministic
     again = mixture_resample(docs, weights).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """A-ES exponential race: engine top-k == a pure-Python
+    restatement (hashlib md5 + math.log on IEEE doubles, same micro
+    floor, same doc_id tie-break); heavier docs win more slots."""
+    import hashlib
+    import math
+
+    from ner_spark.functions.datasets import weighted_sample
+
+    rows = [(i, "en", "web", ((i * 37) % 500) + 1) for i in range(400)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+
+    def py_key(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsample|{doc_id}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / 1152921504606846976.0
+        w = max(float(n_chars), 1.0)
+        return math.floor((math.log(u) / w) * 1000000.0)
+
+    want = sorted(
+        ((py_key(i, n), i, n) for i, _l, _s, n in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = weighted_sample(docs, k=50).collect()
+    assert [(r["sample_key"], r["doc_id"], r["wt"]) for r in got] == [
+        (k, i, n) for k, i, n in want
+    ]
+    # weight-proportional: sampled docs skew heavy (mean weight of the
+    # 50 winners well above the corpus mean of ~250)
+    assert sum(r["wt"] for r in got) / 50 > 300

@@ -809,6 +809,18 @@ CHECKS = {
             "join, no sort beyond the per-group window."
         ),
     ),
+    "weighted_sample": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python", "Window", "Exchange"],
+        note=(
+            "A-ES weighted sampling is ONE row-local pass (md5-h60 "
+            "uniform, ln(u)/w onto the micro grid) ending in "
+            "TakeOrderedAndProject — per-partition top-k merged on the "
+            "driver, NO exchange, no window, no Python. At 100 TB the "
+            "cost is the scan; the k winners are the only rows that "
+            "move."
+        ),
+    ),
     "bpe_round": dict(
         builder="bpe_round",
         requires=["TakeOrderedAndProject", "HashAggregate"],
