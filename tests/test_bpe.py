@@ -163,3 +163,63 @@ def test_oracle_sql_matches_python_reference():
     assert got == sorted(_py_bpe(texts, 12))
     seg = con.execute(bpe_oracle_sql(n_merges=12, segments=True)).fetchall()
     assert {w: (c, p) for w, c, p in seg} == _py_segments(texts, 12)
+
+
+def test_oracle_property_random_corpora():
+    """Property: on random small corpora (including adversarial repeat
+    runs like 'aaaa'), the unrolled DuckDB oracle equals the textbook
+    Python reference for merges AND segmentation — the oracle chain is
+    correct on arbitrary input, not just the fixtures."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ner_spark.functions.bpe import bpe_oracle_sql
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(corpus)
+    def check(texts):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT unnest(?) AS text", [texts]
+        )
+        got = sorted(
+            tuple(r) for r in con.execute(bpe_oracle_sql(n_merges=6)).fetchall()
+        )
+        assert got == sorted(_py_bpe(texts, 6))
+        seg = con.execute(
+            bpe_oracle_sql(n_merges=6, segments=True)
+        ).fetchall()
+        assert {w: (c, p) for w, c, p in seg} == _py_segments(texts, 6)
+        con.close()
+
+    check()
+
+
+def test_unicode_cjk_merges(spark):
+    """Multi-byte symbols: length()/substring() are code-point-based in
+    Spark, DuckDB, and Python alike — CJK merges must agree in all
+    three engines (the fold's substring arithmetic uses len(left) in
+    CHARACTERS)."""
+    import duckdb
+
+    from ner_spark.functions.bpe import bpe_merges, bpe_oracle_sql
+
+    texts = ["品牌 品牌 品质 品质 品牌", "龙龙龙 龙龙龙 商品"]
+    want = _py_bpe(texts, 6)
+    out = bpe_merges(spark, _docs(spark, texts), n_merges=6).collect()
+    got = [(r["merge_rank"], r["left"], r["right"], r["pair_count"]) for r in out]
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT unnest(?) AS text", [texts])
+    oracle = sorted(
+        tuple(r) for r in con.execute(bpe_oracle_sql(n_merges=6)).fetchall()
+    )
+    assert oracle == sorted(want)
