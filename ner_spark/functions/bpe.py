@@ -101,22 +101,72 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _learn_driver(
+    rows: list, n_merges: int, min_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge loop over a collected (wcount, syms) histogram
+    — bit-identical semantics to the distributed loop (same
+    (-count, left, right) argmax, same non-overlapping scan, asserted
+    equal in tests/test_bpe.py)."""
+    from collections import Counter
+
+    words = [[list(syms), int(c)] for c, syms in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        qual = {p: c for p, c in pairs.items() if c >= min_count}
+        if not qual:
+            break
+        (l, r), cnt = min(qual.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        for entry in words:
+            syms = entry[0]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[0] = out
+    return merges
+
+
 def bpe_learn(
     words: DataFrame,
     n_merges: int = 24,
     min_count: int = 2,
     checkpoint_every: int = 6,
+    driver_threshold: int = 100_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn up to ``n_merges`` merge pairs from a word histogram;
     returns [(merge_rank, left, right, pair_count), ...] on the driver
-    (one 1-row collect per iteration — the merge table is vocab-level
-    metadata, like the kmeans centroid collect).
+    (the merge table is vocab-level metadata, like the kmeans centroid
+    collect).
+
+    ADAPTIVE, the same device as the connected-components operator's
+    driver union-find: when the histogram holds ≤ ``driver_threshold``
+    distinct words it is collected once and the loop runs driver-side
+    (each distributed iteration costs ~0.2 s of pure job scheduling at
+    small vocab — 24 rounds of that dwarf the actual work); above the
+    threshold every iteration runs distributed (one map-side-combined
+    pair aggregation + a 1-row TakeOrderedAndProject collect + a
+    row-local fold rewrite).  Both paths share the exact
+    (-count, left, right) argmax and non-overlapping-scan semantics
+    and are asserted equal in tests/test_bpe.py; the corpus-scale
+    histogram pass is distributed in either case.
 
     Stops early when no adjacent pair reaches ``min_count`` weighted
     occurrences; pair_count = the pair's weighted frequency at the
     moment it was chosen.
     """
     words = words.select("wcount", "syms").localCheckpoint(eager=True)
+    if words.count() <= driver_threshold:
+        return _learn_driver(words.collect(), n_merges, min_count)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -144,10 +194,12 @@ def bpe_train(
     n_merges: int = 24,
     min_count: int = 2,
     checkpoint_every: int = 6,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Merge table (merge_rank, left, right, pair_count) as a DataFrame."""
     return spark.createDataFrame(
-        bpe_learn(words, n_merges, min_count, checkpoint_every), MERGES_SCHEMA
+        bpe_learn(words, n_merges, min_count, checkpoint_every, driver_threshold),
+        MERGES_SCHEMA,
     )
 
 

@@ -223,3 +223,26 @@ def test_unicode_cjk_merges(spark):
         tuple(r) for r in con.execute(bpe_oracle_sql(n_merges=6)).fetchall()
     )
     assert oracle == sorted(want)
+
+
+def test_adaptive_paths_identical(spark):
+    """The driver-side loop (small-vocab fast path) and the distributed
+    loop (driver_threshold=0) produce identical merge tables — the
+    same both-paths-equal assertion the adaptive connected-components
+    operator carries."""
+    from ner_spark.functions.bpe import bpe_train, word_histogram
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat",
+        "low lower lowest",
+        "aaaa aaa abab",
+    ]
+    words = word_histogram(_docs(spark, texts))
+    fast = bpe_train(spark, words, n_merges=10).collect()
+    dist = bpe_train(spark, words, n_merges=10, driver_threshold=0).collect()
+    key = lambda r: (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+    assert [key(r) for r in fast] == [key(r) for r in dist]
+    assert [key(r) for r in fast] == [
+        (rk, l, r, c) for rk, l, r, c in _py_bpe(texts, 10)
+    ]
