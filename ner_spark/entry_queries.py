@@ -4663,27 +4663,33 @@ def q_kg_pagerank(spark, sf_dir):
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
-# order and records at most the FIRST 50 (rounds 1 and 2 each recorded
+# order and records at most the FIRST 50 (rounds 1-3 each recorded
 # exactly 50). Rotate the order each round so the UNION of driver
-# records covers every query: this round the 11 relational queries that
-# have never had a driver row (they were positions 51-61 in round 2,
-# mirror-verified only) enumerate FIRST, followed by any queries new in
-# round 3. The tail holds queries already value-hash-green in
-# CORRECTNESS_r02 whose operators remain covered by the local mirror
-# gate (tools/check_entry.py runs all of them).
+# records covers every query. Round-4 rotation: the 14 session-5
+# queries that have never had any driver row, plus kg_entity_cards
+# (the one hash-red r03 row — locally cell-exact, kept in the window
+# until a green row lands), occupy the FIRST 15 slots. New round-4
+# queries fill the slots after them, keeping total window occupancy
+# <= 50 so nothing new is born below the cap again. Union of
+# CORRECTNESS_r01/r02/r03 = 111 distinct recorded queries (50+50+50
+# minus the 39-query r01/r02 overlap); a green r04 window closes the
+# remaining 14 + entity_cards.
 _DRIVER_ORDER = [
-    # Never driver-recorded queries fill the whole 50-row window this
-    # round. (The 11 relational queries originally slotted here turn
-    # out to hold GREEN rows in CORRECTNESS_r01 — the r02 verdict's
-    # "never recorded" applied to r02 only — so parking them in the
-    # window would burn 11 slots re-proving r01 facts while 11 newer
-    # operators went unrecorded. They are demoted below the cap with
-    # the other union-covered queries.)
-    "kg_community_profiles", "kg_edge_split", "kg_entity_cards",
+    # --- slots 1-15: the never-recorded session-5 pool + the one red row
+    "dup_span_fraction", "unigram_logprob", "distinct_sketch",
+    "embedding_outliers", "hybrid_rrf_topk",
+    "conv_near_dup", "source_overlap", "pq_codes",
+    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
+    "bpe_segments", "weighted_sample",
+    "kg_entity_cards",
+    # --- slots 16+: new round-4 queries land HERE as they are added
+    # (placeholder tail below fills any unused slots with already-green
+    # queries; harmless re-verification)
+    # --- filler: already green in r01-r03, re-recorded only if slots remain
+    "kg_community_profiles", "kg_edge_split",
     "kg_topic_segments", "tool_transitions",
     "mixture_weights", "filter_report", "turn_latency",
     "kg_degree_stats", "ngram_topk", "kg_edge_temporal",
-    # new in round 3 — need their first driver row
     "pack_windows", "tfidf_terms", "bm25_topk",
     "pii_scan", "pii_redact", "kg_pagerank",
     "events_asof_view", "kg_triangles",
@@ -4693,35 +4699,21 @@ _DRIVER_ORDER = [
     "embedding_centroids", "tool_ngrams", "corpus_drift",
     "lang_confusion", "mixture_resample",
     "kg_ego_edges", "kg_pred_cooccurrence",
-    # KG pipeline (the headline surface)
     "kg_incremental_edges",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
+    # -------- position > 50: NOT recorded by the external driver -------
+    # Everything below holds a green driver row in the
+    # CORRECTNESS_r01/r02/r03 union (111 distinct queries) and stays
+    # covered by the local mirror gate (tools/check_entry.py runs all).
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
     "kg_pred_signatures", "kg_bfs_hops", "kg_adamic_adar",
     "kg_random_walks", "kg_skipgram_pairs", "kg_alias_pairs",
-    # -------- position > 50: NOT recorded by the external driver -------
-    # With the 11 r01-green relational queries demoted (see header
-    # comment), every one of the 50 recorded rows goes to a query with
-    # NO prior driver row; the union of CORRECTNESS_r01/r02/r03 then
-    # covers 150 distinct queries. Still never-recorded after this
-    # round: the session-5 pool below (born after the r3 window filled)
-    # — round 4 must rotate exactly those 14 into the front.
-    # The 11 demoted relational queries (doc_length_stats …
-    # supplier_balance_by_nation) hold green CORRECTNESS_r01 rows and
-    # stay covered by the local mirror gate, as does everything else
-    # below the cap.
     "doc_length_stats", "distinct_part_types", "events_top_users",
     "sessionize", "event_rollup",
     "pricing_summary", "top_revenue_nations", "window_topk_orders",
     "priority_count", "region_order_counts", "supplier_balance_by_nation",
-    # session-5 additions (born below the cap; round-4 rotation pool)
-    "dup_span_fraction", "unigram_logprob", "distinct_sketch",
-    "embedding_outliers", "hybrid_rrf_topk",
-    "conv_near_dup", "source_overlap", "pq_codes",
-    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
-    "bpe_segments", "weighted_sample",
     "kg_tags", "kg_mentions", "kg_triples", "kg_relations",
     "kg_link_edges",
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
