@@ -3196,10 +3196,14 @@ def q_kg_alias_clusters(spark, sf_dir):
       FROM ranked WHERE rn <= 3 GROUP BY 1)
     SELECT n.entity_id, n.entity_type, n.canonical_name,
            n.n_surfaces, n.n_mentions,
-           coalesce(d.out_deg, 0) AS out_deg,
-           coalesce(d.in_deg, 0) AS in_deg,
-           coalesce(d.w_out, 0) AS w_out,
-           coalesce(d.w_in, 0) AS w_in,
+           -- CAST back to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT,
+           -- which pandas/Arrow conversion turns into float64 ("28.0")
+           -- while Spark emits int64 ("28") — the r03 driver hash-red
+           -- root cause. fetchall()-based mirrors never see it.
+           CAST(coalesce(d.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(d.in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(d.w_out, 0) AS BIGINT) AS w_out,
+           CAST(coalesce(d.w_in, 0) AS BIGINT) AS w_in,
            coalesce(t.top_preds, '') AS top_preds
     FROM n
     LEFT JOIN deg d ON n.entity_id = d.entity_id

@@ -44,6 +44,45 @@ def to_multiset(cols, rows):
     return out
 
 
+# DuckDB output types the external driver's pandas/Arrow conversion
+# renders differently from the SQL value (HUGEINT/DECIMAL -> float64,
+# so 28 prints as "28.0" while Spark's int64 prints "28"). fetchall()
+# hides this (HUGEINT -> Python int), which is how the r03
+# kg_entity_cards hash-red stayed invisible to this mirror — so flag
+# the TYPE at the source instead of trusting value comparison.
+_HAZARD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_hazards(rel):
+    return [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, [str(t) for t in rel.types])
+        if t in _HAZARD_TYPES[:2] or t.startswith("DECIMAL")
+    ]
+
+
+def _kind(v):
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, int):
+        return "i"
+    if isinstance(v, float):
+        return "f"
+    return "o"
+
+
+def kind_mismatches(cols, s_rows, d_rows, sample=200):
+    """Columns where one engine yields ints and the other floats —
+    value-equal today but driver-canonicalizer-divergent."""
+    out = []
+    for i, c in enumerate(cols):
+        sk = {_kind(r[i]) for r in s_rows[:sample] if r[i] is not None}
+        dk = {_kind(r[i]) for r in d_rows[:sample] if r[i] is not None}
+        if sk and dk and ("f" in sk) != ("f" in dk):
+            out.append(f"{c}:spark={''.join(sorted(sk))},duck={''.join(sorted(dk))}")
+    return out
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -94,9 +133,10 @@ def main():
             else:
                 # mirror test runs at any sf: retarget golden paths
                 sql = sql.replace("/.fixtures/sf0.01/", f"/.fixtures/{sf}/")
-                cur = con.execute(sql)
-                d_cols = [c[0] for c in cur.description]
-                d_rows = cur.fetchall()
+                rel = con.sql(sql)
+                d_cols = list(rel.columns)
+                hazards = oracle_type_hazards(rel)
+                d_rows = rel.fetchall()
                 if sorted(s_cols) != sorted(d_cols):
                     status = "SCHEMA_MISMATCH"
                     detail = f"spark={s_cols} duck={d_cols}"
@@ -104,15 +144,35 @@ def main():
                     status = "COUNT_MISMATCH"
                     detail = f"spark={len(s_rows)} duck={len(d_rows)}"
                 else:
-                    ms = to_multiset(s_cols, [[r[c] for c in s_cols] for r in s_rows])
-                    md = to_multiset(d_cols, d_rows)
+                    srl = [[r[c] for c in s_cols] for r in s_rows]
+                    drl = [
+                        [r[d_cols.index(c)] for c in s_cols] for r in d_rows
+                    ]
+                    ms = to_multiset(s_cols, srl)
+                    md = to_multiset(s_cols, drl)
+                    kinds = kind_mismatches(s_cols, srl, drl)
                     if ms != md:
                         status = "VALUE_MISMATCH"
                         diff = [k for k in ms if ms[k] != md.get(k, 0)][:3]
                         diff2 = [k for k in md if md[k] != ms.get(k, 0)][:3]
                         detail = f"spark_only={diff} duck_only={diff2} rows={len(s_rows)}"
+                    elif hazards:
+                        status = "TYPE_HAZARD"
+                        detail = f"oracle cols {hazards} widen to float64 under pandas"
+                    elif kinds:
+                        status = "TYPE_HAZARD"
+                        detail = f"int/float kind mismatch: {kinds}"
                     else:
                         detail = f"{len(s_rows)} rows"
+                        if os.environ.get("CHECK_REPEAT"):
+                            df2 = fn(spark, sf_dir)
+                            ms2 = to_multiset(
+                                s_cols,
+                                [[r[c] for c in s_cols] for r in df2.collect()],
+                            )
+                            if ms2 != ms:
+                                status = "REPEAT_MISMATCH"
+                                detail = "spark result differs between two runs"
         except Exception as e:  # noqa: BLE001
             status = "ERROR"
             detail = f"{type(e).__name__}: {e}"[:300]
