@@ -4363,7 +4363,7 @@ def q_hybrid_rrf_topk(spark, sf_dir):
                / 1152921504606846976.0 AS u
       FROM documents)
     SELECT doc_id, lang, source, CAST(w AS BIGINT) AS wt,
-           CAST(floor((ln(u) / w) * 1000000.0) AS BIGINT) AS sample_key
+           CAST(floor((floor(ln(u) * 1000000.0) / w) * 1000000.0) AS BIGINT) AS sample_key
     FROM s
     ORDER BY sample_key DESC, doc_id ASC
     LIMIT 200
@@ -4373,7 +4373,9 @@ def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (functions/datasets.py:weighted_sample — Efraimidis–Spirakis A-ES
     exponential race, inclusion odds ∝ n_chars): md5-h60 uniform per
-    salted doc id, ln(u)/w floored onto the micro grid BEFORE ranking,
+    salted doc id, ln(u) floored onto the micro grid (the only libm
+    call), then the IEEE-exact division by w floored onto a second
+    micro grid BEFORE ranking — fine-grained at any weight magnitude —
     doc_id tie-break, top-200 as TakeOrderedAndProject. The
     length-proportional corpus subsample a training-mix builder draws;
     redrawable by salt, reproducible across engines and reruns."""

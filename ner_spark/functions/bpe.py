@@ -90,11 +90,17 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wcount, syms) — the single corpus-scale pass.
 
     Single-space tokenization (the corpus-wide tokens_col convention);
-    symbols start as the word's characters.
+    symbols start as the word's characters.  Words containing the
+    U+001F unit separator are FILTERED here (mirrored verbatim in
+    ``bpe_oracle_sql``): the merge fold uses chr(31) as its accumulator
+    separator, so a corpus word carrying it would silently corrupt
+    symbol boundaries identically in both engines — enforcing the
+    invariant at ingestion is the only place the two-engine gate can
+    see it.
     """
     return (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .where(F.col("word") != "")
+        .where((F.col("word") != "") & (~F.col("word").contains("\u001f")))
         .groupBy("word")
         .agg(F.count("*").alias("wcount"))
         .withColumn("syms", F.expr("filter(split(word, ''), ch -> ch <> '')"))
@@ -103,11 +109,14 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _learn_driver(
     rows: list, n_merges: int, min_count: int
-) -> list[tuple[int, str, str, int]]:
+) -> tuple[list[tuple[int, str, str, int]], list[list[str]]]:
     """Driver-side merge loop over a collected (wcount, syms) histogram
     — bit-identical semantics to the distributed loop (same
     (-count, left, right) argmax, same non-overlapping scan, asserted
-    equal in tests/test_bpe.py)."""
+    equal in tests/test_bpe.py).  Returns (merges, final_syms) where
+    ``final_syms[i]`` is row i's fully-rewritten symbol list, so a
+    segmentation consumer reuses the training rewrite instead of
+    replaying the merge chain."""
     from collections import Counter
 
     words = [[list(syms), int(c)] for c, syms in rows]
@@ -133,7 +142,7 @@ def _learn_driver(
                     out.append(syms[i])
                     i += 1
             entry[0] = out
-    return merges
+    return merges, [entry[0] for entry in words]
 
 
 def bpe_learn(
@@ -142,7 +151,11 @@ def bpe_learn(
     min_count: int = 2,
     checkpoint_every: int = 6,
     driver_threshold: int = 100_000,
-) -> list[tuple[int, str, str, int]]:
+    return_state: bool = False,
+) -> (
+    list[tuple[int, str, str, int]]
+    | tuple[list[tuple[int, str, str, int]], DataFrame]
+):
     """Learn up to ``n_merges`` merge pairs from a word histogram;
     returns [(merge_rank, left, right, pair_count), ...] on the driver
     (the merge table is vocab-level metadata, like the kmeans centroid
@@ -163,10 +176,31 @@ def bpe_learn(
     Stops early when no adjacent pair reaches ``min_count`` weighted
     occurrences; pair_count = the pair's weighted frequency at the
     moment it was chosen.
+
+    With ``return_state=True`` returns ``(merges, final_words)`` where
+    ``final_words`` is the histogram with its symbols fully rewritten
+    through the learned chain — training already produced that state,
+    so a segmentation consumer (``bpe_segments``) reuses it instead of
+    replaying every merge over a fresh histogram copy (which doubles
+    the rewrite work on the distributed path).
     """
-    words = words.select("wcount", "syms").localCheckpoint(eager=True)
+    keep = ["word", "wcount", "syms"] if return_state else ["wcount", "syms"]
+    words = words.select(*keep).localCheckpoint(eager=True)
     if words.count() <= driver_threshold:
-        return _learn_driver(words.collect(), n_merges, min_count)
+        rows = words.collect()
+        merges, final_syms = _learn_driver(
+            [(r["wcount"], r["syms"]) for r in rows], n_merges, min_count
+        )
+        if not return_state:
+            return merges
+        final = words.sparkSession.createDataFrame(
+            [
+                (r["word"], int(r["wcount"]), syms)
+                for r, syms in zip(rows, final_syms)
+            ],
+            "word string, wcount long, syms array<string>",
+        )
+        return merges, final
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -185,7 +219,7 @@ def bpe_learn(
         words = words.withColumn("syms", F.expr(merge_fold_expr(l, r)))
         if rank % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
-    return merges
+    return (merges, words) if return_state else merges
 
 
 def bpe_train(
@@ -223,6 +257,7 @@ def bpe_segments(
     min_count: int = 2,
     text_col: str = "text",
     checkpoint_every: int = 6,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Tokenizer APPLICATION: segment every distinct corpus word with
     the merges just learned from the same corpus — (word, wcount,
@@ -230,17 +265,19 @@ def bpe_segments(
     which over the training histogram reproduces training's final
     symbol state; the DuckDB oracle re-derives BOTH the merges and the
     segmentation from its own argmax chain, so a divergence at any
-    rank surfaces as a segmentation mismatch.  The rewrite chain is
-    row-local (no extra shuffle beyond the histogram's one groupBy);
-    localCheckpoint every ``checkpoint_every`` folds bounds lineage.
+    rank surfaces as a segmentation mismatch.  Training's final symbol
+    state IS the segmentation, so ``bpe_learn(return_state=True)``
+    hands it back directly — no second pass over the merge chain on
+    either the driver or the distributed path.
     """
-    words = word_histogram(docs, text_col).localCheckpoint(eager=True)
-    merges = bpe_learn(words, n_merges, min_count, checkpoint_every)
-    seg = words
-    for i, (_rank, l, r, _cnt) in enumerate(merges, 1):
-        seg = seg.withColumn("syms", F.expr(merge_fold_expr(l, r)))
-        if i % checkpoint_every == 0:
-            seg = seg.localCheckpoint(eager=True)
+    _merges, seg = bpe_learn(
+        word_histogram(docs, text_col),
+        n_merges,
+        min_count,
+        checkpoint_every,
+        driver_threshold,
+        return_state=True,
+    )
     return seg.select(
         "word", "wcount", F.array_join("syms", " ").alias("pieces")
     )
@@ -267,7 +304,7 @@ def bpe_oracle_sql(
     WITH w0 AS MATERIALIZED (
       SELECT word, count(*) AS wcount, string_split(word, '') AS syms
       FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
-      WHERE word <> '' GROUP BY word)"""
+      WHERE word <> '' AND NOT contains(word, chr(31)) GROUP BY word)"""
     ]
     for i in range(1, n_merges + 1):
         p = i - 1

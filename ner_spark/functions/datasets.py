@@ -641,13 +641,22 @@ def weighted_sample(
     u_i^(1/w_i) ⇔ rank by ln(u_i)/w_i descending, where u_i is the
     md5-h60 uniform of the salted doc id — a pure function of
     (corpus, salt, k), so the sample is reproducible across engines,
-    partitionings and reruns, and changing ``salt`` redraws it.  The
-    key is floored onto the 1e-6 grid BEFORE ranking (both engines
-    rank identical integers; micro-cell ties break on doc_id — the
-    same libm-then-quantize device as mixture_weights/unigram_logprob)
-    and the top-k is TakeOrderedAndProject: one row-local pass, no
-    shuffle wider than k rows, no window.  At 100 TB this is a scan +
-    per-partition top-k merge.
+    partitionings and reruns, and changing ``salt`` redraws it.
+
+    Quantization is TWO-stage so the grid stays fine at any weight:
+    ln(u) — the only transcendental — is floored onto the 1e-6 grid
+    first (|ln u| ≤ 41.6, so the scaled value is ≤ 4.2e7 and the
+    few-ULP libm wobble is ~1e-8 of a cell: both engines floor the
+    same integer).  The key then divides that exact integer by w and
+    floors onto a second 1e-6 grid — division and multiplication of
+    exact inputs are IEEE-correctly-rounded in every engine, so no
+    further libm exposure — giving ~4.2e7/w-cell resolution *per unit
+    weight* instead of the single coarse grid a one-shot
+    floor(ln(u)/w·1e6) leaves for large w (at w=1e6 that grid has ~42
+    cells and the doc_id tie-break would swamp the race).  Micro-cell
+    ties still break on doc_id.  The top-k is TakeOrderedAndProject:
+    one row-local pass, no shuffle wider than k rows, no window.  At
+    100 TB this is a scan + per-partition top-k merge.
     """
     h = md5_hash60_col(
         F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))
@@ -656,7 +665,8 @@ def weighted_sample(
         1152921504606846976.0
     )
     w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
-    key = F.floor((F.log(u) / w) * F.lit(1000000.0)).cast("long")
+    lnq = F.floor(F.log(u) * F.lit(1000000.0)).cast("double")
+    key = F.floor((lnq / w) * F.lit(1000000.0)).cast("long")
     return (
         docs.select(
             "doc_id",

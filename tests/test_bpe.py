@@ -141,6 +141,22 @@ def test_segments_match_python_reference(spark):
     assert got == want
 
 
+def test_segments_distributed_path_matches_driver_path(spark):
+    """driver_threshold=0 forces the distributed merge loop; its final
+    rewritten state (returned by bpe_learn(return_state=True), no
+    second rewrite pass) must segment identically to the driver path
+    and to the textbook reference."""
+    from ner_spark.functions.bpe import bpe_segments
+
+    texts = ["the cat sat on the mat", "the cats sat", "low lower lowest"]
+    want = _py_segments(texts, 8)
+    out = bpe_segments(
+        spark, _docs(spark, texts), n_merges=8, driver_threshold=0
+    ).collect()
+    got = {r["word"]: (r["wcount"], r["pieces"]) for r in out}
+    assert got == want
+
+
 def test_oracle_sql_matches_python_reference():
     """The unrolled DuckDB oracle independently reproduces the textbook
     reference on the same corpus (so the driver gate compares two real

@@ -479,7 +479,8 @@ def test_weighted_sample_matches_python_reference(spark):
         h = int(hashlib.md5(f"wsample|{doc_id}".encode()).hexdigest()[:15], 16)
         u = float(h + 1) / 1152921504606846976.0
         w = max(float(n_chars), 1.0)
-        return math.floor((math.log(u) / w) * 1000000.0)
+        lnq = float(math.floor(math.log(u) * 1000000.0))
+        return math.floor((lnq / w) * 1000000.0)
 
     want = sorted(
         ((py_key(i, n), i, n) for i, _l, _s, n in rows),
@@ -492,3 +493,48 @@ def test_weighted_sample_matches_python_reference(spark):
     # weight-proportional: sampled docs skew heavy (mean weight of the
     # 50 winners well above the corpus mean of ~250)
     assert sum(r["wt"] for r in got) / 50 > 300
+
+
+def test_weighted_sample_large_weights_keep_resolution(spark):
+    """Regression for the single-grid collapse: at weights ~1e6 a
+    one-shot floor(ln(u)/w·1e6) leaves ~42 key cells, so heavy docs
+    tie en masse and the ascending doc_id tie-break (not the race)
+    decides inclusion.  The two-stage key must (a) still match the
+    pure-Python restatement and (b) keep the keys of million-char
+    docs almost all distinct, so inclusion odds stay ∝ weight."""
+    import hashlib
+    import math
+
+    from ner_spark.functions.datasets import weighted_sample
+
+    rows = [
+        (i, "en", "web", 1_000_000 + (i * 7919) % 500_000)
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+
+    def py_key(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsample|{doc_id}".encode()).hexdigest()[:15], 16)
+        u = float(h + 1) / 1152921504606846976.0
+        w = max(float(n_chars), 1.0)
+        lnq = float(math.floor(math.log(u) * 1000000.0))
+        return math.floor((lnq / w) * 1000000.0)
+
+    want = sorted(
+        ((py_key(i, n), i, n) for i, _l, _s, n in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    got = weighted_sample(docs, k=100).collect()
+    assert [(r["sample_key"], r["doc_id"], r["wt"]) for r in got] == [
+        (k, i, n) for k, i, n in want
+    ]
+    # resolution: among 300 docs with weights ≥ 1e6 the two-stage keys
+    # are essentially all distinct (the old grid admitted ≤ ~42 values)
+    all_keys = {py_key(i, n) for i, _l, _s, n in rows}
+    assert len(all_keys) > 280
+    # the winners are decided by the race, not by low doc_id: the
+    # sampled ids are spread across the id range
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids[-1] > 250 and sum(1 for i in ids if i < 100) < 50
