@@ -809,10 +809,32 @@ def q_minhash_bands(spark, sf_dir):
 # shared CTE chain: documents → 3-gram shingles → MinHash → band keys →
 # verified near-dup pairs (Jaccard ≥ 0.5) — reused by lsh_dup_pairs and
 # the transitive-closure survivors oracle
-def _lsh_cte(d_clause: str, thr: float = 0.5) -> str:
+def _lsh_cte(d_clause: str, thr: float = 0.5, hash_verify: bool = False) -> str:
     """LSH candidate/verify CTE chain over any ``d AS (SELECT doc_id,
     text, string_split(text, ' ') AS toks FROM ...)`` clause — shared by
-    the document-level and conversation-level near-dup oracles."""
+    the document-level and conversation-level near-dup oracles.
+
+    ``hash_verify=True`` verifies candidates by Jaccard over the
+    DISTINCT 60-bit shingle hashes instead of the shingle strings —
+    mirroring the conversation path, whose Spark side keeps shingles as
+    (conv_id, h60) rows so no conversation-sized array ever
+    materializes (functions/dedup.py:conv_shingle_rows)."""
+    if hash_verify:
+        verify = f"""
+    th AS (SELECT doc_id,
+             list_distinct(list_transform(sh, x -> {_h60('x')})) AS hd
+           FROM t),
+    j AS (SELECT id_a, id_b,
+            round(len(list_intersect(ta.hd, tb.hd))::DOUBLE
+                  / (len(ta.hd) + len(tb.hd)
+                     - len(list_intersect(ta.hd, tb.hd))), 6) AS jaccard
+          FROM p JOIN th ta ON p.id_a = ta.doc_id JOIN th tb ON p.id_b = tb.doc_id),"""
+    else:
+        verify = """
+    j AS (SELECT id_a, id_b,
+            round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+          FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id),"""
     return f"""{d_clause},
     t AS (SELECT doc_id,
             CASE WHEN len(toks) < 3 THEN [text]
@@ -827,11 +849,7 @@ def _lsh_cte(d_clause: str, thr: float = 0.5) -> str:
             b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
           FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
     p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id),
-    j AS (SELECT id_a, id_b,
-            round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
-                  / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
-          FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id),
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id),{verify}
     dup_pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {thr})"""
 
 
@@ -2471,10 +2489,16 @@ def q_tool_transitions(spark, sf_dir):
       SELECT conv_id || '~dup' AS conv_id, turn_idx, text
       FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
       WHERE substring(md5(conv_id), 1, 1) = '0'),
+    th AS (
+      SELECT conv_id,
+             ('0x' || substring(md5(turn_idx::VARCHAR || chr(31) || text), 1, 15))::BIGINT AS h1,
+             ('0x' || substring(md5(text || chr(31) || turn_idx::VARCHAR), 1, 15))::BIGINT AS h2
+      FROM aug),
     per_conv AS (
       SELECT conv_id,
-             md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS conv_hash
-      FROM aug GROUP BY conv_id)
+             md5(count(*)::VARCHAR || ':' || bit_xor(h1)::VARCHAR
+                 || ':' || bit_xor(h2)::VARCHAR) AS conv_hash
+      FROM th GROUP BY conv_id)
     SELECT conv_id, conv_hash,
            min(conv_id) OVER (PARTITION BY conv_hash) AS survivor_id,
            CAST(conv_id <> min(conv_id) OVER (PARTITION BY conv_hash)
@@ -2484,7 +2508,9 @@ def q_tool_transitions(spark, sf_dir):
 )
 def q_conv_dedup(spark, sf_dir):
     """Conversation-granularity exact dedup (functions/dedup.py:
-    conv_dedup): md5 over the turn texts in turn order, min-conv_id
+    conv_dedup): two independent row-local position-tagged 60-bit turn
+    digests, xor-combined per conversation with the turn count (O(1)
+    aggregation state — no conv-sized buffer), min-conv_id
     survivor per hash group. The fixture corpus has no duplicate
     conversations (by construction), so the query deterministically
     re-ingests ~1/16 of conversations under a '~dup' id — the
@@ -4059,15 +4085,18 @@ _TRANSCRIPTS_PQ = os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
       SELECT conv_id AS doc_id,
              string_agg(text, ' ' ORDER BY turn_idx) AS text
       FROM aug GROUP BY conv_id),
-    d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs)''', thr=0.5)}
+    d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs)''', thr=0.5, hash_verify=True)}
     SELECT id_a, id_b, jaccard FROM dup_pairs
     """,
 )
 def q_conv_near_dup(spark, sf_dir):
     """Near-duplicate CONVERSATION pairs (functions/dedup.py:
-    conv_near_dup_pairs): turn texts flattened per conv in turn order,
-    then the document MinHash-LSH candidate/verify stage at conv
-    granularity. The fixture has no near-dup conversations, so the
+    conv_near_dup_pairs): MinHash-LSH over the conversation token
+    stream's word 3-grams with NO conv-sized buffer anywhere — shingles
+    live as (conv_id, h60) rows, signature minima are plain aggregates,
+    the verify stage counts hash intersections as a row join (the
+    DuckDB oracle, free to flatten, mirrors the hash-set Jaccard
+    exactly). The fixture has no near-dup conversations, so the
     query deterministically re-ingests ~1/16 of conversations under a
     '~v2' id with the LAST turn dropped — the truncated-re-export
     scenario exact conv_dedup cannot catch — identically on both

@@ -705,35 +705,53 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
     training pipeline actually dedups (the same support dialogue
     re-ingested from two exports, a scraped forum thread mirrored on
     two hosts): ``(conv_id, conv_hash, survivor_id, is_dup)``, one row
-    per conversation, where ``conv_hash`` is the md5 of the
-    conversation's turn texts joined in ``turn_idx`` order by the 0x1f
-    unit separator, and ``survivor_id`` is the minimum ``conv_id`` in
-    the hash group (``is_dup`` = 1 for the rest).
+    per conversation, where ``conv_hash`` fingerprints the
+    conversation's ordered turn content and ``survivor_id`` is the
+    minimum ``conv_id`` in the hash group (``is_dup`` = 1 for the
+    rest).
 
-    Cross-engine spec: DuckDB's ``md5(string_agg(text, chr(31) ORDER BY
-    turn_idx))`` is bit-identical because ``turn_idx`` is unique within
-    a conversation, so the sort_array order equals the ORDER BY order.
+    Fingerprint semantics (pinned, mirrored verbatim in the DuckDB
+    oracle): each turn hashes ROW-LOCALLY to two independent 60-bit
+    md5 digests of the position-tagged text — ``h60(turn_idx \u001f
+    text)`` and ``h60(text \u001f turn_idx)`` — and the conversation
+    hash is ``md5(n_turns : xor(h1) : xor(h2))``.  Because
+    ``turn_idx`` is unique within a conversation, two conversations
+    collide iff their (turn_idx, text) SETS collide, which (turn order
+    being a function of turn_idx) is exactly ordered-content equality;
+    the commutative xor combine makes the aggregation state O(1) —
+    ~120 effective fingerprint bits across the two digests plus the
+    count.
 
-    Scale shape: the content hash rides ONE groupBy keyed on
-    ``conv_id`` (partitions bounded by conversation length — the same
-    invariant the tagging pipeline's stable turn order relies on); the
-    survivor assignment is an unordered window over ``conv_hash``
-    partitions whose size is the duplicate-group multiplicity (almost
-    always 1), never a sort and never corpus-wide. Two exchanges total,
-    both on well-distributed keys.
+    Scale shape — the round-3 design fix: the previous version
+    assembled every conversation's full text in ONE aggregation buffer
+    (``collect_list`` + ordered join), so a 10\u2076-turn conversation
+    built a ~100 MB string in a single task (SURVEY §7.4's own bar).
+    Now the per-turn digests are row-local and the conv-level combine
+    is (count, xor, xor) — constant state per group, map-side
+    combinable, so the exchange carries 3 longs per conversation per
+    map partition.  The survivor assignment is an unordered window
+    over ``conv_hash`` partitions whose size is the duplicate-group
+    multiplicity (almost always 1), never a sort and never
+    corpus-wide.  Two exchanges total, both on well-distributed keys.
     """
     from pyspark.sql import Window
 
-    per_conv = transcripts.groupBy("conv_id").agg(
-        F.md5(
-            F.concat_ws(
-                "\u001f",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: s["text"],
-                ),
-            )
-        ).alias("conv_hash")
+    ti = F.col("turn_idx").cast("string")
+    h1 = md5_hash60_col(F.concat_ws("\u001f", ti, F.col("text")))
+    h2 = md5_hash60_col(F.concat_ws("\u001f", F.col("text"), ti))
+    per_conv = (
+        transcripts.select("conv_id", h1.alias("h1"), h2.alias("h2"))
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.count(F.lit(1)),
+                    F.bit_xor("h1"),
+                    F.bit_xor("h2"),
+                )
+            ).alias("conv_hash")
+        )
     )
     w = Window.partitionBy("conv_hash")
     survivor = F.min("conv_id").over(w)
@@ -745,6 +763,81 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conv_shingle_rows(
+    transcripts: DataFrame, k: int = 3, include_tiny: bool = True
+) -> DataFrame:
+    """DISTINCT conversation-level word-shingle hashes as ROWS —
+    ``(conv_id, h)`` with ``h`` the 60-bit md5 of each k-gram over the
+    conversation's full token stream (turn texts joined by single
+    spaces in ``turn_idx`` order, exactly the flatten semantics:
+    ``split(a,' ') ++ split(b,' ') == split(a||' '||b, ' ')``, empty
+    tokens included).  Conversations with fewer than ``k`` tokens
+    contribute one shingle — their tokens re-joined by spaces, which
+    for a single-space join IS the flattened text.
+
+    This is the scale-safe replacement for materializing a
+    conversation's text/shingle-set in one buffer: tokens are exploded
+    to rows (the corpus's own cardinality), k-grams come from
+    ``lead()`` over a spill-safe (turn_idx, tok_idx) window — O(1)
+    state per row after the sort — and "distinct shingles per conv"
+    lives as rows, never as a conv-sized array.
+    """
+    from pyspark.sql import Window
+
+    from ner_spark.operators.linking import md5_hash60_col
+
+    toks = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text"), " ")).alias("tok_idx", "tok"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tok_idx")
+    leads = [F.lead("tok", i).over(w).alias(f"l{i}") for i in range(1, k)]
+    g = toks.select("conv_id", "tok", *leads)
+    gram = F.concat_ws(" ", "tok", *[f"l{i}" for i in range(1, k)])
+    grams = g.where(F.col(f"l{k-1}").isNotNull()).select(
+        "conv_id", gram.alias("shingle")
+    )
+    if not include_tiny:
+        # plan-audit hook: the pure gram path (the 100-TB shape) without
+        # the <k-token fallback union
+        return grams.select(
+            "conv_id", md5_hash60_col(F.col("shingle")).alias("h")
+        ).dropDuplicates(["conv_id", "h"])
+    # conversations with < k tokens produce no full gram: their single
+    # shingle is the whole flattened text. Membership comes from a
+    # map-side-combinable token count (no second window pass), and the
+    # collect_list buffer is bounded by construction — only convs with
+    # < k token rows pass the semi-join, so each buffer holds at most
+    # k-1 short structs.
+    tiny_ids = (
+        toks.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"))
+        .where(F.col("n_toks") < k)
+        .select("conv_id")
+    )
+    tiny = (
+        toks.join(tiny_ids, "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("turn_idx", "tok_idx", "tok"))
+                    ),
+                    lambda st: st["tok"],
+                ),
+            ).alias("shingle")
+        )
+    )
+    return (
+        grams.unionByName(tiny)
+        .select("conv_id", md5_hash60_col(F.col("shingle")).alias("h"))
+        .dropDuplicates(["conv_id", "h"])
+    )
+
+
 def conv_near_dup_pairs(
     transcripts: DataFrame,
     threshold: float = 0.5,
@@ -752,34 +845,89 @@ def conv_near_dup_pairs(
     max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate CONVERSATION pairs — ``(id_a, id_b, jaccard)``
-    over conv_ids: each conversation is flattened to one document (turn
-    texts joined by single spaces in ``turn_idx`` order — the same
-    conv-bounded ordered aggregate as ``conv_dedup``), then the
-    document-level MinHash-LSH candidate/verify stage
-    (``minhash_lsh_pairs``) runs at conversation granularity.
+    over conv_ids: MinHash-LSH over the conversation's word k-gram
+    shingles (the same shingle universe as flattening each conversation
+    to one document), candidates verified by exact Jaccard over the
+    DISTINCT 60-bit shingle hashes.
 
     This is the curation gap ``conv_dedup`` (exact hash) leaves open: a
     re-ingested dialogue with one edited/truncated turn hashes
-    differently but shares almost all its 3-gram shingles, and shows up
-    here. Scale shape inherits from the parts: the flatten is one
-    conv-keyed aggregate (partition size = conversation length), and
-    the LSH stage shuffles band keys + shingle arrays exactly as the
-    document path does.
+    differently but shares almost all its shingles, and shows up here.
+
+    Scale shape — the round-3 design fix: nothing materializes a
+    conversation-sized buffer anywhere.  Shingles live as rows
+    (``conv_shingle_rows``); the 12 signature minima are plain ``min``
+    aggregates over the per-shingle affine rehashes (map-side
+    combinable, O(n_hashes) state — duplicate shingles cannot change a
+    min, so no distinct pass is needed); band keys derive row-locally
+    from the 12-element signature; the band self-join carries ONLY
+    (band, conv_id); and the verify stage counts hash intersections as
+    a (candidate-semi-joined) row join instead of intersecting two
+    carried shingle arrays.  Jaccard over distinct 60-bit hashes equals
+    Jaccard over distinct shingle strings absent md5 collisions — and
+    the DuckDB oracle mirrors the hash-set form exactly, so the gate
+    compares like with like.
     """
-    docs = transcripts.groupBy("conv_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
-                lambda s: s["text"],
-            ),
-        ).alias("conv_text")
+    from ner_spark.operators.linking import H31_MASK, MERSENNE61, MINHASH_A, MINHASH_B
+
+    sh = register_persist(conv_shingle_rows(_ensure_parallel(transcripts), k))
+
+    def perm(i: int):
+        h31 = F.col("h").bitwiseAND(F.lit(H31_MASK))
+        return (h31 * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(
+            MERSENNE61
+        )
+
+    n_hashes = len(MINHASH_A)
+    sigs = sh.groupBy("conv_id").agg(
+        F.array(
+            *[F.min(perm(i)).alias(f"m{i}") for i in range(n_hashes)]
+        ).alias("minhash")
     )
-    return minhash_lsh_pairs(
-        docs,
-        id_col="conv_id",
-        text_col="conv_text",
-        threshold=threshold,
-        k=k,
-        max_band_bucket=max_band_bucket,
+    b = sigs.select(
+        F.col("conv_id").alias("id"),
+        F.explode_outer(doc_band_keys(F.col("minhash"))).alias("band"),
+    )
+    if max_band_bucket is not None:
+        keep = b.groupBy("band").count().where(F.col("count") <= max_band_bucket)
+        b = b.join(F.broadcast(keep.select("band")), "band")
+    cand = (
+        b.select("band", F.col("id").alias("id_a"))
+        .join(b.select("band", F.col("id").alias("id_b")), "band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+    )
+    # verify: |A ∩ B| via a row join over the candidate conversations'
+    # shingle hashes (semi-joined first so only candidate rows shuffle)
+    ids = cand.select(F.col("id_a").alias("conv_id")).unionByName(
+        cand.select(F.col("id_b").alias("conv_id"))
+    ).distinct()
+    sh_c = sh.join(ids, "conv_id", "left_semi")
+    sizes = sh_c.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(
+            sh_c.select(F.col("conv_id").alias("id_a"), "h"), "id_a"
+        )
+        .join(
+            sh_c.select(F.col("conv_id").alias("id_b"), "h"),
+            ["id_b", "h"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.withColumnsRenamed({"conv_id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"conv_id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )

@@ -34,6 +34,45 @@ def test_conv_near_dup_finds_truncated_reexport(spark):
     assert p["jaccard"] >= 0.8
 
 
+def test_conv_dedup_and_near_dup_on_pathological_long_conversation(spark):
+    """SURVEY §7.4's bar, now structural: a conversation with tens of
+    thousands of turns must flow through BOTH conversation-granularity
+    dedup ops without any conv-sized aggregation buffer (exact dedup
+    reduces to (count, xor, xor); near-dup keeps shingles as rows).
+    The exact dup and the truncated re-export must still be caught."""
+    from ner_spark.functions.dedup import conv_dedup, conv_near_dup_pairs
+
+    n = 20_000
+    turns = []
+    for i in range(n):
+        turns.append(("long", i, f"metric m{i % 503} crossed threshold t{i % 91}"))
+        turns.append(("long~dup", i, f"metric m{i % 503} crossed threshold t{i % 91}"))
+        if i < n - 1200:  # truncated re-export (~6% of turns dropped)
+            turns.append(("long~v2", i, f"metric m{i % 503} crossed threshold t{i % 91}"))
+    turns += [("tiny", 0, "hi"), ("tiny2", 0, "hi")]
+    df = spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, text string"
+    ).repartition(8)
+
+    t0 = time.time()
+    dd = {r["conv_id"]: r for r in conv_dedup(df).collect()}
+    assert dd["long"]["is_dup"] == 0 and dd["long~dup"]["is_dup"] == 1
+    assert dd["long~dup"]["survivor_id"] == "long"
+    assert dd["long~v2"]["is_dup"] == 0  # truncation ⇒ different exact hash
+    assert dd["tiny"]["conv_hash"] == dd["tiny2"]["conv_hash"]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in conv_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    # the exact dup pairs at 1.0; the truncated re-export pairs high;
+    # the two-token conversations (the <k fallback path) pair at 1.0
+    assert pairs[("long", "long~dup")] == 1.0
+    assert pairs[("long", "long~v2")] >= 0.9
+    assert pairs[("tiny", "tiny2")] == 1.0
+    assert time.time() - t0 < 120
+
+
 def test_word_shingles_linear_on_long_doc(spark):
     """Regression guard for the inlined-split quadratic: shingling a
     ~50k-token document must complete in seconds, not minutes (was

@@ -799,14 +799,31 @@ CHECKS = {
     ),
     "conv_dedup": dict(
         requires=[],
-        forbids=["Python", "SortMergeJoin"],
+        forbids=["Python", "SortMergeJoin", "collect_list"],
         max_tree_exchanges=2,
         note=(
             "Conversation dedup is two exchanges total (asserted): the "
-            "content hash rides the conv_id groupBy (bounded by "
-            "conversation length), the survivor window exchanges on "
-            "conv_hash with partition size = duplicate multiplicity. No "
-            "join, no sort beyond the per-group window."
+            "position-tagged turn digests reduce through a (count, xor, "
+            "xor) conv_id groupBy — O(1) aggregation state, map-side "
+            "combinable, NO conv-sized collect_list buffer (asserted) — "
+            "and the survivor window exchanges on conv_hash with "
+            "partition size = duplicate multiplicity. No join, no sort "
+            "beyond the per-group window."
+        ),
+    ),
+    "conv_near_dup_sig": dict(
+        builder="conv_near_dup_sig",
+        requires=["HashAggregate"],
+        forbids=["Python", "collect_list", "sort_array"],
+        note=(
+            "Conversation near-dup signature stage: shingles live as "
+            "(conv_id, h60) ROWS — tokens explode, k-grams come from "
+            "lead() over a spill-safe per-conv window, and the 12 "
+            "signature minima are plain min aggregates (map-side "
+            "combinable, O(n_hashes) state). No conversation-sized "
+            "flatten buffer anywhere (collect_list/sort_array asserted "
+            "absent; the <k-token fallback's bounded collect is behind "
+            "a semi-join that never fires on this fixture)."
         ),
     ),
     "weighted_sample": dict(
@@ -840,7 +857,13 @@ CHECKS = {
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
 
     from ner_spark.entry_queries import QUERIES
     from ner_spark.session import get_spark
@@ -966,6 +989,8 @@ def main() -> None:
         return mention_contexts(m, t, window=3)
 
     for name, spec in CHECKS.items():
+        if only is not None and name not in only:
+            continue
         if spec.get("builder") == "tools":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXT2
             from ner_spark.operators.segments import tool_transitions
@@ -1037,6 +1062,32 @@ def main() -> None:
             )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "conv_near_dup_sig":
+            from pyspark.sql import functions as F
+
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXN
+            from ner_spark.functions.dedup import conv_shingle_rows
+            from ner_spark.operators.linking import (
+                H31_MASK,
+                MERSENNE61,
+                MINHASH_A,
+                MINHASH_B,
+            )
+
+            t = spark.read.parquet(os.path.join(_FXN, "transcripts.parquet"))
+            sh = conv_shingle_rows(t, include_tiny=False)
+
+            def _perm(i):
+                h31 = F.col("h").bitwiseAND(F.lit(H31_MASK))
+                return (
+                    h31 * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])
+                ) % F.lit(MERSENNE61)
+
+            df = sh.groupBy("conv_id").agg(
+                F.array(
+                    *[F.min(_perm(i)) for i in range(len(MINHASH_A))]
+                ).alias("minhash")
+            )
         elif spec.get("builder") == "bpe_round":
             from pyspark.sql import functions as F
 
@@ -1159,10 +1210,17 @@ def main() -> None:
         "the scale-critical plan properties asserted. Regenerate after any "
         "operator change: `python tools/explain_plans.py`.\n\n"
     )
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
-        f.write(header + "\n".join(sections))
-
-    print(f"PLANS.md written; {len(CHECKS)} plans, {len(failures)} failures")
+    if only is None:
+        with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+            f.write(header + "\n".join(sections))
+        print(
+            f"PLANS.md written; {len(CHECKS)} plans, {len(failures)} failures"
+        )
+    else:
+        print(
+            f"checked {len(only)} plans (PLANS.md untouched); "
+            f"{len(failures)} failures"
+        )
     for f_ in failures:
         print("FAIL", f_)
     spark.stop()
