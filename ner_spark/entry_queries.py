@@ -4272,8 +4272,15 @@ def q_kg_edge_decay(spark, sf_dir):
     return edge_decay_weights(ct, t, halflife_days=7)
 
 
-def _linkpred_oracle() -> str:
+def _linkpred_oracle(probe_mod: int | None = None) -> str:
     edges_pq = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    probe = (
+        ""
+        if probe_mod is None
+        else f""" AND ('0x' || substring(md5(least(src_entity, dst_entity)
+               || chr(31) || greatest(src_entity, dst_entity)), 1, 15))::BIGINT
+               % {probe_mod} = 0"""
+    )
     return f"""
     WITH raw AS MATERIALIZED (
       SELECT src_entity, pred, dst_entity,
@@ -4320,7 +4327,7 @@ def _linkpred_oracle() -> str:
     test AS MATERIALIZED (
       SELECT DISTINCT least(src_entity, dst_entity) AS u,
              greatest(src_entity, dst_entity) AS v
-      FROM final WHERE split = 'test' AND src_entity <> dst_entity),
+      FROM final WHERE split = 'test' AND src_entity <> dst_entity{probe}),
     ev AS (SELECT u AS q, v AS t FROM test UNION ALL SELECT v, u FROM test),
     scored AS MATERIALIZED (
       SELECT ev.q, ev.t, c.s
@@ -4362,6 +4369,26 @@ def q_kg_linkpred_eval(spark, sf_dir):
     from ner_spark.operators.graph import linkpred_eval
 
     return linkpred_eval(_kg_edges(spark, sf_dir), k=10)
+
+
+@query("kg_linkpred_probe", _linkpred_oracle(probe_mod=8))
+def q_kg_linkpred_probe(spark, sf_dir):
+    """Probe-sampled link-prediction evaluation — the protocol a
+    100-TB graph actually runs: rank a deterministic 1/8 sample of the
+    held-out test edges (``h60(u <US> v) % 8 == 0``) instead of the
+    full holdout, and push the probe's endpoints INTO the Adamic-Adar
+    wedge enumeration (operators/graph.py:linkpred_eval(probe_mod=8) →
+    adamic_adar(restrict=probe_nodes)): wedges between two non-probe
+    nodes are never enumerated, so the scoring cost scales with the
+    probe size rather than the graph's full candidate volume.
+    Restricted pair scores are bit-identical to the full run's
+    (test_adamic_adar_restrict_identical_to_filtered_full), so the
+    sampled metrics are exactly the full protocol's metrics on the
+    sampled edges — mirrored in the oracle by the same hash filter on
+    the test CTE."""
+    from ner_spark.operators.graph import linkpred_eval
+
+    return linkpred_eval(_kg_edges(spark, sf_dir), k=10, probe_mod=8)
 
 
 @query("hybrid_rrf_topk", _rrf_oracle())
@@ -4718,6 +4745,7 @@ _DRIVER_ORDER = [
     "bpe_segments", "weighted_sample",
     "kg_entity_cards",
     # --- slots 16+: new round-4 queries land HERE as they are added
+    "kg_linkpred_probe",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

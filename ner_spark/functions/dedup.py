@@ -366,6 +366,91 @@ def _salted_block_self_join(
     )
 
 
+def _salted_block_join(
+    tl: DataFrame,
+    tr: DataFrame,
+    key: str = "bkey",
+    id_left: str = "id",
+    id_right: str = "id",
+    salt_threshold: int = 512,
+    n_salts: int = 8,
+    max_salts: int = 2048,
+) -> DataFrame:
+    """BIPARTITE companion to ``_salted_block_self_join``: equi-join two
+    DIFFERENT frames on their block ``key`` with two-sided quadratic-skew
+    splitting. Used where one join side is a restricted subset of the
+    other (e.g. Adamic-Adar wedges touching only the link-prediction
+    test endpoints) so the self-join's triangle trick doesn't apply.
+
+    Blocks heavy on EITHER side get a per-block 2-D salt grid: side L
+    rows take a deterministic salt ``sa = hash(id) mod s_l`` and
+    replicate over all ``s_r`` values of ``sb``; side R symmetrically.
+    Every (l, r) pair of a block meets in exactly ONE of the s_l × s_r
+    cells — cell cost is bounded at ~``(C/s)² ≤ salt_threshold²`` pairs
+    regardless of block size, with the salt counts adaptive per block
+    and per side (``s = clamp(ceil(C/salt_threshold), 1, max_salts)``;
+    a side that is small in a block that is heavy on the other side
+    keeps s = 1 and only replicates). Light blocks ride a plain
+    co-partitioned join; both paths pin parallelism with an explicit
+    repartition (exempt from AQE's input-byte coalescing, which would
+    otherwise fuse the input-tiny / output-quadratic enumeration back
+    into few tasks).
+
+    ``tl`` and ``tr`` must share ONLY ``key``; ``id_left``/``id_right``
+    name a column on each side to derive the deterministic salt from.
+    """
+    tl = register_persist(tl)
+    tr = register_persist(tr)
+
+    def _s(count_col: Column) -> Column:
+        return F.least(
+            F.greatest(
+                F.ceil(count_col / salt_threshold).cast("int"), F.lit(1)
+            ),
+            F.lit(max_salts),
+        )
+
+    cl = tl.groupBy(key).agg(F.count(F.lit(1)).alias("_cl"))
+    cr = tr.groupBy(key).agg(F.count(F.lit(1)).alias("_cr"))
+    # four downstream consumers (two anti-join broadcasts, two inner
+    # broadcasts) each build their own broadcast — persist the tiny
+    # census so the double groupBy runs once, not four times
+    heavy = register_persist(
+        cl.join(cr, key)
+        .where(
+            (F.col("_cl") > salt_threshold) | (F.col("_cr") > salt_threshold)
+        )
+        .select(key, _s(F.col("_cl")).alias("_sl"), _s(F.col("_cr")).alias("_sr"))
+    )
+    light_l = tl.join(F.broadcast(heavy.select(key)), key, "left_anti")
+    light_r = tr.join(F.broadcast(heavy.select(key)), key, "left_anti")
+    npart = tl.sparkSession.sparkContext.defaultParallelism * 2
+    light = light_l.repartition(npart, key).join(
+        light_r.repartition(npart, key), key
+    )
+    h_l = (
+        tl.join(F.broadcast(heavy), key)
+        .withColumn("sa", F.pmod(F.hash(id_left), F.col("_sl")))
+        .withColumn(
+            "sb", F.explode_outer(F.sequence(F.lit(0), F.col("_sr") - 1))
+        )
+        .drop("_sl", "_sr")
+        .repartition(npart, key, "sa", "sb")
+    )
+    h_r = (
+        tr.join(F.broadcast(heavy), key)
+        .withColumn("sb", F.pmod(F.hash(id_right), F.col("_sr")))
+        .withColumn(
+            "sa", F.explode_outer(F.sequence(F.lit(0), F.col("_sl") - 1))
+        )
+        .drop("_sl", "_sr")
+        .repartition(npart, key, "sa", "sb")
+    )
+    return light.unionByName(
+        h_l.join(h_r, [key, "sa", "sb"]).drop("sa", "sb")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

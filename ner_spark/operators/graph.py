@@ -891,6 +891,7 @@ def adamic_adar(
     edges: DataFrame,
     max_mid_degree: int = 65536,
     min_common: int = 1,
+    restrict: DataFrame | None = None,
 ) -> DataFrame:
     """Link-prediction candidate scoring over the undirected canonical
     KG: for every NON-adjacent node pair sharing at least ``min_common``
@@ -919,9 +920,23 @@ def adamic_adar(
       super-hub cut for common-neighbor features. Degree-1 mids form
       no wedges and are cut by the same band;
     * the final non-adjacency filter is a left-anti join of slim
-      (u, v) rows against the undirected edge set.
+      (u, v) rows against the undirected edge set;
+    * ``restrict`` (optional, a one-column frame of node ids) limits
+      output to pairs with AT LEAST ONE endpoint in the given set —
+      and pushes that limit INTO the wedge enumeration: one join side
+      is semi-joined to the restricted endpoints BEFORE the join, so a
+      wedge whose endpoints both fall outside the set is never
+      enumerated (the consumer: link-prediction eval only reads
+      candidate lists of test-edge endpoints). Scores of surviving
+      pairs are bit-identical to the unrestricted run — the wedge set
+      per surviving pair is unchanged; only which pairs are emitted
+      narrows (asserted by test and by the linkpred oracle row).
     """
-    from ner_spark.functions.dedup import _salted_block_self_join, register_persist
+    from ner_spark.functions.dedup import (
+        _salted_block_join,
+        _salted_block_self_join,
+        register_persist,
+    )
 
     und = register_persist(undirected_edges(edges))
     adj = und.unionByName(
@@ -946,16 +961,74 @@ def adamic_adar(
     def _b(df: DataFrame) -> DataFrame:
         return df.withColumnsRenamed({"id": "id_b", "contrib": "contrib_b"})
 
-    pairs = (
-        _salted_block_self_join(mids, _a, _b, key="z")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("common_neighbors"),
-            F.sum("contrib_a").alias("aa_nano"),
+    if restrict is None:
+        pairs = (
+            _salted_block_self_join(mids, _a, _b, key="z")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("common_neighbors"),
+                F.sum("contrib_a").alias("aa_nano"),
+            )
+            .where(F.col("common_neighbors") >= min_common)
         )
-        .where(F.col("common_neighbors") >= min_common)
-    )
+    else:
+        q = restrict.select(
+            F.col(restrict.columns[0]).alias("id")
+        ).distinct()
+        # left side: only wedge endpoints in the restricted set; right
+        # side: full adjacency. A pair with ONE restricted endpoint is
+        # enumerated once per wedge; a pair with BOTH restricted
+        # endpoints twice (each orientation) — so instead of a
+        # per-wedge orientation filter (which would need a
+        # membership flag joined onto the full adjacency), the exact
+        # doubling is halved AFTER the aggregation, where the frame is
+        # pairs, not wedges: count and sum are both exactly 2× there.
+        mids_q = _a(mids.join(q, "id", "left_semi"))
+        raw = (
+            _salted_block_join(
+                mids_q, _b(mids), key="z", id_left="id_a", id_right="id_b"
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .groupBy(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.sum("contrib_a").alias("_s"),
+            )
+        )
+        qf = q.withColumn("_q", F.lit(1))
+        pairs = (
+            raw.join(
+                qf.withColumnsRenamed({"id": "id_a", "_q": "_qa"}),
+                "id_a",
+                "left",
+            )
+            .join(
+                qf.withColumnsRenamed({"id": "id_b", "_q": "_qb"}),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.when(
+                    F.col("_qa").isNotNull() & F.col("_qb").isNotNull(),
+                    F.expr("_c div 2"),
+                )
+                .otherwise(F.col("_c"))
+                .alias("common_neighbors"),
+                F.when(
+                    F.col("_qa").isNotNull() & F.col("_qb").isNotNull(),
+                    F.expr("_s div 2"),
+                )
+                .otherwise(F.col("_s"))
+                .alias("aa_nano"),
+            )
+            .where(F.col("common_neighbors") >= min_common)
+        )
     return pairs.join(
         und,
         (F.col("id_a") == F.col("a")) & (F.col("id_b") == F.col("b")),
@@ -1549,7 +1622,9 @@ def edge_decay_weights(
     )
 
 
-def linkpred_eval(edges: DataFrame, k: int = 10) -> DataFrame:
+def linkpred_eval(
+    edges: DataFrame, k: int = 10, probe_mod: int | None = None
+) -> DataFrame:
     """End-to-end link-prediction evaluation of the Adamic-Adar scorer
     on the deterministic edge holdout — ONE summary row
     ``(n_test_edges, n_eval, n_ranked, hits_at_1, hits_at_10,
@@ -1570,8 +1645,18 @@ def linkpred_eval(edges: DataFrame, k: int = 10) -> DataFrame:
 
     Scale shape: all heavy lifting is inside ``adamic_adar`` (salted
     wedge join, integer scores); the eval overlay joins slim (q, t)
-    rows — the rank count touches only candidate lists of TEST query
-    nodes (a semi-join-sized slice), never the full candidate table.
+    rows. ``probe_mod`` (the production protocol at scale) evaluates a
+    deterministic 1/probe_mod sample of test edges —
+    ``h60(u <US> v) % probe_mod == 0`` — and pushes the probe
+    endpoints into the wedge enumeration as ``adamic_adar(restrict=)``
+    so wedges between two non-probe nodes are never enumerated.
+    MEASURED decision (sf0.1, cached edges, best-of-2 in fresh
+    sessions): restricting to the FULL holdout's endpoints is a 2×
+    LOSS (35.4 s vs 17.3 s) — a uniform 10% edge holdout's endpoints
+    are degree-biased and touch ~72% of all candidate pairs, a
+    property of the protocol, not the scale, so the full eval runs
+    UNRESTRICTED; the restriction only pays when the query set is
+    genuinely narrow, which is exactly the probe path.
     """
     from ner_spark.functions.dedup import register_persist
 
@@ -1593,10 +1678,31 @@ def linkpred_eval(edges: DataFrame, k: int = 10) -> DataFrame:
         )
         .distinct()
     )
+    if probe_mod is not None:
+        from ner_spark.operators.linking import md5_hash60_col
+
+        test = test.where(
+            F.pmod(
+                md5_hash60_col(F.concat_ws("\u001f", "u", "v")),
+                F.lit(probe_mod),
+            )
+            == 0
+        )
     # the candidate table feeds TWO joins below AND is itself a 2-way
     # union of the same AA result — without a persist the salted wedge
-    # join (the expensive part) executes once per branch per consumer
-    aa = register_persist(adamic_adar(train))
+    # join (the expensive part) executes once per branch per consumer.
+    # Full eval: UNRESTRICTED AA (measured faster — see docstring).
+    # Probe eval: the probe endpoints are a narrow set, so they are
+    # pushed into the wedge enumeration (surviving pair scores are
+    # bit-identical; wedges between two non-probe nodes never
+    # enumerate).
+    if probe_mod is None:
+        aa = register_persist(adamic_adar(train))
+    else:
+        probe_nodes = test.select(F.col("u").alias("id")).unionByName(
+            test.select(F.col("v").alias("id"))
+        )
+        aa = register_persist(adamic_adar(train, restrict=probe_nodes))
     cand = aa.select(
         F.col("node_u").alias("q"), F.col("node_v").alias("t"),
         F.col("aa_nano").alias("s"),
