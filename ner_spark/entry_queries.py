@@ -3929,6 +3929,61 @@ def q_dup_span_fraction(spark, sf_dir):
 
 
 @query(
+    "dup_span_removal",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN string_split(lower(text), ' ')
+                  ELSE [] END AS t
+      FROM documents),
+    gh AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) >= 8 THEN list_transform(
+               range(CAST(0 AS BIGINT), CAST(len(t) - 7 AS BIGINT)),
+               i -> {_h60("array_to_string(t[i+1:i+8], ' ')")})
+             ELSE [] END AS g
+      FROM base),
+    spans AS (SELECT doc_id, unnest(list_distinct(g)) AS h FROM gh),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+    ds AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, unnest(g) AS h, unnest(range(len(g))) AS pos FROM gh)
+      WHERE h IN (SELECT h FROM dup)),
+    cov AS (SELECT DISTINCT doc_id, tpos FROM (
+      SELECT doc_id, unnest(range(pos, pos + 8)) AS tpos FROM ds)),
+    tk AS (
+      SELECT doc_id, unnest(t) AS token, unnest(range(len(t))) AS tpos
+      FROM gh),
+    kept AS (
+      SELECT tk.doc_id, tk.tpos, tk.token
+      FROM tk LEFT JOIN cov
+        ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+      WHERE cov.tpos IS NULL),
+    cl AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(token, ' ' ORDER BY tpos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM gh g LEFT JOIN cl USING (doc_id)
+    """,
+)
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring span REMOVAL — the action half of the Lee et al.
+    2022 memorization audit (functions/corpus.py:dup_span_removal):
+    tokens covered by any cross-document-duplicated word 8-gram are
+    excised and the survivors re-joined. Doc frequency reuses the
+    dup_span_fraction device (row-local hashes, per-doc distinct, slim
+    int64 exchanges); coverage is a bounded n-fan-out explode + one
+    positional anti-join; the rebuild buffer is the document itself."""
+    from ner_spark.functions.corpus import dup_span_removal
+
+    return dup_span_removal(_t(spark, sf_dir, "documents"), n=8)
+
+
+@query(
     "unigram_logprob",
     """
     WITH base AS (
@@ -3964,6 +4019,59 @@ def q_unigram_logprob(spark, sf_dir):
     from ner_spark.functions.corpus import unigram_logprob
 
     return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bigram_logprob",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM base),
+    lex AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    st AS (SELECT sum(c) AS total, count(*) AS vocab FROM lex),
+    bg AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+      FROM base WHERE len(t) >= 2),
+    blex AS (SELECT prev, cur, count(*) AS c_pc FROM bg GROUP BY prev, cur),
+    bsc AS (
+      SELECT prev, cur, CAST(floor(-1000000.0 * ln(
+          (800000::DOUBLE / 1000000.0) * c_pc::DOUBLE / cp.c::DOUBLE
+          + (1.0 - 800000::DOUBLE / 1000000.0)
+            * (cc.c + 1)::DOUBLE / (st.total + st.vocab)::DOUBLE
+        )) AS BIGINT) AS nll_micro
+      FROM blex JOIN lex cp ON blex.prev = cp.token
+                JOIN lex cc ON blex.cur = cc.token, st),
+    usc AS (
+      SELECT token, CAST(floor(-1000000.0 * ln(
+          (c + 1)::DOUBLE / (st.total + st.vocab)::DOUBLE)) AS BIGINT)
+        AS nll_micro
+      FROM lex, st),
+    fn AS (
+      SELECT doc_id, nll_micro
+      FROM (SELECT doc_id, t[1] AS token FROM base WHERE len(t) >= 1)
+      JOIN usc USING (token)),
+    bn AS (SELECT doc_id, nll_micro FROM bg JOIN bsc USING (prev, cur)),
+    sc AS (
+      SELECT doc_id, count(*) AS n_tokens, sum(nll_micro) AS nll_sum
+      FROM (SELECT * FROM fn UNION ALL SELECT * FROM bn) GROUP BY doc_id)
+    SELECT b.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN CAST(nll_sum // n_tokens AS BIGINT)
+                ELSE 0 END AS mean_nll_micro
+    FROM base b LEFT JOIN sc USING (doc_id)
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM quality score per doc (functions/
+    corpus.py:bigram_logprob) — Jelinek-Mercer lam=0.8 bigram ⊕ add-one
+    unigram, position 0 scored unigram-only. Catches bag-of-frequent-
+    words garbage the unigram proxy scores as fluent. One libm ln per
+    distinct scored key; all order-dependent arithmetic integer."""
+    from ner_spark.functions.corpus import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -4745,7 +4853,7 @@ _DRIVER_ORDER = [
     "bpe_segments", "weighted_sample",
     "kg_entity_cards",
     # --- slots 16+: new round-4 queries land HERE as they are added
-    "kg_linkpred_probe",
+    "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

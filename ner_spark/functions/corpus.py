@@ -115,6 +115,103 @@ def dup_span_fraction(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION half of the repeated-span audit — ``(doc_id,
+    n_tokens, n_removed, clean_text)``: every token covered by at least
+    one duplicated word ``n``-gram (same duplication predicate as
+    ``dup_span_fraction``: the gram occurs in >= 2 distinct documents)
+    is EXCISED, and ``clean_text`` is the surviving tokens of the
+    lowercased single-space stream re-joined in original order. Docs
+    shorter than ``n`` tokens pass through untouched; NULL text yields
+    ``(0, 0, '')`` — degenerate inputs pinned.
+
+    This is the exact-substring removal step of "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., 2022) at word-gram
+    granularity: rather than dropping whole near-duplicate documents,
+    only the memorized spans are cut, preserving the unique remainder.
+
+    Scale shape: gram hashes are computed row-local; document frequency
+    reuses the dup_span_fraction device (per-doc distinct before the
+    explode, so ``count(*)`` IS the doc frequency and shuffled rows are
+    slim ``(doc_id, int64)``). Duplicated gram START positions come
+    from a semi-join of positional ``(doc_id, pos, h)`` rows against
+    the duplicated-hash set (uniform 64-bit key, no skew); coverage
+    expands each start into exactly ``n`` token positions (bounded
+    fan-out) and the reconstruction is one anti-join of positional
+    token rows plus one doc-keyed aggregate whose buffer is the
+    document itself — the same per-row bound the input already has.
+    Every step is a pure function of the corpus: no window over the
+    corpus dimension, no collect, deterministic on any partitioning.
+    """
+    toks = F.when(
+        F.col(text_col).isNotNull(), tokens_col(F.lower(F.col(text_col)))
+    ).otherwise(F.array().cast("array<string>"))
+    gram_hashes = let(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: md5_hash60_col(
+                    F.concat_ws(" ", F.slice(t, i + F.lit(1), n))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("t"), gram_hashes.alias("g")
+    )
+    spans = base.select("doc_id", F.explode(F.array_distinct("g")).alias("h"))
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    dup_starts = (
+        base.select("doc_id", F.posexplode("g").alias("pos", "h"))
+        .join(dup_h, "h", "left_semi")
+        .select("doc_id", "pos")
+    )
+    covered = dup_starts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("tpos"),
+    ).distinct()
+    tok_rows = base.select(
+        "doc_id", F.posexplode("t").alias("tpos", "token")
+    )
+    kept = tok_rows.join(covered, ["doc_id", "tpos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,6 +278,150 @@ def unigram_logprob(
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.expr("nll_sum div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_nll_micro"),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    lam_micro: int = 800_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated BIGRAM language-model quality score per document —
+    ``(doc_id, n_tokens, mean_nll_micro)`` — the upgrade over
+    ``unigram_logprob`` that separates fluent text from
+    bag-of-frequent-words garbage: a shuffled document keeps its
+    unigram distribution but destroys its bigram continuations, so its
+    bigram NLL rises while the unigram proxy stays flat.
+
+    Model (pinned): the token stream is the NON-EMPTY lowercased
+    whitespace tokens in order. Position 0 scores as the add-one
+    unigram p(w) = (c(w)+1)/(total+V); positions i >= 1 score as the
+    Jelinek-Mercer interpolation
+    p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                     + (1-lam) * (c(w_i)+1)/(total+V)
+    with lam = lam_micro/1e6 (default 0.8) and c() the corpus counts
+    (the ML bigram term's denominator is the plain unigram count — the
+    doc-final-token mismatch is part of the spec). Per-position NLLs
+    are floored onto the 1e-6 grid, the per-doc mean is integer
+    (sum div count). Empty/NULL-text docs get (0, 0).
+
+    Determinism across engines: the only transcendental is one ``ln``
+    per DISTINCT scored key (each distinct bigram, each distinct
+    first-position token), fed by IEEE-exact +,*,/ of integer counts —
+    the same libm-then-floor contract unigram_logprob and BM25 ride.
+    Plan shape: two token-keyed hash aggregates build the unigram and
+    bigram lexicons (both map-side combinable; the bigram explode is
+    row-local zip of adjacent tokens), scoring is hash joins from slim
+    exploded rows onto the lexicons, one doc-keyed aggregate closes.
+    No window, no collect, no corpus-order dependence.
+    """
+    toks = let(
+        tokens_col(F.lower(F.col(text_col))),
+        lambda t: F.filter(t, lambda x: x != ""),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    tok_rows = base.select("doc_id", F.explode("t").alias("token"))
+    lex = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    stats = lex.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    # bigram rows: row-local adjacency zip — (doc_id, prev, cur)
+    big_rows = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("prev"),
+                        F.element_at(F.col("t"), i + F.lit(1)).alias("cur"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<prev:string,cur:string>>")
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    big_lex = big_rows.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("c_pc")
+    )
+    lam = F.lit(lam_micro).cast("double") / F.lit(1_000_000.0)
+    uni_term = (F.col("c_cur") + 1).cast("double") / (
+        F.col("total") + F.col("vocab")
+    ).cast("double")
+    # scored bigram lexicon: one ln per distinct (prev, cur)
+    big_scored = (
+        big_lex.join(
+            lex.select(F.col("token").alias("prev"), F.col("c").alias("c_prev")),
+            "prev",
+        )
+        .join(
+            lex.select(F.col("token").alias("cur"), F.col("c").alias("c_cur")),
+            "cur",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "prev",
+            "cur",
+            F.floor(
+                F.lit(-1_000_000.0)
+                * F.log(
+                    lam
+                    * F.col("c_pc").cast("double")
+                    / F.col("c_prev").cast("double")
+                    + (F.lit(1.0) - lam) * uni_term
+                )
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    # scored unigram lexicon for position 0 (the unigram_logprob value)
+    uni_scored = lex.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.floor(
+            F.lit(-1_000_000.0)
+            * F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("total") + F.col("vocab")).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    first_nll = (
+        base.where(F.size("t") >= 1)
+        .select("doc_id", F.element_at("t", 1).alias("token"))
+        .join(uni_scored, "token")
+        .select("doc_id", "nll_micro")
+    )
+    big_nll = big_rows.join(big_scored, ["prev", "cur"]).select(
+        "doc_id", "nll_micro"
+    )
+    scored = (
+        first_nll.unionByName(big_nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("nll_sum"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
             F.when(
                 F.coalesce("n_tokens", F.lit(0)) > 0,
                 F.expr("nll_sum div n_tokens"),

@@ -157,3 +157,92 @@ def test_rrf_fusion_hand_fixture(spark):
     assert by_id[1]["lex_rank"] == 1 and by_id[1]["dense_rank"] == 1
     assert by_id[2]["dense_rank"] is None  # lexical-only
     assert by_id[3]["lex_rank"] is None  # dense-only
+
+
+def _removal_reference(texts, n=8):
+    """Plain-Python restatement of the Lee et al. span-removal spec:
+    cross-document-duplicated word n-grams mark their covered token
+    positions; survivors re-join in order."""
+    toks = [t.lower().split(" ") if t is not None else [] for t in texts]
+    gram_docs: dict[tuple, set] = {}
+    for d, tk in enumerate(toks):
+        for i in range(max(0, len(tk) - n + 1)):
+            gram_docs.setdefault(tuple(tk[i : i + n]), set()).add(d)
+    out = {}
+    for d, tk in enumerate(toks):
+        covered = set()
+        for i in range(max(0, len(tk) - n + 1)):
+            if len(gram_docs[tuple(tk[i : i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(tk) if i not in covered]
+        out[d] = (len(tk), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def test_dup_span_removal_matches_python_reference(spark):
+    """Overlapping shared windows, partial overlap, short docs, empty
+    and NULL text — the Spark operator must equal the plain-Python
+    spec, on any partitioning."""
+    from ner_spark.functions.corpus import dup_span_removal
+
+    shared = "a b c d e f g h i j"  # 3 overlapping 8-grams shared 0/1
+    texts = [
+        "pre1 " + shared + " tail one two three",
+        shared + " other suffix here",
+        "p q r s t u v w unique only doc",
+        "too short",
+        "",
+    ]
+    want = _removal_reference(texts, n=8)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dup_span_removal(df.repartition(parts), n=8).collect()
+        }
+        assert got == want
+    # the shared block must actually be gone, the unique tails kept
+    assert "c d e" not in got[0][2] and got[0][2].startswith("pre1")
+    assert got[0][2].endswith("one two three")
+    assert got[3] == (2, 0, "too short")
+    # NULL text pins to (0, 0, '')
+    nul = spark.createDataFrame(
+        [(0, None), (1, "x y")], "doc_id long, text string"
+    )
+    r0 = {r["doc_id"]: r for r in dup_span_removal(nul, n=8).collect()}[0]
+    assert (r0["n_tokens"], r0["n_removed"], r0["clean_text"]) == (0, 0, "")
+
+
+def test_bigram_logprob_hand_fixture(spark):
+    """Exact micro-NLL integers on a 2-doc corpus: position 0 scores
+    add-one unigram, positions >= 1 the lam=0.8 interpolation; a
+    shuffled doc must score strictly worse than its fluent original."""
+    from ner_spark.functions.corpus import bigram_logprob
+
+    texts = ["a b a b", "b a", ""]
+    # counts: a=3, b=3, total=6, vocab=2; bigrams: ab=2, ba=2
+    rows = {
+        r["doc_id"]: r for r in bigram_logprob(_docs(spark, texts)).collect()
+    }
+    import math
+
+    uni = {w: math.floor(-1e6 * math.log((3 + 1) / (6 + 2))) for w in "ab"}
+    def big(c_pc, c_prev, c_cur):
+        lam = 800000 / 1000000.0
+        return math.floor(
+            -1e6 * math.log(lam * c_pc / c_prev + (1 - lam) * (c_cur + 1) / 8.0)
+        )
+
+    want0 = (uni["a"] + 3 * big(2, 3, 3)) // 4
+    assert rows[0]["n_tokens"] == 4 and rows[0]["mean_nll_micro"] == want0
+    want1 = (uni["b"] + big(2, 3, 3)) // 2
+    assert rows[1]["n_tokens"] == 2 and rows[1]["mean_nll_micro"] == want1
+    assert rows[2]["n_tokens"] == 0 and rows[2]["mean_nll_micro"] == 0
+
+    # discrimination: same unigram bag, destroyed continuations
+    fluent = ["the cat sat on the mat"] * 6
+    garbage = fluent[:5] + ["mat the on sat cat the"]
+    f = {r["doc_id"]: r for r in bigram_logprob(_docs(spark, garbage)).collect()}
+    assert f[5]["mean_nll_micro"] > f[0]["mean_nll_micro"]
