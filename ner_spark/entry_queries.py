@@ -4336,6 +4336,65 @@ def q_sft_pairs(spark, sf_dir):
 
 
 @query(
+    "sft_packed",
+    f"""
+    WITH ex AS (
+      SELECT conv_id, turn_idx, text AS prompt, next_text AS response FROM (
+        SELECT conv_id, turn_idx, role, text,
+               lead(role) OVER w AS next_role,
+               lead(text) OVER w AS next_text
+        FROM read_parquet('{_TRANSCRIPTS_PQ}')
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+      WHERE role = 'user' AND next_role = 'assistant'),
+    e2 AS (
+      SELECT conv_id, turn_idx,
+             string_split(coalesce(prompt, ''), ' ')
+               || string_split(coalesce(response, ''), ' ') AS toks,
+             CAST(len(string_split(coalesce(prompt, ''), ' ')) AS BIGINT)
+               AS n_prompt,
+             CAST(len(string_split(coalesce(prompt, ''), ' '))
+               + len(string_split(coalesce(response, ''), ' ')) AS BIGINT)
+               AS n,
+             {_h60("conv_id || '#' || CAST(turn_idx AS VARCHAR)")} AS key
+      FROM ex),
+    o AS (
+      SELECT *, sum(n) OVER (ORDER BY key, conv_id, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS off
+      FROM e2),
+    e AS (
+      SELECT *, unnest(range(CAST(off // 128 AS BIGINT),
+                             CAST((off + n - 1) // 128 + 1 AS BIGINT)))
+               AS pack_id
+      FROM o),
+    sl AS (
+      SELECT CAST(pack_id AS BIGINT) AS pack_id, conv_id, turn_idx,
+             toks, n_prompt,
+             CAST(greatest(pack_id * 128 - off, 0) AS BIGINT) AS tok_start,
+             CAST(least((pack_id + 1) * 128 - off, n) AS BIGINT) AS tok_end
+      FROM e)
+    SELECT pack_id, conv_id, turn_idx, tok_start, tok_end,
+           CAST(greatest(tok_end - greatest(tok_start, n_prompt), 0)
+             AS BIGINT) AS n_loss,
+           array_to_string(toks[tok_start + 1 : tok_end], ' ') AS pack_text
+    FROM sl
+    """,
+)
+def q_sft_packed(spark, sf_dir):
+    """Packed multi-turn SFT training examples with role-based loss
+    masks — sft_pairs composed with the concat-and-chunk layout
+    (functions/pack.py:pack_sft_examples): 128-token packs over a
+    deterministic hash-shuffled example stream, each row one example's
+    token slice with its response-token (loss) count. The oracle is
+    the naive global-window prefix sum; Spark computes the SAME
+    offsets two-level (bucket = top hash bits, so bucket order is
+    key order)."""
+    from ner_spark.functions.pack import pack_sft_examples
+
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return pack_sft_examples(t, budget=128)
+
+
+@query(
     "kg_edge_decay",
     f"""
     WITH t AS (
@@ -4854,6 +4913,7 @@ _DRIVER_ORDER = [
     "kg_entity_cards",
     # --- slots 16+: new round-4 queries land HERE as they are added
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
+    "sft_packed",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

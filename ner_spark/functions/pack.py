@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ner_spark.functions.text import token_count_ws
+from ner_spark.functions.text import token_count_ws, tokens_col
 
 
 def pack_sequences(
@@ -93,4 +93,118 @@ def pack_sequences(
                 "tok_end"
             ),
         )
+    )
+
+
+def pack_sft_examples(
+    transcripts: DataFrame,
+    budget: int = 128,
+    bucket_shift: int = 45,
+) -> DataFrame:
+    """Packed multi-turn SFT training examples with role-based loss
+    masks — the artifact a fine-tuning job actually consumes:
+    ``sft_pairs`` composed with the concat-and-chunk layout of
+    ``pack_sequences``. Output ``(pack_id, conv_id, turn_idx,
+    tok_start, tok_end, n_loss, pack_text)``: each row is one
+    example's whitespace-token slice [tok_start, tok_end) inside
+    ``pack_id`` (every pack except the last holds exactly ``budget``
+    tokens), ``pack_text`` is that slice of the example's
+    prompt-then-response token stream, and ``n_loss`` is how many of
+    the slice's tokens are RESPONSE tokens — the positions a trainer
+    unmasks (prompt tokens never take loss; an example's loss region
+    is its tokens at positions >= its prompt length).
+
+    Stream order is a deterministic SHUFFLE — examples are laid out by
+    ``h60(conv_id # turn_idx)`` ascending (ties by (conv_id,
+    turn_idx)) — because adjacent-in-conversation examples packed
+    adjacently correlate gradients; the hash order is reproducible
+    across engines, partitionings and reruns, unlike an RNG shuffle.
+
+    Scale shape: the global exclusive prefix sum reuses the two-level
+    bucket device of ``pack_sequences``, with the bucket taken from
+    the TOP bits of the same hash (``key >> bucket_shift``: bucket
+    order IS key-prefix order, so the two-level sum equals the global
+    (key, conv_id, turn_idx)-ordered sum; 60-bit uniform key => 2^15
+    equal buckets at the default shift). One conv-keyed exchange for
+    the adjacency window (bounded by dialogue length), one
+    bucket-keyed exchange for the offsets, row-local slicing —
+    nothing scales with the corpus in any single buffer.
+    """
+    from ner_spark.functions.datasets import sft_pairs
+    from ner_spark.operators.linking import md5_hash60_col
+
+    ex = sft_pairs(transcripts).select(
+        "conv_id",
+        "turn_idx",
+        tokens_col(F.coalesce(F.col("prompt"), F.lit(""))).alias("pt"),
+        tokens_col(F.coalesce(F.col("response"), F.lit(""))).alias("rt"),
+        md5_hash60_col(
+            F.concat_ws("#", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        ).alias("key"),
+    )
+    t = ex.select(
+        "conv_id",
+        "turn_idx",
+        "key",
+        F.concat("pt", "rt").alias("toks"),
+        F.size("pt").cast("long").alias("n_prompt"),
+        (F.size("pt") + F.size("rt")).cast("long").alias("n"),
+    ).withColumn("bucket", F.shiftright("key", bucket_shift))
+    btot = t.groupBy("bucket").agg(F.sum("n").alias("btok"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    boff = btot.select(
+        "bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("boff")
+    )
+    wd = Window.partitionBy("bucket").orderBy(
+        "key", "conv_id", "turn_idx"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        t.join(F.broadcast(boff), "bucket")
+        .withColumn("off", F.col("boff") + F.sum("n").over(wd) - F.col("n"))
+        .drop("bucket", "boff", "key")
+    )
+    b = F.lit(budget).cast("long")
+    first_pack = F.floor(F.col("off") / b)
+    last_pack = F.floor((F.col("off") + F.col("n") - 1) / b)
+    sliced = t.select(
+        "conv_id",
+        "turn_idx",
+        "toks",
+        "n_prompt",
+        "n",
+        "off",
+        # explode_outer: see pack_sequences — keeps the optimizer from
+        # dragging the generator below the offset exchange
+        F.explode_outer(F.sequence(first_pack, last_pack)).alias("pack_id"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "toks",
+        "n_prompt",
+        "pack_id",
+        F.greatest(
+            F.col("pack_id") * b - F.col("off"), F.lit(0).cast("long")
+        ).alias("tok_start"),
+        F.least((F.col("pack_id") + 1) * b - F.col("off"), F.col("n")).alias(
+            "tok_end"
+        ),
+    )
+    return sliced.select(
+        "pack_id",
+        "conv_id",
+        "turn_idx",
+        "tok_start",
+        "tok_end",
+        F.greatest(
+            F.col("tok_end") - F.greatest(F.col("tok_start"), F.col("n_prompt")),
+            F.lit(0).cast("long"),
+        ).alias("n_loss"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "toks",
+                (F.col("tok_start") + 1).cast("int"),
+                (F.col("tok_end") - F.col("tok_start")).cast("int"),
+            ),
+        ).alias("pack_text"),
     )

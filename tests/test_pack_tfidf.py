@@ -128,3 +128,68 @@ def test_bm25_topk_vs_pure_python(spark):
     # empty corpus
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_topk(empty, terms, k=5).count() == 0
+
+
+def test_pack_sft_examples_invariants(spark):
+    """Packed SFT windows: exact budget per non-final pack; each
+    example's slices reconstruct its prompt+response token stream in
+    order; n_loss per example sums to its response token count and
+    never overlaps prompt positions; bucket_shift and partitioning
+    leave the layout bit-identical."""
+    from ner_spark.functions.pack import pack_sft_examples
+
+    rows = []
+    for c in range(6):
+        # user->assistant pairs of varied lengths, plus noise turns
+        rows += [
+            (f"c{c}", 0, "user", f"ask {'q ' * (3 + c)}".strip()),
+            (f"c{c}", 1, "assistant", f"ans {'r ' * (11 + 7 * c)}".strip()),
+            (f"c{c}", 2, "tool", "tool output"),
+            (f"c{c}", 3, "user", "followup question two"),
+            (f"c{c}", 4, "assistant", f"{'x ' * (40 + c)}".strip()),
+        ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    budget = 32
+    out = pack_sft_examples(t, budget=budget).collect()
+
+    by_pack, by_ex = {}, {}
+    for r in out:
+        by_pack[r["pack_id"]] = by_pack.get(r["pack_id"], 0) + (
+            r["tok_end"] - r["tok_start"]
+        )
+        by_ex.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    packs = sorted(by_pack)
+    assert packs == list(range(len(packs)))
+    assert all(by_pack[p] == budget for p in packs[:-1])
+
+    for (c, ti), slices in by_ex.items():
+        slices.sort(key=lambda r: r["tok_start"])
+        prompt = [x for x in rows if x[0] == c and x[1] == ti][0][3]
+        resp = [x for x in rows if x[0] == c and x[1] == ti + 1][0][3]
+        toks = prompt.split(" ") + resp.split(" ")
+        n_prompt = len(prompt.split(" "))
+        # contiguity + full coverage
+        assert slices[0]["tok_start"] == 0
+        assert slices[-1]["tok_end"] == len(toks)
+        for a, b in zip(slices, slices[1:]):
+            assert a["tok_end"] == b["tok_start"]
+        # text reconstruction
+        rebuilt = " ".join(s["pack_text"] for s in slices)
+        assert rebuilt == " ".join(toks)
+        # loss mask: exactly the response tokens, never prompt ones
+        assert sum(s["n_loss"] for s in slices) == len(resp.split(" "))
+        for s in slices:
+            assert s["n_loss"] <= max(0, s["tok_end"] - max(s["tok_start"], n_prompt)) + 0
+    # every pair (user->assistant adjacency) produced an example;
+    # tool-broken adjacency did not
+    assert {k[1] for k in by_ex} == {0, 3}
+
+    # layout invariance across partitioning and bucket granularity
+    a = sorted(map(tuple, out))
+    for tf, shift in ((t.repartition(13), 45), (t, 50)):
+        b = sorted(
+            map(tuple, pack_sft_examples(tf, budget=budget, bucket_shift=shift).collect())
+        )
+        assert a == b
