@@ -145,9 +145,15 @@ def dup_span_removal(
     fan-out) and the reconstruction is one anti-join of positional
     token rows plus one doc-keyed aggregate whose buffer is the
     document itself — the same per-row bound the input already has.
-    Every step is a pure function of the corpus: no window over the
-    corpus dimension, no collect, deterministic on any partitioning.
+    The per-doc gram-hash frame is persisted so the md5 pass (the
+    dominant per-byte CPU: one hash per gram) runs ONCE and feeds both
+    its consumers (the doc-frequency branch and the positional
+    branch); the token-side scans re-read only the pruned
+    (id, text) columns and do no hashing. Every step is a pure
+    function of the corpus: no window over the corpus dimension, no
+    collect, deterministic on any partitioning.
     """
+    from ner_spark.functions.dedup import register_persist
     toks = F.when(
         F.col(text_col).isNotNull(), tokens_col(F.lower(F.col(text_col)))
     ).otherwise(F.array().cast("array<string>"))
@@ -163,10 +169,11 @@ def dup_span_removal(
             ),
         ).otherwise(F.array().cast("array<long>")),
     )
-    base = df.select(
-        F.col(id_col).alias("doc_id"), toks.alias("t"), gram_hashes.alias("g")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    gb = register_persist(
+        df.select(F.col(id_col).alias("doc_id"), gram_hashes.alias("g"))
     )
-    spans = base.select("doc_id", F.explode(F.array_distinct("g")).alias("h"))
+    spans = gb.select("doc_id", F.explode(F.array_distinct("g")).alias("h"))
     dup_h = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -174,7 +181,7 @@ def dup_span_removal(
         .select("h")
     )
     dup_starts = (
-        base.select("doc_id", F.posexplode("g").alias("pos", "h"))
+        gb.select("doc_id", F.posexplode("g").alias("pos", "h"))
         .join(dup_h, "h", "left_semi")
         .select("doc_id", "pos")
     )
@@ -318,77 +325,94 @@ def bigram_logprob(
     per DISTINCT scored key (each distinct bigram, each distinct
     first-position token), fed by IEEE-exact +,*,/ of integer counts —
     the same libm-then-floor contract unigram_logprob and BM25 ride.
-    Plan shape: two token-keyed hash aggregates build the unigram and
-    bigram lexicons (both map-side combinable; the bigram explode is
-    row-local zip of adjacent tokens), scoring is hash joins from slim
-    exploded rows onto the lexicons, one doc-keyed aggregate closes.
-    No window, no collect, no corpus-order dependence.
+
+    Plan shape (the 100-TB accounting): corpus scan 1 emits BOTH
+    lexicons' key rows in one explode (every position a ``('u', w)``
+    row, every adjacency a ``('b', prev, cur)`` row — 2n-1 slim string
+    rows per doc) into ONE map-side-combined aggregate; the scored
+    lexicon derives from that persisted count table with vocab-sized
+    joins. Corpus scan 2 emits the per-position SCORING keys (position
+    0 unigram, the rest bigram) and hash-joins them onto the persisted
+    scored lexicon; one doc-keyed aggregate closes, and the
+    degenerate-doc restore re-reads only the pruned id column. Two
+    full-text passes total — no per-lexicon re-scan, no window, no
+    collect, no corpus-order dependence.
     """
+    from ner_spark.functions.dedup import register_persist
+
     toks = let(
         tokens_col(F.lower(F.col(text_col))),
         lambda t: F.filter(t, lambda x: x != ""),
     )
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
-    tok_rows = base.select("doc_id", F.explode("t").alias("token"))
-    lex = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    stats = lex.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
-    )
-    # bigram rows: row-local adjacency zip — (doc_id, prev, cur)
-    big_rows = base.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("t"), i).alias("prev"),
-                        F.element_at(F.col("t"), i + F.lit(1)).alias("cur"),
-                    ),
+    # k2 = '' sentinel for unigram rows: tokens are non-empty after the
+    # filter, so '' never collides with a real right-token and the
+    # 3-column equi-join needs no null-safe comparison
+    def _kind_rows(src: DataFrame, uni_all: bool) -> DataFrame:
+        """(doc_id, kind, k1, k2) key rows: bigrams at every adjacency;
+        unigrams at every position (lexicon pass) or position 0 only
+        (scoring pass)."""
+        uni = (
+            F.transform(
+                F.col("t"),
+                lambda x: F.struct(
+                    F.lit("u").alias("kind"),
+                    x.alias("k1"),
+                    F.lit("").alias("k2"),
+                ),
+            )
+            if uni_all
+            else F.when(
+                F.size("t") >= 1,
+                F.array(
+                    F.struct(
+                        F.lit("u").alias("kind"),
+                        F.element_at(F.col("t"), 1).alias("k1"),
+                        F.lit("").alias("k2"),
+                    )
                 ),
             ).otherwise(
-                F.array().cast("array<struct<prev:string,cur:string>>")
+                F.array().cast("array<struct<kind:string,k1:string,k2:string>>")
             )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    big_lex = big_rows.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).alias("c_pc")
+        )
+        big = F.when(
+            F.size("t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.lit("b").alias("kind"),
+                    F.element_at(F.col("t"), i).alias("k1"),
+                    F.element_at(F.col("t"), i + F.lit(1)).alias("k2"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<kind:string,k1:string,k2:string>>")
+        )
+        return src.select(
+            "doc_id", F.explode(F.concat(uni, big)).alias("r")
+        ).select(
+            "doc_id",
+            F.col("r.kind").alias("kind"),
+            F.col("r.k1").alias("k1"),
+            F.col("r.k2").alias("k2"),
+        )
+
+    lexc = register_persist(
+        _kind_rows(base, uni_all=True)
+        .groupBy("kind", "k1", "k2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = lexc.where(F.col("kind") == "u").select(
+        F.col("k1").alias("token"), "c"
+    )
+    stats = uni.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
     lam = F.lit(lam_micro).cast("double") / F.lit(1_000_000.0)
-    uni_term = (F.col("c_cur") + 1).cast("double") / (
-        F.col("total") + F.col("vocab")
-    ).cast("double")
-    # scored bigram lexicon: one ln per distinct (prev, cur)
-    big_scored = (
-        big_lex.join(
-            lex.select(F.col("token").alias("prev"), F.col("c").alias("c_prev")),
-            "prev",
-        )
-        .join(
-            lex.select(F.col("token").alias("cur"), F.col("c").alias("c_cur")),
-            "cur",
-        )
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "prev",
-            "cur",
-            F.floor(
-                F.lit(-1_000_000.0)
-                * F.log(
-                    lam
-                    * F.col("c_pc").cast("double")
-                    / F.col("c_prev").cast("double")
-                    + (F.lit(1.0) - lam) * uni_term
-                )
-            )
-            .cast("long")
-            .alias("nll_micro"),
-        )
-    )
-    # scored unigram lexicon for position 0 (the unigram_logprob value)
-    uni_scored = lex.crossJoin(F.broadcast(stats)).select(
-        "token",
+    uni_scored = uni.crossJoin(F.broadcast(stats)).select(
+        F.lit("u").alias("kind"),
+        F.col("token").alias("k1"),
+        F.lit("").alias("k2"),
         F.floor(
             F.lit(-1_000_000.0)
             * F.log(
@@ -399,17 +423,41 @@ def bigram_logprob(
         .cast("long")
         .alias("nll_micro"),
     )
-    first_nll = (
-        base.where(F.size("t") >= 1)
-        .select("doc_id", F.element_at("t", 1).alias("token"))
-        .join(uni_scored, "token")
-        .select("doc_id", "nll_micro")
+    big_scored = (
+        lexc.where(F.col("kind") == "b")
+        .withColumnRenamed("c", "c_pc")
+        .join(
+            uni.select(F.col("token").alias("k1"), F.col("c").alias("c_prev")),
+            "k1",
+        )
+        .join(
+            uni.select(F.col("token").alias("k2"), F.col("c").alias("c_cur")),
+            "k2",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.lit("b").alias("kind"),
+            "k1",
+            "k2",
+            F.floor(
+                F.lit(-1_000_000.0)
+                * F.log(
+                    lam
+                    * F.col("c_pc").cast("double")
+                    / F.col("c_prev").cast("double")
+                    + (F.lit(1.0) - lam)
+                    * (F.col("c_cur") + 1).cast("double")
+                    / (F.col("total") + F.col("vocab")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
     )
-    big_nll = big_rows.join(big_scored, ["prev", "cur"]).select(
-        "doc_id", "nll_micro"
-    )
+    score_lex = register_persist(uni_scored.unionByName(big_scored))
     scored = (
-        first_nll.unionByName(big_nll)
+        _kind_rows(base, uni_all=False)
+        .join(score_lex, ["kind", "k1", "k2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -417,7 +465,7 @@ def bigram_logprob(
         )
     )
     return (
-        base.select("doc_id")
+        df.select(F.col(id_col).alias("doc_id"))
         .join(scored, "doc_id", "left")
         .select(
             "doc_id",
