@@ -321,6 +321,13 @@ def main() -> None:
         "sft_pairs",
         "bpe_merges",
         "weighted_sample",
+        # round-4 additions
+        "dup_span_removal",
+        "bigram_logprob",
+        "sft_packed",
+        "kg_linkpred_probe",
+        "semantic_dedup",
+        "chunk_windows",
     ):
         run(
             qname,

@@ -4607,6 +4607,72 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(_t(spark, sf_dir, "documents"), k=200)
 
 
+@query(
+    "semantic_dedup",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    aa AS (SELECT id, v, cell FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk = 1),
+    drp AS (SELECT DISTINCT b.id AS id FROM aa a JOIN aa b USING (cell)
+            WHERE a.id < b.id AND {_cos2('a.v', 'b.v')} >= 0.4)
+    SELECT aa.id AS vec_id, CAST(cell AS BIGINT) AS cell, (d.id IS NULL) AS keep
+    FROM aa LEFT JOIN drp d ON aa.id = d.id
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — per-vector keep/drop verdicts:
+    cluster by nearest seed centroid (the IVF coarse quantizer), drop a
+    vector iff an above-threshold within-cell cosine neighbor with a
+    lower id exists (functions/similarity.py:semantic_dedup). The
+    ACTION half of embedding_dup_pairs_ivf: same cell blocking + salted
+    skew-split self-join, but the output is the curation verdict table;
+    only the slim distinct dropped-id set rides the verdict join."""
+    from ner_spark.functions.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "chunk_windows",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+             ELSE [] END AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) > 0
+                  THEN 1 + CAST(ceil(greatest(len(t) - 32, 0)::DOUBLE / 24)
+                           AS BIGINT)
+                  ELSE 0 END AS n_starts
+      FROM base),
+    ch AS (
+      SELECT doc_id, unnest(range(n_starts)) AS chunk_idx, t
+      FROM st WHERE n_starts > 0)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(t[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_tokens,
+           array_to_string(t[chunk_idx*24+1 : chunk_idx*24+32], ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q_chunk_windows(spark, sf_dir):
+    """Per-document overlapping retrieval chunks (size 32, stride 24)
+    — the RAG-ingest counterpart of pack_windows' global stream
+    (functions/pack.py:chunk_windows): window i covers tokens
+    [i·stride, i·stride+size), overlaps keep retrieval spans intact,
+    short docs emit one full-coverage chunk, empty text emits none.
+    Pure row-local higher-order functions: scan + generate, no
+    exchange anywhere in the plan."""
+    from ner_spark.functions.pack import chunk_windows
+
+    return chunk_windows(_t(spark, sf_dir, "documents"), size=32, stride=24)
+
+
 # ===========================================================================
 # BPE merge induction — functions/bpe.py
 # ===========================================================================
@@ -4913,7 +4979,7 @@ _DRIVER_ORDER = [
     "kg_entity_cards",
     # --- slots 16+: new round-4 queries land HERE as they are added
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
-    "sft_packed",
+    "sft_packed", "semantic_dedup", "chunk_windows",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -208,3 +208,65 @@ def pack_sft_examples(
             ),
         ).alias("pack_text"),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlapping retrieval chunks — ``(doc_id,
+    chunk_idx, n_tokens, chunk_text)``: the RAG-ingest counterpart of
+    ``pack_sequences``.  Packing lays the corpus out as ONE global
+    stream (documents split at pack boundaries); chunking is strictly
+    document-local — window ``i`` covers tokens ``[i*stride,
+    i*stride+size)`` of the lowercased whitespace stream, windows
+    overlap by ``size - stride`` tokens so no retrieval span straddles
+    a hard cut, and the last window is the truncated remainder.
+
+    Pinned degenerate semantics: a document with 1..size tokens emits
+    exactly one full-coverage chunk; NULL/empty text emits NO rows
+    (there is nothing to retrieve).  Start count = 1 + ceil(max(n -
+    size, 0) / stride) — every token is covered and no start lies
+    beyond the last token.
+
+    Scale shape: pure row-local higher-order functions (tokenize,
+    ``sequence`` over starts, ``slice`` + re-join) — the plan is a
+    scan + generate with NO exchange at all; fan-out per row is
+    ~n/stride output rows, each bounded by ``size`` tokens. At 100 TB
+    this is the ideal operator: embarrassingly parallel, pruned to the
+    two input columns.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.filter(
+        F.when(
+            F.col(text_col).isNotNull(), tokens_col(F.lower(F.col(text_col)))
+        ).otherwise(F.array().cast("array<string>")),
+        lambda x: x != "",
+    )
+    n = F.size(toks)
+    n_starts = F.lit(1) + F.ceil(
+        F.greatest(n - size, F.lit(0)).cast("double") / stride
+    ).cast("int")
+    # sequence() infers a NEGATIVE step when start > stop, so the empty
+    # case must be guarded explicitly, not left to an empty range
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_starts - 1),
+            lambda i: F.slice(toks, i * stride + 1, size),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "ctoks"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "ctoks").alias("chunk_text"),
+    )

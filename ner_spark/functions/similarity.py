@@ -658,3 +658,71 @@ def pq_codes(
         ).alias("codes"),
         F.sum("dist").alias("recon_err_q"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication") — ``(vec_id, cell,
+    keep)``: the corpus is clustered (deterministic seed centroids by
+    default; pass ``centroids=kmeans_centroids(emb)`` for trained
+    cells, the same convention as IVF search), each vector lands in
+    exactly one cell (nprobe=1 assignment), and within a cell a vector
+    is DROPPED iff it has an above-threshold cosine neighbor with a
+    strictly lower id — the deterministic keeper rule (lowest id per
+    semantic-duplicate group survives; the paper keeps an arbitrary
+    representative, so any pinned total order is a faithful variant,
+    and an id order makes both engines and every partitioning agree).
+
+    This is the ACTION half of ``ivf_cosine_dup_pairs``: same cell
+    blocking, same multi-candidate cosine verification, but the output
+    is the per-vector keep/drop verdict a curation pipeline applies,
+    not the pair audit.
+
+    Scale shape: one broadcast centroid pass (max_by aggregation, no
+    per-id sort), the within-cell quadratic bounded by cell population
+    (centroid count is the knob) and skew-split by the shared salted
+    self-join, and the verdict join carries only the slim distinct
+    dropped-id set. No corpus cross join, no window over the corpus.
+    """
+    from ner_spark.functions.dedup import _salted_block_self_join
+
+    cent = (
+        centroids
+        if centroids is not None
+        else seed_centroids(emb, n_cells, id_col, vec_col)
+    )
+    t = _assign_cells(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cent,
+        "id",
+        "v",
+    )
+
+    def _a(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+
+    dropped = (
+        _salted_block_self_join(t, _a, _b, key="cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        # score first (vectorized), filter, THEN distinct: the exchange
+        # carries only the few over-threshold ids, never the vectors
+        .where(cosine_col(F.col("v_a"), F.col("v_b")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return t.join(dropped, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("cell"),
+        F.col("dropped").isNull().alias("keep"),
+    )

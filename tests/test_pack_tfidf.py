@@ -193,3 +193,56 @@ def test_pack_sft_examples_invariants(spark):
             map(tuple, pack_sft_examples(tf, budget=budget, bucket_shift=shift).collect())
         )
         assert a == b
+
+
+def test_chunk_windows_coverage_and_degenerates(spark):
+    """Window i covers tokens [i*stride, i*stride+size); every token is
+    covered; 1..size-token docs emit ONE full chunk; NULL/empty emit
+    none; output is partitioning-invariant."""
+    from ner_spark.functions.pack import chunk_windows
+
+    size, stride = 8, 5
+    lens = [0, 1, 7, 8, 9, 13, 14, 21, 40]
+    texts = [" ".join(f"t{j}" for j in range(n)) for n in lens]
+    texts.append(None)
+    d = _docs(spark, texts)
+    rows = chunk_windows(d, size=size, stride=stride).collect()
+
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+
+    import math
+
+    for i, n in enumerate(lens):
+        if n == 0:
+            assert i not in by_doc
+            continue
+        n_starts = 1 + math.ceil(max(n - size, 0) / stride)
+        got = by_doc[i]
+        assert sorted(got) == list(range(n_starts))
+        covered = set()
+        for ci in range(n_starts):
+            toks = [f"t{j}" for j in range(n)][ci * stride : ci * stride + size]
+            assert got[ci]["chunk_text"] == " ".join(toks)
+            assert got[ci]["n_tokens"] == len(toks)
+            covered.update(range(ci * stride, min(ci * stride + size, n)))
+        assert covered == set(range(n))  # no token missed
+    assert len(texts) - 1 not in by_doc  # NULL text: no rows
+
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, chunk_windows(d.repartition(7), size=size, stride=stride).collect())
+    )
+    assert a == b
+
+
+def test_chunk_windows_rejects_bad_geometry(spark):
+    from ner_spark.functions.pack import chunk_windows
+
+    d = _docs(spark, ["a b c"])
+    import pytest
+
+    for size, stride in ((4, 5), (0, 1), (4, 0)):
+        with pytest.raises(ValueError):
+            chunk_windows(d, size=size, stride=stride)

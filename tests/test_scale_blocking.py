@@ -267,3 +267,88 @@ def test_lsh_multi_table_recall_monotone_and_l1_identical(spark):
     e.unpersist()
     assert recalls[1] <= recalls[2] <= recalls[4], recalls
     assert recalls[4] > recalls[1], recalls  # the tables actually add candidates
+
+
+def test_semantic_dedup_matches_bruteforce_verdicts(spark):
+    """SemDeDup keep/drop verdicts equal a pure-Python reference (assign
+    to nearest seed centroid, drop iff a lower-id same-cell neighbor has
+    rounded cosine >= threshold), and are partitioning-invariant."""
+    import numpy as np
+
+    from ner_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    dim, n_cells, thr = 6, 4, 0.9
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_cells)]
+    vecs = []
+    for i in range(40):
+        b = base[i % n_cells]
+        # half the corpus: tiny jitter (semantic dups), half: fresh noise
+        if i % 2 == 0:
+            v = [x + rng.uniform(-0.01, 0.01) for x in b]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs.append(v)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    # float32 storage: the reference must see what Spark sees
+    stored = [
+        [float(np.float32(x)) for x in v] for v in vecs
+    ]
+    cents = stored[:n_cells]
+    cell_of = {
+        i: max(range(n_cells), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in enumerate(stored)
+    }
+    expect = {}
+    for i in range(len(stored)):
+        dropped = any(
+            cell_of[j] == cell_of[i] and cos(stored[j], stored[i]) >= thr
+            for j in range(i)
+        )
+        expect[i] = (cell_of[i], not dropped)
+
+    out = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(emb, threshold=thr, n_cells=n_cells).collect()
+    }
+    assert out == expect
+    # at least one drop and one keep per the fixture's design
+    assert any(not k for _, k in out.values()) and any(k for _, k in out.values())
+
+    # partitioning invariance
+    out2 = {
+        r["vec_id"]: (r["cell"], r["keep"])
+        for r in semantic_dedup(
+            emb.repartition(13), threshold=thr, n_cells=n_cells
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_semantic_dedup_lowest_id_always_kept(spark):
+    """The deterministic keeper rule: within any cell the lowest id can
+    never be dropped (no lower-id neighbor exists)."""
+    from ner_spark.functions.similarity import semantic_dedup
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = semantic_dedup(emb, threshold=0.2, n_cells=3).collect()
+    lowest = {}
+    for r in rows:
+        if r["cell"] not in lowest or r["vec_id"] < lowest[r["cell"]][0]:
+            lowest[r["cell"]] = (r["vec_id"], r["keep"])
+    assert all(keep for _, keep in lowest.values())

@@ -853,6 +853,31 @@ CHECKS = {
             "operator is the one histogram groupBy."
         ),
     ),
+    "chunk_windows": dict(
+        requires=["Generate"],
+        forbids=["Exchange", "Python", "Window"],
+        note=(
+            "Per-document retrieval chunking is Scan → Generate → "
+            "Project: the start sequence, token slices, and re-join are "
+            "all row-local higher-order functions — ZERO exchanges, no "
+            "Python. At 100 TB the operator costs exactly one scan and "
+            "parallelizes with input splits."
+        ),
+    ),
+    "semantic_dedup": dict(
+        requires=["InMemoryTableScan"],
+        forbids=["Python", "Window"],
+        note=(
+            "SemDeDup: the one broadcast-centroid assignment pass is "
+            "persisted (InMemoryTableScan) and feeds BOTH the salted "
+            "within-cell self-join and the final verdict join; the "
+            "dropped-id side of the verdict join carries only distinct "
+            "ids (vectors pruned by Catalyst), and the dropped set "
+            "scales with the duplicate fraction so it stays a shuffle "
+            "join rather than an unbounded broadcast. No Python, no "
+            "corpus-sized window."
+        ),
+    ),
 }
 
 
