@@ -4673,6 +4673,117 @@ def q_chunk_windows(spark, sf_dir):
     return chunk_windows(_t(spark, sf_dir, "documents"), size=32, stride=24)
 
 
+@query(
+    "hard_negatives",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    ca AS (SELECT neighbor_id, cv, cell FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk = 1),
+    qa AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk <= 2),
+    s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+          FROM ca JOIN qa USING (cell) WHERE neighbor_id <> query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM s WHERE cosine >= 0.10 AND cosine < 0.80) x
+    WHERE rank <= 5
+    """,
+)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive retrieval training
+    (functions/similarity.py:hard_negatives): every corpus vector is a
+    query; IVF cell blocking (nprobe=2) bounds the candidate join; the
+    [0.10, 0.80) cosine band keeps informative negatives while
+    excluding the near-duplicate band that would poison the label."""
+    from ner_spark.functions.similarity import hard_negatives
+
+    return hard_negatives(
+        _t(spark, sf_dir, "embeddings"), k=5, lo=0.10, hi=0.80, nprobe=2
+    )
+
+
+@query(
+    "dsir_weights",
+    f"""
+    WITH base AS (
+      SELECT doc_id, source = 'src0' AS is_t,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, is_t,
+             list_concat(t, CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END) AS grams
+      FROM base),
+    f AS (SELECT doc_id, is_t, {_h60('gr')} % 1024 AS b
+          FROM (SELECT doc_id, is_t, unnest(grams) AS gr FROM g)),
+    stats AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                     sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+              FROM f GROUP BY b),
+    tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM stats),
+    lr AS (SELECT b, CAST(round((ln((ct + 1.0) / (tt + 1024.0))
+                               - ln((cr + 1.0) / (tr + 1024.0))) * 1e6) AS BIGINT) AS q
+           FROM stats, tot)
+    SELECT doc_id, count(*) AS n_feats, sum(q) / 1e6 AS logw
+    FROM f JOIN lr USING (b) GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-ngram importance weights against the src0 target
+    slice (functions/datasets.py:dsir_weights): per-bucket log-ratios
+    quantized to the integer micro-grid before the per-doc sum, so both
+    engines sum exactly; weighted_sample over exp(logw) downstream is
+    the paper's resampling step."""
+    from ner_spark.functions.datasets import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"), target_source="src0")
+
+
+@query(
+    "kg_verbalize",
+    f"""
+    WITH t AS (SELECT DISTINCT subj, pred, obj
+               FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')),
+    r AS (SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj ORDER BY pred, obj) AS rk,
+                 count(*) OVER (PARTITION BY subj) AS nf
+          FROM t)
+    SELECT subj AS entity, CAST(max(nf) AS BIGINT) AS n_facts,
+           subj || ': ' || string_agg(pred || ' ' || obj, '; ' ORDER BY pred, obj) || '.' AS card_text
+    FROM r WHERE rk <= 32 GROUP BY subj
+    """,
+)
+def q_kg_verbalize(spark, sf_dir):
+    """KG-to-text verbalization (operators/graph.py:verbalize_entities,
+    the KELM recipe): each canonical subject's distinct facts rendered
+    as one deterministic pretraining sentence, capped at 32 facts per
+    subject (trim-before-collect, hub-safe) with the full fact count
+    reported alongside — the artifact that feeds the graph back into
+    the training mix."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.graph import verbalize_entities
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    m = _mentions(spark, _fx(sf_dir))
+    nodes, edges = link_edges(explode_mentions(m))
+    a = connected_components(
+        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+    )
+    ct = canonicalize_triples(extract_relations(m), a, nodes)
+    return verbalize_entities(ct, max_facts=32)
+
+
 # ===========================================================================
 # BPE merge induction — functions/bpe.py
 # ===========================================================================
@@ -4980,6 +5091,7 @@ _DRIVER_ORDER = [
     # --- slots 16+: new round-4 queries land HERE as they are added
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
     "sft_packed", "semantic_dedup", "chunk_windows",
+    "hard_negatives", "dsir_weights", "kg_verbalize",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -678,3 +678,97 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") — ``(doc_id, n_feats,
+    logw)``: hashed-n-gram importance of each document under the target
+    distribution. Features are the document's word unigrams + bigrams
+    hashed into ``n_buckets`` buckets (with multiplicity — DSIR models
+    bag-of-hashed-ngrams counts); the bucket distribution of the TARGET
+    slice (``source == target_source``) and of the RAW rest are both
+    Laplace-smoothed, and a document's log importance weight is the sum
+    over its feature occurrences of log p_target(b) − log p_raw(b).
+    Downstream, ``weighted_sample`` over exp(logw) IS the paper's
+    importance resampling step.
+
+    Cross-engine determinism: each bucket's log-ratio is quantized to
+    an integer micro-grid (round(·×1e6) as long) BEFORE the per-doc
+    sum — the same ln-before-sum device as mixture_weights — so the
+    Spark and DuckDB sums are integer-exact and order-independent;
+    ``logw`` is that integer divided by 1e6 (no further rounding).
+    Documents with no tokens emit no row (no signal to weigh).
+
+    Scale shape: one corpus pass explodes features (row-local md5 +
+    pmod, no Python); the bucket census is ONE map-side-combinable
+    groupBy whose result is ≤ ``n_buckets`` rows; totals ride a
+    broadcast one-row cross join; the per-doc sum joins the exploded
+    features against the broadcast ≤``n_buckets``-row lookup and
+    aggregates — so the only corpus-scale exchange is the final
+    per-doc combine.
+    """
+    from ner_spark.functions.colutil import let
+    from ner_spark.functions.text import tokens_col
+    from ner_spark.operators.linking import md5_hash60_col
+
+    def grams_col(text: Column) -> Column:
+        return let(
+            F.filter(tokens_col(F.lower(text)), lambda x: x != ""),
+            lambda toks: F.concat(
+                toks,
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            ),
+        )
+
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) == target_source).alias("is_t"),
+        F.explode(grams_col(F.col(text_col))).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_t",
+        F.pmod(md5_hash60_col(F.col("gram")), F.lit(n_buckets)).alias("b"),
+    )
+    stats = feats.groupBy("b").agg(
+        F.sum(F.col("is_t").cast("long")).alias("ct"),
+        F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lookup = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + float(n_buckets)))
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + float(n_buckets)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        feats.join(F.broadcast(lookup), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.sum("q") / 1e6).alias("logw"),
+        )
+    )

@@ -726,3 +726,64 @@ def semantic_dedup(
         F.col("cell"),
         F.col("dropped").isNull().alias("keep"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    lo: float = 0.10,
+    hi: float = 0.80,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training —
+    ``(query_id, neighbor_id, cosine, rank)``: for each query the top-k
+    neighbors whose rounded cosine falls in ``[lo, hi)`` — similar
+    enough to be informative negatives, below the near-duplicate band
+    that would poison the label (the standard ANCE/contrastive recipe:
+    mine negatives from the middle of the similarity distribution).
+
+    ``queries=None`` mines negatives for EVERY corpus vector — the
+    training-set shape — which is exactly why this rides the IVF cell
+    blocking rather than brute force: the corpus side is assigned to
+    one cell (max_by aggregation), each query probes its ``nprobe``
+    nearest cells, and a (query, neighbor) pair meets in at most one
+    cell so no pair dedup is needed. Ranking ties break on neighbor id
+    ascending (total order ⇒ engine/partitioning-independent).
+
+    Scale shape: identical to ``ivf_topk`` — one broadcast-centroid
+    pass, per-cell equi-joins whose quadratic is bounded by cell
+    population (``n_cells`` is the knob, same trade as SemDeDup), and
+    the band filter applies BEFORE the rank window so near-dup pairs
+    never enter the top-k sort.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else seed_centroids(emb, n_cells, id_col, vec_col)
+    )
+    c = _assign_cells(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        "neighbor_id",
+        "cv",
+    )
+    qsrc = emb if queries is None else queries
+    q = _assign_cells(
+        qsrc.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        "query_id",
+        "qv",
+        nprobe=nprobe,
+    )
+    banded = (
+        c.join(q, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+        .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    return _rank_topk(banded, k)

@@ -1748,3 +1748,47 @@ def linkpred_eval(
             "mrr_micro"
         ),
     )
+
+
+def verbalize_entities(triples: DataFrame, max_facts: int = 32) -> DataFrame:
+    """KG-to-text verbalization (the KELM recipe — Agarwal et al. 2021,
+    "Knowledge Graph Based Synthetic Corpus Generation for
+    Knowledge-Enhanced Language Model Pre-training") — ``(entity,
+    n_facts, card_text)``: each subject's distinct (pred, obj) facts
+    rendered as one deterministic training sentence, ``"subj: pred obj;
+    pred obj."`` in (pred, obj) order. This is the artifact that feeds
+    a KG back INTO the pretraining mix; ``n_facts`` is the subject's
+    full distinct-fact count even when the rendering truncates.
+
+    Hub safety: the rendering keeps only the first ``max_facts`` facts
+    per subject (rank window in (pred, obj) order), so the collect
+    buffer is bounded by ``max_facts`` regardless of how many facts a
+    super-hub entity accumulates — same trim-before-collect device as
+    entity_cards. The fact count rides the same window (count over the
+    partition), so the operator is one exchange on the subject key.
+    """
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    w = Window.partitionBy("subj").orderBy("pred", "obj")
+    wall = Window.partitionBy("subj")
+    r = (
+        t.withColumn("rk", F.row_number().over(w))
+        .withColumn("nf", F.count(F.lit(1)).over(wall))
+        .where(F.col("rk") <= max_facts)
+    )
+    return r.groupBy("subj").agg(
+        F.max("nf").cast("long").alias("n_facts"),
+        F.concat(
+            F.col("subj"),
+            F.lit(": "),
+            F.concat_ws(
+                "; ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rk", "pred", "obj"))),
+                    lambda s: F.concat_ws(" ", s.pred, s.obj),
+                ),
+            ),
+            F.lit("."),
+        ).alias("card_text"),
+    ).withColumnRenamed("subj", "entity")

@@ -538,3 +538,73 @@ def test_weighted_sample_large_weights_keep_resolution(spark):
     # sampled ids are spread across the id range
     ids = sorted(r["doc_id"] for r in got)
     assert ids[-1] > 250 and sum(1 for i in ids if i < 100) < 50
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    """DSIR logw equals a pure-Python reference (hashed uni+bigram
+    buckets, Laplace-smoothed log-ratio quantized to the 1e-6 grid
+    before summing) and target-like docs outscore off-target docs."""
+    import hashlib
+    import math
+
+    from ner_spark.functions.datasets import dsir_weights
+
+    target = ["alpha beta gamma", "alpha beta delta", "beta gamma alpha"]
+    raw = ["zeta eta theta", "eta theta iota", "theta zeta kappa", "alpha beta gamma zeta"]
+    rows = [(i, t, "tgt") for i, t in enumerate(target)]
+    rows += [(100 + i, t, "web") for i, t in enumerate(raw)]
+    rows.append((200, None, "web"))
+    rows.append((201, "", "web"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    B = 1024
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def feats(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [h60(g) % B for g in grams]
+
+    ct, cr = {}, {}
+    for i, t, s in rows:
+        if t is None:
+            continue
+        for b in feats(t):
+            (ct if s == "tgt" else cr)[b] = (ct if s == "tgt" else cr).get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    q = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + 1.0) / (tt + B))
+                - math.log((cr.get(b, 0) + 1.0) / (tr + B))
+            )
+            * 1e6
+        )
+        for b in set(ct) | set(cr)
+    }
+    expect = {}
+    for i, t, s in rows:
+        if t is None or not t.strip():
+            continue
+        fs = feats(t)
+        expect[i] = (len(fs), sum(q[b] for b in fs) / 1e6)
+
+    out = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_weights(d, target_source="tgt").collect()
+    }
+    assert out == expect
+    assert 200 not in out and 201 not in out  # no-signal docs: no row
+    # target-slice docs must outscore pure off-target docs
+    assert min(out[i][1] for i in (0, 1, 2)) > max(out[i][1] for i in (100, 101, 102))
+    # the mixed doc sits strictly between
+    assert max(out[i][1] for i in (100, 101, 102)) < out[103][1] < min(out[i][1] for i in (0, 1, 2))
+
+    # partitioning invariance
+    out2 = {
+        r["doc_id"]: (r["n_feats"], r["logw"])
+        for r in dsir_weights(d.repartition(5), target_source="tgt").collect()
+    }
+    assert out2 == out

@@ -1116,3 +1116,40 @@ def test_pred_cooccurrence_counts(spark):
         for r in pred_cooccurrence(edges).collect()
     }
     assert got == {("based_in", "makes"): 2}
+
+
+def test_verbalize_entities_rendering_and_cap(spark):
+    """Card text is the subject's distinct facts in (pred, obj) order;
+    duplicates collapse; n_facts reports the FULL count even when the
+    rendering truncates at max_facts."""
+    from ner_spark.operators.graph import verbalize_entities
+
+    rows = [
+        ("c0", 0, "brand|acme", "makes", "product|mug"),
+        ("c0", 1, "brand|acme", "based_in", "place|oslo"),
+        ("c0", 2, "brand|acme", "makes", "product|mug"),  # dup fact
+        ("c0", 3, "brand|acme", "makes", "product|bowl"),
+    ] + [("c1", i, "brand|hub", "rel", f"obj|{i:03d}") for i in range(10)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    out = {r["entity"]: r for r in verbalize_entities(t, max_facts=4).collect()}
+
+    acme = out["brand|acme"]
+    assert acme["n_facts"] == 3
+    assert acme["card_text"] == (
+        "brand|acme: based_in place|oslo; makes product|bowl; makes product|mug."
+    )
+
+    hub = out["brand|hub"]
+    assert hub["n_facts"] == 10  # full count survives the cap
+    assert hub["card_text"] == (
+        "brand|hub: " + "; ".join(f"rel obj|{i:03d}" for i in range(4)) + "."
+    )
+
+    # partitioning invariance
+    out2 = {
+        r["entity"]: (r["n_facts"], r["card_text"])
+        for r in verbalize_entities(t.repartition(7), max_facts=4).collect()
+    }
+    assert out2 == {k: (v["n_facts"], v["card_text"]) for k, v in out.items()}

@@ -352,3 +352,68 @@ def test_semantic_dedup_lowest_id_always_kept(spark):
         if r["cell"] not in lowest or r["vec_id"] < lowest[r["cell"]][0]:
             lowest[r["cell"]] = (r["vec_id"], r["keep"])
     assert all(keep for _, keep in lowest.values())
+
+
+def test_hard_negatives_band_and_reference(spark):
+    """Mined negatives stay inside [lo, hi), never self, and equal a
+    pure-Python reference over the probed cells; raising nprobe never
+    shrinks a query's candidate set."""
+    import numpy as np
+
+    from ner_spark.functions.similarity import hard_negatives
+
+    rng = random.Random(5)
+    dim, n_cells, lo, hi, k = 5, 4, 0.10, 0.80, 3
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(36)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    stored = [[float(np.float32(x)) for x in v] for v in vecs]
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cents = stored[:n_cells]
+    cell1 = {
+        i: max(range(n_cells), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in enumerate(stored)
+    }
+    probe2 = {
+        i: set(
+            sorted(range(n_cells), key=lambda c: (-cos(v, cents[c]), c))[:2]
+        )
+        for i, v in enumerate(stored)
+    }
+    expect = {}
+    for qi in range(len(stored)):
+        cands = [
+            (cos(stored[qi], stored[ni]), ni)
+            for ni in range(len(stored))
+            if ni != qi and cell1[ni] in probe2[qi]
+        ]
+        banded = [(c, n) for c, n in cands if lo <= c < hi]
+        banded.sort(key=lambda t: (-t[0], t[1]))
+        for r, (c, n) in enumerate(banded[:k], 1):
+            expect[(qi, n)] = (c, r)
+
+    out = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in hard_negatives(
+            emb, k=k, lo=lo, hi=hi, n_cells=n_cells, nprobe=2
+        ).collect()
+    }
+    assert out == expect
+    assert all(lo <= c < hi for c, _ in out.values())
+    assert all(q != n for q, n in out)
+
+    # nprobe monotonicity: candidates at nprobe=1 are a subset of the
+    # pair set reachable at nprobe=2 before ranking, so every query's
+    # nprobe=2 top-1 cosine is >= its nprobe=1 top-1 cosine
+    top1 = lambda rows: {
+        r["query_id"]: r["cosine"] for r in rows if r["rank"] == 1
+    }
+    a = top1(hard_negatives(emb, k=k, lo=lo, hi=hi, n_cells=n_cells, nprobe=1).collect())
+    b = top1(hard_negatives(emb, k=k, lo=lo, hi=hi, n_cells=n_cells, nprobe=2).collect())
+    assert all(b[q] >= c for q, c in a.items() if q in b)

@@ -878,6 +878,40 @@ CHECKS = {
             "corpus-sized window."
         ),
     ),
+    "hard_negatives": dict(
+        requires=["BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Hard-negative mining rides the IVF machinery: centroids "
+            "broadcast to both assignment passes, candidates meet in a "
+            "per-cell equi-join (never a cross join), and the "
+            "[lo, hi) band filter applies BEFORE the per-query rank "
+            "window so near-dup pairs never enter the top-k sort."
+        ),
+    ),
+    "dsir_weights": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "Window", "SortMergeJoin"],
+        note=(
+            "DSIR: the feature explode is row-local (md5 + pmod, no "
+            "Python); the bucket census reduces to <=1024 rows that "
+            "come back as a BroadcastHashJoin against the exploded "
+            "features — the only corpus-scale exchange is the final "
+            "per-doc partial+final aggregate."
+        ),
+    ),
+    "kg_verbalize": dict(
+        builder="verbalize",
+        requires=["Window"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "KG-to-text verbalization over the materialized canonical "
+            "triples: one exchange on the subject key feeds the rank "
+            "window; the per-subject collect is trimmed to max_facts "
+            "BEFORE collect_list (bounded buffer, hub-safe — same "
+            "device as entity_cards)."
+        ),
+    ),
 }
 
 
@@ -1087,6 +1121,16 @@ def main() -> None:
             )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "verbalize":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXV
+            from ner_spark.operators.graph import verbalize_entities
+
+            df = verbalize_entities(
+                spark.read.parquet(
+                    os.path.join(_FXV, "canonical_triples.parquet")
+                ),
+                max_facts=32,
+            )
         elif spec.get("builder") == "conv_near_dup_sig":
             from pyspark.sql import functions as F
 
