@@ -328,6 +328,10 @@ def main() -> None:
         "kg_linkpred_probe",
         "semantic_dedup",
         "chunk_windows",
+        "hard_negatives",
+        "dsir_weights",
+        "kg_verbalize",
+        "ann_pq_topk",
     ):
         run(
             qname,

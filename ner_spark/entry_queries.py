@@ -4784,6 +4784,66 @@ def q_kg_verbalize(spark, sf_dir):
     return verbalize_entities(ct, max_facts=32)
 
 
+@query(
+    "ann_pq_topk",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    ca AS (SELECT neighbor_id, cell FROM (
+        SELECT e.vec_id AS neighbor_id, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk = 1),
+    qa AS (SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent WHERE e.vec_id < 50) x WHERE crk <= 2),
+    cand AS (SELECT query_id, neighbor_id FROM ca JOIN qa USING (cell)
+             WHERE neighbor_id <> query_id),
+    qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, s, qv[s*16+1 : s*16+16] AS sv
+      FROM qz, (SELECT unnest(range(0, 4)) AS s) ss),
+    cb AS (SELECT vec_id AS cell, s, sv AS cv FROM sub WHERE vec_id < 16),
+    d AS (
+      SELECT v.vec_id, v.s, c.cell,
+             CAST(list_sum(list_transform(range(1, 17),
+               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT)
+               AS dist
+      FROM sub v JOIN cb c USING (s)),
+    best AS (
+      SELECT vec_id, s, arg_min(cell, dist * 16 + cell) AS cell
+      FROM d GROUP BY vec_id, s),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(sum(dt.dist) AS BIGINT) AS adc_q
+      FROM cand
+      JOIN best b ON b.vec_id = cand.neighbor_id
+      JOIN d dt ON dt.vec_id = cand.query_id AND dt.s = b.s AND dt.cell = b.cell
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_q, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_q ASC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM adc) x
+    WHERE rank <= 5
+    """,
+)
+def q_ann_pq_topk(spark, sf_dir):
+    """IVF+PQ asymmetric-distance search (functions/similarity.py:
+    pq_adc_topk) — the search half of the pq_codes memory half:
+    coarse Voronoi pruning (nprobe=2), then candidates ranked by the
+    integer-grid ADC distance computed from the 4-byte codes alone,
+    never the original vectors (Jégou et al. 2011)."""
+    from ner_spark.functions.similarity import pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(e, e.where(F.col("vec_id") < 50), k=5, nprobe=2)
+
+
 # ===========================================================================
 # BPE merge induction — functions/bpe.py
 # ===========================================================================
@@ -5091,7 +5151,7 @@ _DRIVER_ORDER = [
     # --- slots 16+: new round-4 queries land HERE as they are added
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
     "sft_packed", "semantic_dedup", "chunk_windows",
-    "hard_negatives", "dsir_weights", "kg_verbalize",
+    "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

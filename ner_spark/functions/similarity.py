@@ -578,6 +578,70 @@ def rrf_fuse_topk(
     return fused.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc()).limit(k)
 
 
+def _pq_subspaces(vec_col: str, n_sub: int, dim: int, grid: int):
+    """Quantize a vector column onto the integer grid and slice it into
+    ``n_sub`` contiguous subvectors — the shared front end of PQ
+    encoding (pq_codes) and ADC search (pq_adc_topk). Row-local."""
+    sub_dim = dim // n_sub
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda s: F.slice(qv, s * sub_dim + 1, sub_dim),
+    )
+
+
+def _pq_sqdist() -> Column:
+    """Integer squared distance between two grid-quantized subvectors
+    bound as columns ``sv`` (vector side) and ``cv`` (codebook side)."""
+    return F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codebook(
+    embeddings: DataFrame, n_sub: int, n_cells: int, dim: int,
+    id_col: str, vec_col: str, grid: int,
+) -> DataFrame:
+    """The deterministic seed codebook: first ``n_cells`` corpus vectors
+    sliced per subspace — (cell, sub, cv), n_cells·n_sub slim rows."""
+    subs = _pq_subspaces(vec_col, n_sub, dim, grid)
+    return embeddings.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.posexplode(subs).alias("sub", "cv")
+    )
+
+
+def _pq_assign(
+    embeddings: DataFrame, n_sub: int, n_cells: int, dim: int,
+    id_col: str, vec_col: str, grid: int,
+) -> DataFrame:
+    """Per-(vector, subspace) nearest codebook entry — (vec_id, sub,
+    cell, dist), the composite integer key ``dist·n_cells + cell``
+    making the argmin unique on any engine/partitioning."""
+    subs = _pq_subspaces(vec_col, n_sub, dim, grid)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("sub", "sv")
+    )
+    cb = _pq_codebook(embeddings, n_sub, n_cells, dim, id_col, vec_col, grid)
+    return (
+        base.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", F.col("cell"), _pq_sqdist().alias("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min_by(
+                "cell", F.col("dist") * n_cells + F.col("cell")
+            ).alias("cell"),
+            F.min("dist").alias("dist"),
+        )
+    )
+
+
 def pq_codes(
     embeddings: DataFrame,
     n_sub: int = 4,
@@ -613,41 +677,7 @@ def pq_codes(
     min_by aggregate and one vec-keyed rollup — no corpus self-join,
     nothing wider than |corpus|·n_sub slim rows ever shuffles.
     """
-    sub_dim = dim // n_sub
-    vec = F.col(vec_col)
-    qv = F.transform(
-        vec,
-        lambda x: F.floor(x.cast("double") * F.lit(float(grid)) + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda s: F.slice(qv, s * sub_dim + 1, sub_dim),
-    )
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("sub", "sv")
-    )
-    cb = (
-        embeddings.where(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell"), F.posexplode(subs).alias("sub", "cv"))
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    assigned = (
-        base.join(F.broadcast(cb), "sub")
-        .select("vec_id", "sub", F.col("cell"), dist.alias("dist"))
-        .groupBy("vec_id", "sub")
-        .agg(
-            F.min_by(
-                "cell", F.col("dist") * n_cells + F.col("cell")
-            ).alias("cell"),
-            F.min("dist").alias("dist"),
-        )
-    )
+    assigned = _pq_assign(embeddings, n_sub, n_cells, dim, id_col, vec_col, grid)
     return assigned.groupBy("vec_id").agg(
         F.concat_ws(
             ",",
@@ -787,3 +817,99 @@ def hard_negatives(
         .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
     )
     return _rank_topk(banded, k)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    n_cells_pq: int = 16,
+    n_cells_ivf: int = 16,
+    dim: int = 64,
+    grid: int = 1_000_000,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ asymmetric-distance (ADC) top-k — ``(query_id,
+    neighbor_id, adc_q, rank)``: the SEARCH half of the production pair
+    whose memory half is ``pq_codes``. The coarse IVF stage prunes the
+    candidate list (corpus assigned to one Voronoi cell, queries probe
+    ``nprobe``); the fine stage ranks candidates by ADC — the sum over
+    subspaces of the exact (grid-integer) squared distance between the
+    query's subvector and the candidate's CODEBOOK ENTRY, i.e. the
+    distance a production index computes from the n_sub-byte codes
+    without ever touching the original vectors (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Determinism: every distance is an integer on the 1e-6 grid and the
+    rank order (adc asc, neighbor id asc) is total, so results are
+    engine- and partitioning-independent — the same devices as
+    pq_codes and ivf_topk, whose helpers this composes.
+
+    Scale shape: corpus codes come from the shared ``_pq_assign`` (one
+    broadcast-codebook pass, |corpus|·n_sub slim integer rows); the
+    per-query distance table is |queries|·n_sub·n_cells slim rows and
+    broadcasts onto the candidate stream (for corpus-scale query sets,
+    swap the broadcast for a (sub, cell)-keyed shuffle join — the
+    candidate join is already cell-blocked). Nothing corpus×corpus
+    ever forms; the widest frame is candidate-pairs × n_sub integers.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else seed_centroids(emb, n_cells_ivf, id_col, vec_col)
+    )
+    c = _assign_cells(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        cent,
+        "neighbor_id",
+        "cv",
+    )
+    q = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        cent,
+        "query_id",
+        "qv",
+        nprobe=nprobe,
+    )
+    # corpus side sits in exactly one cell -> a (query, neighbor) pair
+    # meets in at most one probed cell, no pair dedup needed
+    cand = (
+        c.select("neighbor_id", "cell")
+        .join(q.select("query_id", "cell"), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes = _pq_assign(emb, n_sub, n_cells_pq, dim, id_col, vec_col, grid).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "sub",
+        F.col("cell").alias("cell_pq"),
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(_pq_subspaces(vec_col, n_sub, dim, grid)).alias("sub", "sv"),
+    )
+    cb = _pq_codebook(emb, n_sub, n_cells_pq, dim, id_col, vec_col, grid)
+    dtab = qsubs.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("cell_pq"),
+        _pq_sqdist().alias("qdist"),
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "cell_pq"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qdist").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_q", "rank")
+    )

@@ -417,3 +417,91 @@ def test_hard_negatives_band_and_reference(spark):
     a = top1(hard_negatives(emb, k=k, lo=lo, hi=hi, n_cells=n_cells, nprobe=1).collect())
     b = top1(hard_negatives(emb, k=k, lo=lo, hi=hi, n_cells=n_cells, nprobe=2).collect())
     assert all(b[q] >= c for q, c in a.items() if q in b)
+
+
+def test_pq_adc_topk_matches_python_reference(spark):
+    """IVF+PQ ADC ranking equals a pure-Python reference: coarse cell
+    probe (rounded cosine, lowest-cell ties), grid-integer PQ codes
+    with the composite argmin key, ADC = sum of query-to-codebook
+    subdistances, rank (adc asc, id asc)."""
+    import math
+
+    import numpy as np
+
+    from ner_spark.functions.similarity import pq_adc_topk
+
+    rng = random.Random(17)
+    dim, n_sub, n_cells, k, nprobe, grid = 8, 4, 3, 3, 2, 1_000_000
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(24)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    stored = [[float(np.float32(x)) for x in v] for v in vecs]
+    qids = [i for i in range(24) if i < 10]
+
+    def cos(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    cents = stored[:n_cells]
+    cell1 = {
+        i: max(range(n_cells), key=lambda c: (cos(v, cents[c]), -c))
+        for i, v in enumerate(stored)
+    }
+    probes = {
+        i: set(sorted(range(n_cells), key=lambda c: (-cos(stored[i], cents[c]), c))[:nprobe])
+        for i in qids
+    }
+
+    def qz(v):
+        return [math.floor(x * grid + 0.5) for x in v]
+
+    sd = dim // n_sub
+    subs = {i: [qz(v)[s * sd : (s + 1) * sd] for s in range(n_sub)] for i, v in enumerate(stored)}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    codes = {
+        (i, s): min(
+            range(n_cells), key=lambda c: d2(subs[i][s], subs[c][s]) * n_cells + c
+        )
+        for i in range(len(stored))
+        for s in range(n_sub)
+    }
+    expect = {}
+    for qi in qids:
+        cands = [
+            ni
+            for ni in range(len(stored))
+            if ni != qi and cell1[ni] in probes[qi]
+        ]
+        scored = sorted(
+            (
+                sum(d2(subs[qi][s], subs[codes[(ni, s)]][s]) for s in range(n_sub)),
+                ni,
+            )
+            for ni in cands
+        )
+        for r, (adc, ni) in enumerate(scored[:k], 1):
+            expect[(qi, ni)] = (adc, r)
+
+    out = {
+        (r["query_id"], r["neighbor_id"]): (r["adc_q"], r["rank"])
+        for r in pq_adc_topk(
+            emb,
+            emb.where(F.col("vec_id") < 10),
+            k=k,
+            n_sub=n_sub,
+            n_cells_pq=n_cells,
+            n_cells_ivf=n_cells,
+            dim=dim,
+            nprobe=nprobe,
+        ).collect()
+    }
+    assert out == expect
+    # ADC self-distance sanity: the codes of a codebook seed vector are
+    # its own cell in every subspace, so its ADC to itself would be 0 —
+    # and self pairs are excluded
+    assert all(q != n for q, n in out)

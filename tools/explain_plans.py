@@ -900,6 +900,17 @@ CHECKS = {
             "per-doc partial+final aggregate."
         ),
     ),
+    "ann_pq_topk": dict(
+        requires=["BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "IVF+PQ ADC search: codebook and per-query distance table "
+            "both broadcast; candidates come from the per-cell "
+            "equi-join (coarse stage) and the fine stage ranks them "
+            "from the codes alone — the widest frame that shuffles is "
+            "candidate-pairs × n_sub slim integers, never vectors."
+        ),
+    ),
     "kg_verbalize": dict(
         builder="verbalize",
         requires=["Window"],
