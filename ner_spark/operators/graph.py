@@ -1658,12 +1658,18 @@ def linkpred_eval(
     UNRESTRICTED; the restriction only pays when the query set is
     genuinely narrow, which is exactly the probe path.
     """
-    from ner_spark.functions.dedup import register_persist
-
     # the split feeds THREE consumers (train graph ×2 via AA's own
-    # lineage, test edges) — persist so the upstream extraction lineage
-    # executes once, not once per branch
-    split = register_persist(edge_holdout_split(edges))
+    # lineage, test edges) AND its subtree is replicated dozens of
+    # times through AA's salted wedge join and the rank overlay below.
+    # A persist() would dedupe EXECUTION but keep the full logical
+    # plan in every copy — with a deep upstream (the live extraction
+    # lineage in the correctness gate) the overlay's plan reaches
+    # ~10^2 copies of the whole pipeline and Catalyst/AQE planning
+    # dominates wall-clock (measured: 142 s at sf0.01, driver-bound,
+    # vs 6 s for the wedge join itself). localCheckpoint(eager=True)
+    # truncates the plan to the materialized blocks — the established
+    # device for every iterative op in this repo.
+    split = edge_holdout_split(edges).localCheckpoint(eager=True)
     train = split.where(F.col("split") == "train").select(
         "src_entity", "pred", "dst_entity"
     )
@@ -1697,12 +1703,14 @@ def linkpred_eval(
     # bit-identical; wedges between two non-probe nodes never
     # enumerate).
     if probe_mod is None:
-        aa = register_persist(adamic_adar(train))
+        aa = adamic_adar(train).localCheckpoint(eager=True)
     else:
         probe_nodes = test.select(F.col("u").alias("id")).unionByName(
             test.select(F.col("v").alias("id"))
         )
-        aa = register_persist(adamic_adar(train, restrict=probe_nodes))
+        aa = adamic_adar(train, restrict=probe_nodes).localCheckpoint(
+            eager=True
+        )
     cand = aa.select(
         F.col("node_u").alias("q"), F.col("node_v").alias("t"),
         F.col("aa_nano").alias("s"),
