@@ -332,6 +332,7 @@ def main() -> None:
         "dsir_weights",
         "kg_verbalize",
         "ann_pq_topk",
+        "session_windows",
     ):
         run(
             qname,

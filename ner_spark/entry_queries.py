@@ -4844,6 +4844,41 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_adc_topk(e, e.where(F.col("vec_id") < 50), k=5, nprobe=2)
 
 
+@query(
+    "session_windows",
+    """
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events),
+    s AS (
+      SELECT user_id, us,
+             sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM t)
+    SELECT user_id, count(*) AS n_events,
+           min(us) // 1000000 AS start_ep, max(us) // 1000000 AS end_ep
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark, sf_dir):
+    """Event-time sessionization via Spark's NATIVE session_window
+    aggregation (streaming/stream.py:session_windows — the same call
+    serves a streaming frame with a watermark), checked against a
+    genuinely different device in the oracle (lag + running-sum over
+    exact microsecond epochs). Two events share a session iff their
+    gap <= 30 min — Spark merges windows that touch (probed and
+    pinned by test). One exchange keyed on user_id."""
+    from ner_spark.streaming.stream import session_windows
+
+    return session_windows(
+        _t(spark, sf_dir, "events"), gap="30 minutes", key_col="user_id"
+    )
+
+
 # ===========================================================================
 # BPE merge induction — functions/bpe.py
 # ===========================================================================
@@ -5152,6 +5187,7 @@ _DRIVER_ORDER = [
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
+    "session_windows",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

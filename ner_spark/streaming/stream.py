@@ -327,3 +327,47 @@ def run_triples_stream(
     else:
         q = w.start()
     q.awaitTermination()
+
+
+def session_windows(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event-time sessionization via Spark's native ``session_window``
+    aggregation — ``(key, n_events, start_ep, end_ep)`` with the epoch
+    bounds of each session's first/last event. Two events share a
+    session iff their gap is <= ``gap`` (Spark merges windows that
+    touch: an event exactly ``gap`` after the previous one EXTENDS the
+    session — probed and pinned by test, and mirrored as the strict
+    ``> gap`` break in the DuckDB lag-cumsum oracle).
+
+    The SAME call serves batch and streaming frames: on a streaming
+    frame pass ``watermark`` so the state store evicts sessions once
+    the watermark passes their close (the unbounded-state guard
+    SURVEY §7.4 requires of every stateful streaming op); on a batch
+    frame the watermark is skipped (it would be a no-op column nudge).
+
+    Scale shape: ONE exchange keyed on the session key; Spark's
+    session-window operator merges per-key windows in sorted order
+    (spill-safe, state bounded by open sessions per key) — the same
+    cost model as the lag-cumsum batch device but maintainable
+    incrementally by Structured Streaming.
+    """
+    src = df
+    if watermark is not None and df.isStreaming:
+        src = df.withWatermark(time_col, watermark)
+    return (
+        src.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(time_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min(time_col)).alias("start_ep"),
+            F.unix_timestamp(F.max(time_col)).alias("end_ep"),
+        )
+        .select(key_col, "n_events", "start_ep", "end_ep")
+    )

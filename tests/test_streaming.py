@@ -434,3 +434,88 @@ def test_ttl_eviction_live_interval_trigger(spark, stream_dirs, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_session_windows_batch_matches_lag_device(spark):
+    """The native session_window aggregation equals the lag+cumsum
+    device on microsecond-exact data, including the boundary pins: a
+    gap of EXACTLY 30 min merges; 30 min + 1 us splits."""
+    import datetime
+
+    from ner_spark.streaming.stream import session_windows
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def at(us):
+        return base + datetime.timedelta(microseconds=us)
+
+    G = 1_800_000_000  # 30 min in us
+    rows = [
+        # u1: merge at exactly gap, then split at gap + 1us
+        (1, 10, at(0)),
+        (1, 11, at(G)),
+        (1, 12, at(2 * G + 1)),
+        # u2: sub-second jitter inside one session
+        (2, 20, at(5)),
+        (2, 21, at(999_999)),
+        (2, 22, at(G + 999_998)),
+        # u3: single event
+        (3, 30, at(42)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sorted(
+        map(
+            tuple,
+            session_windows(df, gap="30 minutes").collect(),
+        )
+    )
+    ep0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+
+    def eps(us):
+        return ep0 + us // 1_000_000
+
+    assert out == sorted(
+        [
+            (1, 2, eps(0), eps(G)),          # exactly-gap event merged
+            (1, 1, eps(2 * G + 1), eps(2 * G + 1)),
+            (2, 3, eps(5), eps(G + 999_998)),
+            (3, 1, eps(42), eps(42)),
+        ]
+    )
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    """AvailableNow drain of the same events through a watermarked
+    session_windows equals the batch result (complete output mode)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ner_spark.streaming.stream import session_windows
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # the fixture parquet carries TIMESTAMP_NTZ; watermarks demand
+        # TIMESTAMP, so pin the type on both sides of the parity check
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+    )
+    batch = {
+        tuple(r): 1 for r in session_windows(ev, key_col="user_id").collect()
+    }
+
+    in_dir = os.path.join(tmp_path, "landing")
+    os.makedirs(in_dir)
+    ev.write.parquet(os.path.join(in_dir), mode="overwrite")
+    src = spark.readStream.schema(ev.schema).parquet(in_dir)
+    sess = session_windows(src, key_col="user_id", watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180_000)
+    got = {
+        tuple(r): 1 for r in spark.sql("select * from sess_out").collect()
+    }
+    assert got == batch and len(got) > 0

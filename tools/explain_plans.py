@@ -911,6 +911,18 @@ CHECKS = {
             "candidate-pairs × n_sub slim integers, never vectors."
         ),
     ),
+    "session_windows": dict(
+        requires=["MergingSessions"],
+        forbids=["Python", "Window", "SortMergeJoin"],
+        note=(
+            "Native session-window aggregation: a map-side partial "
+            "aggregate, ONE exchange keyed on user_id, then Spark's "
+            "MergingSessions operator fuses touching windows in sorted "
+            "order — no lag window, no join; the same operator runs "
+            "incrementally under Structured Streaming with a watermark "
+            "bounding state."
+        ),
+    ),
     "kg_verbalize": dict(
         builder="verbalize",
         requires=["Window"],
