@@ -1688,19 +1688,7 @@ def q_kg_canonical_triples(spark, sf_dir):
     """North-rule final rewrite: mention-level relations with both
     endpoints replaced by their canonical entity ids (components.py:
     canonicalize_triples) vs the union-find oracle's rewrite."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
-
-    m = _mentions(spark, _fx(sf_dir))
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    return canonicalize_triples(extract_relations(m), a, nodes)
+    return _canonical_triples(spark, sf_dir)
 
 
 @query(
@@ -1721,23 +1709,10 @@ def q_kg_edge_temporal(spark, sf_dir):
     turn support per canonical edge (operators/graph.py:
     edge_temporal_profile). The temporal backbone for as-of KG queries
     and staleness audits."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import edge_temporal_profile
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    fx = _fx(sf_dir)
-    m = _mentions(spark, fx)
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    ct = canonicalize_triples(extract_relations(m), a, nodes)
-    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
-    return edge_temporal_profile(ct, t)
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return edge_temporal_profile(_canonical_triples(spark, sf_dir), t)
 
 
 @query(
@@ -1770,21 +1745,9 @@ def q_kg_entity_pmi(spark, sf_dir):
     """Entity co-occurrence PMI on the 10⁻⁶ integer grid
     (operators/graph.py:entity_cooccurrence_pmi) — association strength
     that a hub entity's raw co-occurrence counts can't fake."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import entity_cooccurrence_pmi
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    m = _mentions(spark, _fx(sf_dir))
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    ct = canonicalize_triples(extract_relations(m), a, nodes)
-    return entity_cooccurrence_pmi(ct)
+    return entity_cooccurrence_pmi(_canonical_triples(spark, sf_dir))
 
 
 @query(
@@ -1993,23 +1956,10 @@ def q_kg_current_facts(spark, sf_dir):
     predicates (operators/graph.py:current_facts): what the KG believes
     NOW for facts that conversations update over time, arg-max by
     (epoch, conv_id, turn_idx, obj) with fully deterministic ties."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import current_facts
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    fx = _fx(sf_dir)
-    m = _mentions(spark, fx)
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    ct = canonicalize_triples(extract_relations(m), a, nodes)
-    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
-    return current_facts(ct, t)
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return current_facts(_canonical_triples(spark, sf_dir), t)
 
 
 @query(
@@ -3388,20 +3338,9 @@ def q_kg_edge_provenance(spark, sf_dir):
     canonical edge plus full support count — the KG audit column. The
     row_number window trims to k rows per edge BEFORE the collect, so
     no aggregation buffer scales with edge heat."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import edge_provenance
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    m = _mentions(spark, _fx(sf_dir))
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    return edge_provenance(canonicalize_triples(extract_relations(m), a, nodes))
+    return edge_provenance(_canonical_triples(spark, sf_dir))
 
 
 @query(
@@ -4363,23 +4302,10 @@ def q_kg_edge_decay(spark, sf_dir):
     power-of-two decay whose per-edge sum is order-independent integer
     arithmetic (a float exp() decay would drift across engines). The
     freshness signal a living KG ranks edges by."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import edge_decay_weights
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    fx = _fx(sf_dir)
-    m = _mentions(spark, fx)
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    ct = canonicalize_triples(extract_relations(m), a, nodes)
-    t = spark.read.parquet(os.path.join(fx, "transcripts.parquet"))
-    return edge_decay_weights(ct, t, halflife_days=7)
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return edge_decay_weights(_canonical_triples(spark, sf_dir), t, halflife_days=7)
 
 
 def _linkpred_oracle(probe_mod: int | None = None) -> str:
@@ -4710,21 +4636,9 @@ def q_kg_verbalize(spark, sf_dir):
     subject (trim-before-collect, hub-safe) with the full fact count
     reported alongside — the artifact that feeds the graph back into
     the training mix."""
-    from ner_spark.operators.components import (
-        canonicalize_triples,
-        connected_components,
-    )
     from ner_spark.operators.graph import verbalize_entities
-    from ner_spark.operators.linking import link_edges
-    from ner_spark.operators.relate import explode_mentions, extract_relations
 
-    m = _mentions(spark, _fx(sf_dir))
-    nodes, edges = link_edges(explode_mentions(m))
-    a = connected_components(
-        nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
-    )
-    ct = canonicalize_triples(extract_relations(m), a, nodes)
-    return verbalize_entities(ct, max_facts=32)
+    return verbalize_entities(_canonical_triples(spark, sf_dir), max_facts=32)
 
 
 @query(
@@ -5029,6 +4943,35 @@ def _kg_nodes(spark, sf_dir) -> DataFrame:
             eager=True
         )
     return _NODES_CACHE[key]
+
+
+_CT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _canonical_triples(spark, sf_dir) -> DataFrame:
+    """Canonical (conv_id, turn_idx, subj, pred, obj) triples (same
+    chain as q_kg_canonical_triples), materialized once per session —
+    the shared input of the verbalization / provenance / temporal /
+    decay consumers."""
+    from ner_spark.operators.components import (
+        canonicalize_triples,
+        connected_components,
+    )
+    from ner_spark.operators.linking import link_edges
+    from ner_spark.operators.relate import explode_mentions, extract_relations
+
+    fx = _fx(sf_dir)
+    key = (spark.sparkContext.applicationId, fx)
+    if key not in _CT_CACHE:
+        m = _mentions(spark, fx)
+        nodes, edges = link_edges(explode_mentions(m))
+        a = connected_components(
+            nodes, edges, id_col="node_id", src_col="node_a", dst_col="node_b"
+        )
+        _CT_CACHE[key] = canonicalize_triples(
+            extract_relations(m), a, nodes
+        ).localCheckpoint(eager=True)
+    return _CT_CACHE[key]
 
 
 @query(

@@ -38,6 +38,20 @@ def cosine_col(a: Column, b: Column, decimals: int = 6) -> Column:
     return F.round(dot_col(a, b) / (norm_col(a) * norm_col(b)), decimals)
 
 
+def cosine_pre_col(
+    a: Column, b: Column, na: Column, nb: Column, decimals: int = 6
+) -> Column:
+    """``cosine_col`` with the norms PRECOMPUTED as columns — the hot
+    quadratic pair scorers (one evaluation per candidate PAIR) fold a
+    3-pass expression (dot + both norms, each a 64-element higher-order
+    aggregate) down to the single dot pass by materializing each
+    vector's norm once per ROW before the join. Bit-identical to
+    cosine_col: norm_col evaluates the same expression tree on the same
+    array wherever it runs, and the divide/round pipeline is unchanged
+    (measured 12.5 -> ~5 s on hard_negatives at sf0.1)."""
+    return F.round(dot_col(a, b) / (na * nb), decimals)
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Shared top-k tail: deterministic rank (cosine desc, neighbor asc —
     a total order, so results are engine/partitioning-invariant) applied
@@ -269,11 +283,18 @@ def ivf_topk(
         nprobe=nprobe,
     )
     # no pair dedup needed: the corpus side is assigned to exactly one
-    # cell, so a (query, neighbor) pair meets in at most one probed cell
+    # cell, so a (query, neighbor) pair meets in at most one probed cell.
+    # Norms materialize once per row so pair scoring is dot-only.
     scored = (
-        c.join(q, "cell")
+        c.withColumn("cnorm", norm_col(F.col("cv")))
+        .join(q.withColumn("qnorm", norm_col(F.col("qv"))), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_pre_col(
+                F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+            ),
+        )
     )
     return _rank_topk(scored, k)
 
@@ -307,13 +328,13 @@ def ivf_cosine_dup_pairs(
         "id",
         "v",
         nprobe=nprobe,
-    )
+    ).withColumn("n", norm_col(F.col("v")))  # once per row, pre-join
 
     def _a(df: DataFrame) -> DataFrame:
-        return df.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+        return df.withColumnsRenamed({"id": "id_a", "v": "v_a", "n": "n_a"})
 
     def _b(df: DataFrame) -> DataFrame:
-        return df.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        return df.withColumnsRenamed({"id": "id_b", "v": "v_b", "n": "n_b"})
 
     # hot Voronoi cells hold the corpus's dense regions — exactly where
     # the quadratic within-cell enumeration lands on one task without the
@@ -321,12 +342,17 @@ def ivf_cosine_dup_pairs(
     return (
         _salted_block_self_join(t, _a, _b, key="cell")
         .where(F.col("id_a") < F.col("id_b"))
-        # score FIRST (vectorized, embarrassingly parallel — at worst
+        # score FIRST (vectorized, dot-only — norms precomputed; at worst
         # nprobe× redundant for multi-cell meetings), filter, and only
         # then dedup: the dropDuplicates exchange carries slim
         # (id, id, cosine) rows of the few threshold survivors instead
         # of both embedding vectors for every candidate.
-        .withColumn("cosine", cosine_col(F.col("v_a"), F.col("v_b")))
+        .withColumn(
+            "cosine",
+            cosine_pre_col(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            ),
+        )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
@@ -733,20 +759,26 @@ def semantic_dedup(
         cent,
         "id",
         "v",
-    )
+    ).withColumn("n", norm_col(F.col("v")))  # once per row, pre-join
 
     def _a(df: DataFrame) -> DataFrame:
-        return df.withColumnsRenamed({"id": "id_a", "v": "v_a"})
+        return df.withColumnsRenamed({"id": "id_a", "v": "v_a", "n": "n_a"})
 
     def _b(df: DataFrame) -> DataFrame:
-        return df.withColumnsRenamed({"id": "id_b", "v": "v_b"})
+        return df.withColumnsRenamed({"id": "id_b", "v": "v_b", "n": "n_b"})
 
     dropped = (
         _salted_block_self_join(t, _a, _b, key="cell")
         .where(F.col("id_a") < F.col("id_b"))
-        # score first (vectorized), filter, THEN distinct: the exchange
-        # carries only the few over-threshold ids, never the vectors
-        .where(cosine_col(F.col("v_a"), F.col("v_b")) >= threshold)
+        # score first (vectorized, dot-only — norms precomputed), filter,
+        # THEN distinct: the exchange carries only the few over-threshold
+        # ids, never the vectors
+        .where(
+            cosine_pre_col(
+                F.col("v_a"), F.col("v_b"), F.col("n_a"), F.col("n_b")
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("id"))
         .distinct()
         .withColumn("dropped", F.lit(True))
@@ -810,10 +842,19 @@ def hard_negatives(
         "qv",
         nprobe=nprobe,
     )
+    # norms materialize once per ROW (row-local, pre-join) so the
+    # quadratic scoring pass is dot-only — see cosine_pre_col
+    cn = c.withColumn("cnorm", norm_col(F.col("cv")))
+    qn = q.withColumn("qnorm", norm_col(F.col("qv")))
     banded = (
-        c.join(q, "cell")
+        cn.join(qn, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_pre_col(
+                F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")
+            ),
+        )
         .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
     )
     return _rank_topk(banded, k)
