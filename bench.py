@@ -261,6 +261,19 @@ def main() -> None:
     release_persisted_blocks()
     spark.catalog.clearCache()
 
+    # warm the session-level canonical-table materializations
+    # (entry_queries._kg_edges/_kg_nodes/_canonical_triples) so the
+    # QUERIES-loop rows below measure OPERATORS, not the one-time
+    # extraction+linking+CC build — the same isolation the KG section
+    # above applies with its own cached edge table. Without this the
+    # first consumer in the loop (kg_linkpred_probe / kg_verbalize /
+    # kg_alias_pairs) absorbs the whole build: measured 20-47 s for a
+    # 6 s operator.
+    from ner_spark.entry_queries import _canonical_triples, _kg_edges, _kg_nodes
+
+    for _warm in (_kg_edges, _kg_nodes, _canonical_triples):
+        _warm(spark, sf_dir).count()
+
     # -- headline: training-data ops + relational core --------------------
     heavy = {
         "token_jaccard_pairs",
@@ -333,6 +346,8 @@ def main() -> None:
         "kg_verbalize",
         "ann_pq_topk",
         "session_windows",
+        "containment_pairs",
+        "kg_cloze_questions",
     ):
         run(
             qname,

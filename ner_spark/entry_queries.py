@@ -4702,6 +4702,65 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 @query(
+    "kg_cloze_questions",
+    f"""
+    SELECT 'what is the ' || pred || ' of ' || subj || '?' AS question,
+           obj AS answer, count(*) AS support
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+    GROUP BY subj, pred, obj
+    """,
+)
+def q_kg_cloze_questions(spark, sf_dir):
+    """Synthetic cloze QA pairs from the canonical KG (operators/
+    graph.py:cloze_questions) — one row per distinct fact with its
+    assertion-support count, the QA-generation half of the
+    KG-to-training-data story whose statement half is kg_verbalize.
+    One map-side fact aggregate + a row-local template render."""
+    from ner_spark.operators.graph import cloze_questions
+
+    return cloze_questions(_canonical_triples(spark, sf_dir))
+
+
+@query(
+    "containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5 THEN list_distinct(list_transform(
+               range(CAST(1 AS BIGINT), CAST(len(t) - 3 AS BIGINT)),
+               i -> {_h60("array_to_string(t[i:i+4], ' ')")}))
+             ELSE [] END AS hs
+      FROM toks),
+    sh AS (SELECT doc_id AS id, unnest(hs) AS h FROM gh),
+    keep AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 64),
+    s AS (SELECT id, h FROM sh JOIN keep USING (h)),
+    sz AS (SELECT id, count(*) AS n_sh FROM s GROUP BY id),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+              FROM s a JOIN s b ON a.h = b.h AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+           CAST(floor(1000000 * n_inter / za.n_sh) AS BIGINT) AS cont_a_micro,
+           CAST(floor(1000000 * n_inter / zb.n_sh) AS BIGINT) AS cont_b_micro
+    FROM inter JOIN sz za ON id_a = za.id JOIN sz zb ON id_b = zb.id
+    WHERE floor(1000000 * n_inter / za.n_sh) >= 500000
+       OR floor(1000000 * n_inter / zb.n_sh) >= 500000
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment pairs (functions/dedup.py:
+    containment_pairs) — the quote/boilerplate-inclusion detector
+    symmetric Jaccard structurally misses: |A∩B|/|A| over df-bounded
+    word-5-gram shingle sets on the 1e-6 integer grid. Per-doc
+    distinct rides array_distinct BEFORE the explode; pair
+    enumeration blocks on the shingle hash (population <= max_df)."""
+    from ner_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query(
     "session_windows",
     """
     WITH t AS (
@@ -5117,7 +5176,7 @@ _DRIVER_ORDER = [
     "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
-    "session_windows",
+    "session_windows", "containment_pairs", "kg_cloze_questions",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

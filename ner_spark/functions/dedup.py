@@ -1016,3 +1016,106 @@ def conv_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    threshold_micro: int = 500_000,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs — ``(id_a, id_b, n_inter, n_a, n_b,
+    cont_a_micro, cont_b_micro)``: document pairs where one side's
+    word-``n``-gram shingle set is mostly inside the other's
+    (``cont_a = |A∩B| / |A|`` on the 1e-6 integer grid). This is the
+    duplication Jaccard structurally misses: a short document quoted
+    whole inside a long one has tiny Jaccard but containment ~1 — the
+    quote/boilerplate-inclusion detector of the RefinedWeb/Dolma-style
+    curation stacks, complementing ``token_jaccard_pairs`` (symmetric)
+    and ``dup_span_fraction`` (span-level).
+
+    Pinned spec (mirrored in the SQL oracle): shingles are the
+    lowercased word n-grams of docs with >= n tokens (shorter docs have
+    no shingle set to contain); sets are distinct 60-bit gram hashes;
+    shingles with document frequency outside [2, max_df] are excluded —
+    df=1 cannot pair, and df > max_df is corpus boilerplate whose
+    enumeration is quadratic in df while saying nothing about pairwise
+    containment (the standard frequent-shingle cut; the metric is
+    therefore containment OVER NON-BOILERPLATE shingles, identical in
+    both engines). A pair is emitted iff either direction reaches
+    ``threshold_micro``.
+
+    Scale shape: per-doc distinct happens row-locally (array_distinct
+    before the explode — the dup_span device), so exchanges carry
+    (doc_id, int64) rows only; the df census is one map-side-combinable
+    aggregate; pair enumeration blocks on the shingle hash with block
+    population bounded by ``max_df`` and rides the shared salted
+    self-join (all-light at this cap, parallelism pinned against AQE
+    input-byte coalescing); the per-pair intersection count and the
+    two size joins are slim-keyed.
+    """
+    from ner_spark.operators.linking import md5_hash60_col
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: md5_hash60_col(
+                    F.array_join(F.slice(toks, i, n), " ")
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sh = register_persist(
+        _ensure_parallel(docs).select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("h")
+        )
+    )
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("h")
+    )
+    s = register_persist(sh.join(keep, "h", "left_semi"))
+
+    def _a(df: DataFrame) -> DataFrame:
+        return df.withColumnRenamed("id", "id_a")
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.withColumnRenamed("id", "id_b")
+
+    inter = (
+        _salted_block_self_join(s, _a, _b, key="h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz = s.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(sz.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sz.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.floor(F.lit(1_000_000) * F.col("n_inter") / F.col("n_a"))
+            .cast("long")
+            .alias("cont_a_micro"),
+            F.floor(F.lit(1_000_000) * F.col("n_inter") / F.col("n_b"))
+            .cast("long")
+            .alias("cont_b_micro"),
+        )
+        .where(
+            (F.col("cont_a_micro") >= threshold_micro)
+            | (F.col("cont_b_micro") >= threshold_micro)
+        )
+    )

@@ -1800,3 +1800,39 @@ def verbalize_entities(triples: DataFrame, max_facts: int = 32) -> DataFrame:
             F.lit("."),
         ).alias("card_text"),
     ).withColumnRenamed("subj", "entity")
+
+
+def cloze_questions(triples: DataFrame) -> DataFrame:
+    """Synthetic QA pairs from the canonical KG — ``(question, answer,
+    support)``: one row per distinct fact, rendered as the cloze
+    template ``"what is the <pred> of <subj>?"`` with the object as
+    the answer and ``support`` = how many (conv, turn) assertions back
+    the fact. The QA-generation half of the KG-to-training-data story
+    whose statement half is ``verbalize_entities``: cloze QA over
+    extracted triples is the standard recipe for injecting KG facts
+    into instruction-tuning mixes, and ``support`` is the confidence
+    column a curation step thresholds on.
+
+    A (subj, pred) with several objects yields several rows — the
+    ambiguity is the KG's, not the renderer's; filter on
+    ``pred_cardinality_profile``'s functional predicates when a
+    single-answer guarantee is needed.
+
+    Plan: one map-side-combinable aggregate on the fact key, then a
+    row-local template render — nothing else.
+    """
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .select(
+            F.concat(
+                F.lit("what is the "),
+                F.col("pred"),
+                F.lit(" of "),
+                F.col("subj"),
+                F.lit("?"),
+            ).alias("question"),
+            F.col("obj").alias("answer"),
+            "support",
+        )
+    )

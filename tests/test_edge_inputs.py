@@ -174,3 +174,76 @@ def test_transcript_analytics_on_edge_inputs(spark, edge_df):
     assert cards["c-empty"]["top_pred"] == ""
     assert cards["c-empty"]["tools"] == ""
     assert cards["c-long"]["n_turns"] == 2
+
+
+def test_round4_operators_degenerate_inputs(spark):
+    """Degenerate corpora the fixtures never produce, one assertion per
+    pinned edge semantics of the round-4 operators."""
+    from ner_spark.functions.datasets import dsir_weights
+    from ner_spark.functions.similarity import (
+        hard_negatives,
+        ivf_topk,
+        pq_adc_topk,
+        semantic_dedup,
+    )
+    from ner_spark.operators.graph import verbalize_entities
+
+    # dsir: empty target slice -> weights still defined (pure raw side);
+    # single-token doc scores unigrams only; empty corpus -> empty out
+    d = spark.createDataFrame(
+        [(0, "alpha beta", "web"), (1, "gamma", "web")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(d, target_source="tgt").collect()}
+    assert out[0]["n_feats"] == 3 and out[1]["n_feats"] == 1  # uni+bi vs uni
+    assert all(r["logw"] is not None for r in out.values())
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert dsir_weights(empty).count() == 0
+
+    # embeddings: 6 orthogonal-ish vectors
+    import random as _r
+
+    rng = _r.Random(1)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    # semantic_dedup at an impossible threshold keeps everything
+    assert all(
+        r["keep"] for r in semantic_dedup(emb, threshold=1.000001, n_cells=2).collect()
+    )
+    # hard_negatives with an empty band emits nothing; with the full
+    # band it equals ivf_topk's ranking exactly (same machinery)
+    assert hard_negatives(emb, k=3, lo=0.99, hi=0.991, n_cells=2).count() in (0, 1, 2)
+    wide = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in hard_negatives(
+            emb, queries=emb, k=3, lo=-1.0, hi=1.1, n_cells=2, nprobe=2
+        ).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, emb, k=3, n_cells=2, nprobe=2).collect()
+    }
+    assert wide == ivf
+
+    # pq_adc: k beyond the candidate count just returns all candidates,
+    # ranks dense from 1
+    rows = pq_adc_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=100,
+        n_sub=2, n_cells_pq=2, n_cells_ivf=2, dim=8, nprobe=1,
+    ).collect()
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in rows)
+
+    # verbalize: empty triple frame -> empty output; single fact renders
+    t0 = spark.createDataFrame(
+        [], "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    assert verbalize_entities(t0).count() == 0
+    t1 = spark.createDataFrame(
+        [("c", 0, "s|x", "p", "o|y")],
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    r = verbalize_entities(t1).collect()[0]
+    assert r["card_text"] == "s|x: p o|y." and r["n_facts"] == 1

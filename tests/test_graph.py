@@ -1153,3 +1153,23 @@ def test_verbalize_entities_rendering_and_cap(spark):
         for r in verbalize_entities(t.repartition(7), max_facts=4).collect()
     }
     assert out2 == {k: (v["n_facts"], v["card_text"]) for k, v in out.items()}
+
+
+def test_cloze_questions_render_and_support(spark):
+    from ner_spark.operators.graph import cloze_questions
+
+    rows = [
+        ("c0", 0, "brand|acme", "makes", "product|mug"),
+        ("c1", 4, "brand|acme", "makes", "product|mug"),  # second assertion
+        ("c0", 1, "brand|acme", "makes", "product|bowl"),  # ambiguous pred: 2 rows
+        ("c0", 2, "person|ada", "works_at", "brand|acme"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    out = {(r["question"], r["answer"]): r["support"] for r in cloze_questions(t).collect()}
+    assert out == {
+        ("what is the makes of brand|acme?", "product|mug"): 2,
+        ("what is the makes of brand|acme?", "product|bowl"): 1,
+        ("what is the works_at of person|ada?", "brand|acme"): 1,
+    }

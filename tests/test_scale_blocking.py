@@ -505,3 +505,71 @@ def test_pq_adc_topk_matches_python_reference(spark):
     # its own cell in every subspace, so its ADC to itself would be 0 —
     # and self pairs are excluded
     assert all(q != n for q, n in out)
+
+
+def test_containment_pairs_quote_detection_and_reference(spark):
+    """A short doc quoted whole inside a long one: containment -> 1.0
+    while Jaccard is tiny; output equals a pure-Python brute-force
+    reference of the pinned spec (df-bounded distinct 5-gram hashes)."""
+    import hashlib
+
+    from ner_spark.functions.dedup import containment_pairs
+
+    rng = random.Random(23)
+    words = [f"w{i}" for i in range(400)]
+    quote = " ".join(rng.sample(words, 12))  # 12 tokens -> 8 5-grams
+    long_doc = (
+        " ".join(rng.sample(words, 60)) + " " + quote + " "
+        + " ".join(rng.sample(words, 60))
+    )
+    rows = [(0, quote), (1, long_doc), (2, " ".join(rng.sample(words, 40)))]
+    # a boilerplate gram shared by EVERYONE must be df-cut, not counted
+    boiler = "b0 b1 b2 b3 b4"
+    rows = [(i, t + " " + boiler) for i, t in rows]
+    rows += [(10 + i, f"{boiler} x{i}") for i in range(70)]  # df(boiler) > 64
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def gramset(t):
+        toks = [x for x in t.lower().split(" ") if x]
+        if len(toks) < 5:
+            return set()
+        return {h60(" ".join(toks[i : i + 5])) for i in range(len(toks) - 4)}
+
+    gs = {i: gramset(t) for i, t in rows}
+    df_count = {}
+    for s in gs.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    kept = {i: {h for h in s if 2 <= df_count[h] <= 64} for i, s in gs.items()}
+    expect = {}
+    ids = sorted(gs)
+    for i in ids:
+        for j in ids:
+            if i >= j or not kept[i] or not kept[j]:
+                continue
+            inter = len(kept[i] & kept[j])
+            if inter == 0:
+                continue
+            ca = 1_000_000 * inter // len(kept[i])
+            cb = 1_000_000 * inter // len(kept[j])
+            if ca >= 500_000 or cb >= 500_000:
+                expect[(i, j)] = (inter, len(kept[i]), len(kept[j]), ca, cb)
+
+    out = {
+        (r["id_a"], r["id_b"]): (
+            r["n_inter"], r["n_a"], r["n_b"],
+            r["cont_a_micro"], r["cont_b_micro"],
+        )
+        for r in containment_pairs(d).collect()
+    }
+    assert out == expect
+    # the planted quote pair is found with full one-sided containment...
+    assert out[(0, 1)][3] == 1_000_000
+    # ...while its RAW-gram Jaccard (what token_jaccard_pairs scores —
+    # df filtering applies only inside the containment spec) is far
+    # below any dup threshold: the asymmetry is the operator's point
+    raw_inter = len(gs[0] & gs[1])
+    assert raw_inter / len(gs[0] | gs[1]) < 0.2

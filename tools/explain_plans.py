@@ -911,6 +911,30 @@ CHECKS = {
             "candidate-pairs × n_sub slim integers, never vectors."
         ),
     ),
+    "kg_cloze_questions": dict(
+        builder="cloze",
+        requires=["HashAggregate"],
+        forbids=["Python", "Window", "CartesianProduct"],
+        max_tree_exchanges=1,
+        note=(
+            "Cloze QA generation over the materialized canonical "
+            "triples: ONE fact-keyed exchange feeding a map-side-"
+            "combinable aggregate; the template render is pure codegen "
+            "— no Python, no window, no join anywhere."
+        ),
+    ),
+    "containment_pairs": dict(
+        requires=["InMemoryTableScan"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Containment pair generation: per-doc distinct gram hashes "
+            "materialize row-locally (array_distinct before the "
+            "explode), the shingle frame persists once and feeds the "
+            "df census + both join branches, and pair enumeration "
+            "blocks on the shingle hash with population bounded by "
+            "max_df — exchanges carry (doc_id, int64) rows only."
+        ),
+    ),
     "session_windows": dict(
         requires=["MergingSessions"],
         forbids=["Python", "Window", "SortMergeJoin"],
@@ -1144,6 +1168,15 @@ def main() -> None:
             )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "cloze":
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXC
+            from ner_spark.operators.graph import cloze_questions
+
+            df = cloze_questions(
+                spark.read.parquet(
+                    os.path.join(_FXC, "canonical_triples.parquet")
+                )
+            )
         elif spec.get("builder") == "verbalize":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXV
             from ner_spark.operators.graph import verbalize_entities
