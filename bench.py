@@ -348,6 +348,7 @@ def main() -> None:
         "session_windows",
         "containment_pairs",
         "kg_cloze_questions",
+        "dedup_incremental",
     ):
         run(
             qname,

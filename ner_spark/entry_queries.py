@@ -4702,6 +4702,55 @@ def q_ann_pq_topk(spark, sf_dir):
 
 
 @query(
+    "dedup_incremental",
+    f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM d),
+    hh AS (SELECT doc_id, sh, {_hs_sql('sh')} AS hs FROM t),
+    m AS (SELECT doc_id, sh, {_sig_sql()} AS sig FROM hh),
+    b AS (SELECT doc_id,
+            b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
+          FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
+    p AS (SELECT DISTINCT least(a.doc_id, c.doc_id) AS id_a,
+                 greatest(a.doc_id, c.doc_id) AS id_b
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id <> c.doc_id
+          WHERE a.doc_id % 5 = 0)
+    SELECT id_a, id_b,
+           round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard,
+           CASE WHEN id_a % 5 = 0 AND id_b % 5 = 0 THEN 'new-new'
+                ELSE 'new-old' END AS pair_kind
+    FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id
+    WHERE round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) >= 0.5
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup ingest (functions/dedup.py:
+    incremental_dup_pairs): the 20% of documents with doc_id % 5 == 0
+    play today's delta against the other 80% as the already-deduped
+    base — the bipartite band join enumerates only pairs touching a
+    new document, never base×base; semantics otherwise identical to
+    lsh_dup_pairs (same shingles/signatures/bands/verify). pair_kind
+    routes downstream: 'new-old' drops the new doc, 'new-new' feeds
+    the survivor collapse."""
+    from ner_spark.functions.dedup import incremental_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return incremental_dup_pairs(
+        d.where(F.col("doc_id") % 5 != 0),
+        d.where(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+        k=3,
+    )
+
+
+@query(
     "kg_cloze_questions",
     f"""
     SELECT 'what is the ' || pred || ' of ' || subj || '?' AS question,
@@ -5177,6 +5226,7 @@ _DRIVER_ORDER = [
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
+    "dedup_incremental",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

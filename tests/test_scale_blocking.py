@@ -573,3 +573,44 @@ def test_containment_pairs_quote_detection_and_reference(spark):
     # below any dup threshold: the asymmetry is the operator's point
     raw_inter = len(gs[0] & gs[1])
     assert raw_inter / len(gs[0] | gs[1]) < 0.2
+
+
+def test_incremental_dup_pairs_equals_filtered_batch(spark):
+    """The incremental operator's contract: over (base, delta) it
+    yields EXACTLY the batch pair set restricted to pairs touching a
+    delta doc — same shingles/signatures/bands/verify — and never a
+    base-base pair."""
+    from ner_spark.functions.dedup import incremental_dup_pairs, minhash_lsh_pairs
+
+    rng = random.Random(31)
+    words = [f"w{i}" for i in range(200)]
+    docs = []
+    for i in range(40):
+        base_toks = rng.sample(words, 12)
+        docs.append((i, " ".join(base_toks)))
+        if i % 3 == 0:  # plant near-dups across the base/delta split
+            toks = list(base_toks)
+            toks[0] = f"v{i}"
+            docs.append((100 + i, " ".join(toks)))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    delta_pred = F.col("doc_id") % 2 == 0
+    base, delta = d.where(~delta_pred), d.where(delta_pred)
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+
+    batch = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(d, threshold=0.3, k=3).collect()
+    }
+    expect = {
+        k: v for k, v in batch.items() if k[0] in delta_ids or k[1] in delta_ids
+    }
+    inc = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["pair_kind"])
+        for r in incremental_dup_pairs(base, delta, threshold=0.3, k=3).collect()
+    }
+    assert {k: v[0] for k, v in inc.items()} == expect
+    assert len(expect) > 0
+    for (a, b), (_, kind) in inc.items():
+        both_new = a in delta_ids and b in delta_ids
+        assert kind == ("new-new" if both_new else "new-old")
+        assert a in delta_ids or b in delta_ids  # never base-base

@@ -911,6 +911,20 @@ CHECKS = {
             "candidate-pairs × n_sub slim integers, never vectors."
         ),
     ),
+    "dedup_incremental": dict(
+        requires=["SortAggregate", "BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Incremental near-dup ingest: the band join is BIPARTITE — "
+            "only delta-side rows enter the left input, so base×base "
+            "candidates never enumerate, and a small daily delta rides "
+            "a BroadcastHashJoin against the full-corpus band stream "
+            "(AQE falls back to a shuffle join for a big delta); "
+            "candidate dedup is one partial+final aggregate and the "
+            "exact-Jaccard verify is a row-local higher-order "
+            "intersect."
+        ),
+    ),
     "kg_cloze_questions": dict(
         builder="cloze",
         requires=["HashAggregate"],
