@@ -5198,6 +5198,74 @@ def q_kg_pagerank(spark, sf_dir):
     return pagerank(_kg_edges(spark, sf_dir))
 
 
+@query(
+    "retry_runs",
+    f"""
+    WITH aug AS (
+      SELECT conv_id, turn_idx * 2 AS turn_idx, role, tool, ts
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      UNION ALL
+      SELECT conv_id, turn_idx * 2 + 1 AS turn_idx, role, tool,
+             ts + INTERVAL 5 SECOND AS ts
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')
+      WHERE tool IS NOT NULL
+        AND substring(md5(conv_id || ':' || turn_idx::VARCHAR), 1, 1)
+            IN ('0', '1')),
+    calls AS (
+      SELECT conv_id, turn_idx, tool, epoch_ms(ts) AS ms,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS seq
+      FROM aug WHERE tool IS NOT NULL),
+    isl AS (
+      SELECT *, seq - row_number()
+               OVER (PARTITION BY conv_id, tool ORDER BY seq) AS island
+      FROM calls)
+    SELECT conv_id, tool,
+           CAST(min(turn_idx) AS INTEGER) AS start_turn,
+           CAST(max(turn_idx) AS INTEGER) AS end_turn,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(max(ms) - min(ms) AS BIGINT) AS span_ms
+    FROM isl GROUP BY conv_id, tool, island
+    HAVING count(*) >= 2
+    """,
+)
+def q_retry_runs(spark, sf_dir):
+    """Tool-retry bursts (operators/segments.py:retry_runs) — maximal
+    same-tool streaks in each conversation's tool-call sequence, the
+    stuck-agent signature an ops dashboard alerts on and a curation
+    pass down-weights. The fixture generator never repeats a tool
+    back-to-back (by construction), so the query deterministically
+    re-issues ~1/8 of tool calls 5 s later (turn grid doubled, retry
+    at 2·i+1 — md5-gated on (conv_id, turn_idx)) on BOTH engines: the
+    double-fire scenario the operator exists for. Gaps-and-islands:
+    two conv-partitioned windows + one map-side-combinable aggregate,
+    a single exchange on conv_id."""
+    from ner_spark.operators.segments import retry_runs
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    base = t.select(
+        "conv_id",
+        (F.col("turn_idx") * 2).alias("turn_idx"),
+        "role",
+        "tool",
+        "ts",
+    )
+    retries = t.where(
+        F.col("tool").isNotNull()
+        & F.substring(
+            F.md5(F.concat_ws(":", "conv_id", "turn_idx")), 1, 1
+        ).isin("0", "1")
+    ).select(
+        "conv_id",
+        (F.col("turn_idx") * 2 + 1).alias("turn_idx"),
+        "role",
+        "tool",
+        (F.col("ts") + F.expr("INTERVAL 5 SECOND")).alias("ts"),
+    )
+    return retry_runs(base.unionByName(retries))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5226,7 +5294,7 @@ _DRIVER_ORDER = [
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
-    "dedup_incremental",
+    "dedup_incremental", "retry_runs",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

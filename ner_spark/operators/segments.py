@@ -237,3 +237,58 @@ def tool_ngrams(transcripts: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(k)
     )
+
+
+def retry_runs(transcripts: DataFrame, min_len: int = 2) -> DataFrame:
+    """Tool-retry bursts — maximal streaks of CONSECUTIVE tool calls
+    that invoke the same tool within one conversation:
+    ``(conv_id, tool, start_turn, end_turn, run_len, span_ms)``.
+    A streak is consecutive in the conversation's TOOL-CALL sequence
+    (intervening user/assistant turns don't break it — the agent went
+    straight back to the same tool), and only streaks of at least
+    ``min_len`` calls are emitted: those are the retry loops /
+    stuck-agent signatures an agent-ops dashboard alerts on and a
+    curation pipeline down-weights before training on the transcript.
+
+    Device: gaps-and-islands. ``seq`` numbers the conversation's tool
+    calls; ``seq - row_number() over (conv, tool order seq)`` is
+    constant exactly along a same-tool streak, so one aggregate keyed
+    on (conv_id, tool, island) collapses each streak to a row. Both
+    windows partition by ``conv_id`` (bounded by conversation length,
+    the same bound every transcript window in this repo rides); the
+    final aggregate is map-side combinable on keys that live inside
+    one conversation, so the whole operator is a single exchange on
+    conv_id no matter the corpus size.
+
+    ``span_ms`` is the integer epoch-millisecond delta from the
+    streak's first to last call — exact on any engine; no floats
+    anywhere in the operator.
+    """
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        )
+        .withColumn("seq", F.row_number().over(w_conv))
+    )
+    w_tool = Window.partitionBy("conv_id", "tool").orderBy("seq")
+    islands = calls.withColumn(
+        "island", F.col("seq") - F.row_number().over(w_tool)
+    )
+    return (
+        islands.groupBy("conv_id", "tool", "island")
+        .agg(
+            F.min("turn_idx").alias("start_turn"),
+            F.max("turn_idx").alias("end_turn"),
+            F.count(F.lit(1)).alias("run_len"),
+            (F.max("ms") - F.min("ms")).alias("span_ms"),
+        )
+        .where(F.col("run_len") >= min_len)
+        .select(
+            "conv_id", "tool", "start_turn", "end_turn", "run_len", "span_ms"
+        )
+    )

@@ -1173,3 +1173,53 @@ def test_cloze_questions_render_and_support(spark):
         ("what is the makes of brand|acme?", "product|bowl"): 1,
         ("what is the works_at of person|ada?", "brand|acme"): 1,
     }
+
+
+def test_retry_runs_islands(spark):
+    """Same-tool streaks are maximal in the TOOL-CALL sequence (user/
+    assistant turns in between don't break them); singleton calls are
+    not runs; span_ms is the exact first-to-last millisecond delta."""
+    import datetime as dt
+
+    from ner_spark.operators.segments import retry_runs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # c1 tool-call sequence: search search | assistant turn between
+        # the 2nd and 3rd call | search db_query search
+        ("c1", 0, "tool", "search", ts(0)),
+        ("c1", 1, "tool", "search", ts(10)),
+        ("c1", 2, "assistant", None, ts(11)),
+        ("c1", 3, "tool", "search", ts(25)),
+        ("c1", 4, "tool", "db_query", ts(30)),
+        ("c1", 5, "tool", "search", ts(40)),
+        # c2: one lone call — never a run
+        ("c2", 0, "tool", "calculator", ts(0)),
+        # c3: a 3-streak split across the whole conversation
+        ("c3", 0, "tool", "browser", ts(0)),
+        ("c3", 1, "user", None, ts(1)),
+        ("c3", 2, "tool", "browser", ts(7)),
+        ("c3", 3, "tool", "browser", ts(9)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, tool string, "
+        "ts timestamp",
+    )
+    got = {
+        (r.conv_id, r.tool, r.start_turn, r.end_turn): (r.run_len, r.span_ms)
+        for r in retry_runs(df).collect()
+    }
+    # c1: the assistant turn does NOT break the search streak (calls
+    # 1,2,3 of the tool sequence are all search) -> one run of 3;
+    # the trailing search after db_query is a singleton.
+    assert got == {
+        ("c1", "search", 0, 3, ): (3, 25_000),
+        ("c3", "browser", 0, 3): (3, 9_000),
+    }
+    assert retry_runs(df, min_len=4).count() == 0
