@@ -5266,6 +5266,76 @@ def q_retry_runs(spark, sf_dir):
     return retry_runs(base.unionByName(retries))
 
 
+@query(
+    "kg_supergraph",
+    f"""
+    WITH e AS (
+      SELECT src_entity, dst_entity, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    und AS (
+      SELECT x, y, sum(w) AS w FROM (
+        SELECT src_entity AS x, dst_entity AS y, w FROM e
+        UNION ALL
+        SELECT dst_entity AS x, src_entity AS y, w FROM e)
+      WHERE x <> y GROUP BY 1, 2),
+    l0 AS (SELECT DISTINCT x, x AS lbl FROM und),
+    s1 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l0 l ON u.y = l.x GROUP BY 1, 2),
+    l1 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s1)
+           WHERE rn = 1),
+    s2 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l1 l ON u.y = l.x GROUP BY 1, 2),
+    l2 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s2)
+           WHERE rn = 1),
+    s3 AS (SELECT u.x, l.lbl, sum(u.w) AS s
+           FROM und u JOIN l2 l ON u.y = l.x GROUP BY 1, 2),
+    l3 AS (SELECT x, lbl FROM (
+             SELECT x, lbl, row_number() OVER (
+               PARTITION BY x ORDER BY s DESC, lbl ASC) AS rn FROM s3)
+           WHERE rn = 1),
+    agg AS (
+      SELECT la.lbl AS src_community, lb.lbl AS dst_community, d.pred,
+             count(*) AS n_edges, sum(CAST(d.n_turns AS BIGINT)) AS tw
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}') d
+      JOIN l3 la ON d.src_entity = la.x
+      JOIN l3 lb ON d.dst_entity = lb.x
+      WHERE d.src_entity <> d.dst_entity
+      GROUP BY 1, 2, 3),
+    pairs AS (
+      SELECT src_community, dst_community,
+             CAST(sum(n_edges) AS BIGINT) AS n_edges,
+             CAST(sum(tw) AS BIGINT) AS total_weight
+      FROM agg GROUP BY 1, 2),
+    top AS (
+      SELECT src_community, dst_community, pred AS top_pred FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src_community, dst_community
+          ORDER BY n_edges DESC, pred ASC) AS rn FROM agg)
+      WHERE rn = 1)
+    SELECT p.src_community, p.dst_community, p.n_edges, p.total_weight,
+           t.top_pred
+    FROM pairs p JOIN top t USING (src_community, dst_community)
+    """,
+)
+def q_kg_supergraph(spark, sf_dir):
+    """Community-contracted KG rollup (operators/graph.py:supergraph) —
+    the graph OF label-propagation communities: per ordered community
+    pair, edge count, weight mass, dominant predicate (self-pair rows
+    = contracted internal mass). The zoom-out view / multilevel-
+    partitioning coarsening step: two entity-keyed joins of the slim
+    label frame against the edge list, then everything collapses
+    through one (pair, pred)-keyed map-side-combinable aggregate and a
+    tiny per-pair arg-min. Oracle: the kg_communities unrolled-LPA SQL
+    extended with the same contraction."""
+    from ner_spark.operators.graph import supergraph
+
+    return supergraph(_kg_edges(spark, sf_dir), iters=3)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5294,7 +5364,7 @@ _DRIVER_ORDER = [
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
-    "dedup_incremental", "retry_runs",
+    "dedup_incremental", "retry_runs", "kg_supergraph",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

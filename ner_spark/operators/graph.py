@@ -1836,3 +1836,68 @@ def cloze_questions(triples: DataFrame) -> DataFrame:
             "support",
         )
     )
+
+
+def supergraph(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Community-contracted rollup of the KG — the graph OF communities:
+    ``(src_community, dst_community, n_edges, total_weight, top_pred)``
+    with one row per ordered community pair that at least one directed
+    edge connects (``src_community == dst_community`` rows are the
+    contracted self-loops carrying the community's internal mass).
+    ``top_pred`` is the pair's dominant predicate (ties to the
+    lexicographically smallest). Communities come from the same
+    deterministic ``label_propagation`` (synchronous, ``iters`` rounds,
+    weighted majority, lexicographic tie-break) the ``kg_communities``
+    query exposes, so the rollup is a pure function of the edge set.
+
+    This is the zoom-out view a KG explorer renders when the full graph
+    is too big to draw, and the coarsening step of multilevel graph
+    partitioning: at 10^12-turn scale the node graph has ~10^8
+    entities but the supergraph has |communities|² worst-case — in
+    practice a few thousand rows that fit on one screen / one driver.
+
+    Scale shape: the (node, community) frame is slim and keyed on
+    entity id; it joins the directed edge list once per endpoint (both
+    shuffles on entity id, the same key every graph operator here
+    uses), then everything collapses through ONE map-side-combinable
+    aggregate keyed on (src_community, dst_community, pred) — strictly
+    smaller than the edge list — followed by a per-pair arg-max via
+    ``min(struct(-cnt, pred))``, a second tiny aggregate. No window
+    over anything unbounded; self-loop node edges are dropped up front
+    exactly as ``label_propagation`` itself drops them.
+    """
+    from ner_spark.functions.dedup import register_persist
+
+    labels = register_persist(label_propagation(edges, iters=iters))
+    ls = labels.select(
+        F.col("entity_id").alias("src_entity"),
+        F.col("community").alias("src_community"),
+    )
+    ld = labels.select(
+        F.col("entity_id").alias("dst_entity"),
+        F.col("community").alias("dst_community"),
+    )
+    per_pred = (
+        edges.where(F.col("src_entity") != F.col("dst_entity"))
+        .select(
+            "src_entity", "dst_entity", "pred",
+            F.col("n_turns").cast("long").alias("w"),
+        )
+        .join(ls, "src_entity")
+        .join(ld, "dst_entity")
+        .groupBy("src_community", "dst_community", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("w").alias("total_weight"),
+        )
+    )
+    return (
+        per_pred.groupBy("src_community", "dst_community")
+        .agg(
+            F.sum("n_edges").alias("n_edges"),
+            F.sum("total_weight").alias("total_weight"),
+            F.min(
+                F.struct((-F.col("n_edges")).alias("nc"), "pred")
+            )["pred"].alias("top_pred"),
+        )
+    )

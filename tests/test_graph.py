@@ -1223,3 +1223,35 @@ def test_retry_runs_islands(spark):
         ("c3", "browser", 0, 3): (3, 9_000),
     }
     assert retry_runs(df, min_len=4).count() == 0
+
+
+def test_supergraph_contraction(spark):
+    """Two LPA communities bridged by one weak edge contract to two
+    self-loop rows (internal mass) plus one cross row whose top_pred
+    reflects the bridge; weights and counts are exact."""
+    from ner_spark.operators.graph import label_propagation, supergraph
+
+    tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    edges = spark.createDataFrame(
+        [(s, "likes", d, 5) for s, d in tri1]
+        + [(s, "makes", d, 5) for s, d in tri2]
+        + [("a3", "bridge", "b1", 1)],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    labels = {
+        r["entity_id"]: r["community"]
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    ca, cb = labels["a1"], labels["b1"]
+    got = {
+        (r.src_community, r.dst_community): (
+            r.n_edges, r.total_weight, r.top_pred
+        )
+        for r in supergraph(edges, iters=3).collect()
+    }
+    assert got == {
+        (ca, ca): (3, 15, "likes"),
+        (cb, cb): (3, 15, "makes"),
+        (ca, cb): (1, 1, "bridge"),
+    }
