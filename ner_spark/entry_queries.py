@@ -5336,6 +5336,54 @@ def q_kg_supergraph(spark, sf_dir):
     return supergraph(_kg_edges(spark, sf_dir), iters=3)
 
 
+@query(
+    "kg_node_features",
+    f"""
+    WITH both_dirs AS (
+      SELECT src_entity AS entity_id, 'out' AS dir, pred,
+             dst_entity AS nbr, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      UNION ALL
+      SELECT dst_entity AS entity_id, 'in' AS dir, pred,
+             src_entity AS nbr, CAST(n_turns AS BIGINT) AS w
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    f AS (
+      SELECT entity_id,
+             count(*) FILTER (dir = 'out') AS out_edges,
+             count(*) FILTER (dir = 'in') AS in_edges,
+             count(DISTINCT nbr) FILTER (dir = 'out') AS out_nbrs,
+             count(DISTINCT nbr) FILTER (dir = 'in') AS in_nbrs,
+             count(DISTINCT pred) FILTER (dir = 'out') AS out_preds,
+             count(DISTINCT pred) FILTER (dir = 'in') AS in_preds,
+             coalesce(sum(w) FILTER (dir = 'out'), 0) AS w_out,
+             coalesce(sum(w) FILTER (dir = 'in'), 0) AS w_in
+      FROM both_dirs GROUP BY entity_id)
+    SELECT n.entity_id, n.entity_type, CAST(n.n_mentions AS BIGINT) AS n_mentions,
+           CAST(coalesce(f.out_edges, 0) AS BIGINT) AS out_edges,
+           CAST(coalesce(f.in_edges, 0) AS BIGINT) AS in_edges,
+           CAST(coalesce(f.out_nbrs, 0) AS BIGINT) AS out_nbrs,
+           CAST(coalesce(f.in_nbrs, 0) AS BIGINT) AS in_nbrs,
+           CAST(coalesce(f.out_preds, 0) AS BIGINT) AS out_preds,
+           CAST(coalesce(f.in_preds, 0) AS BIGINT) AS in_preds,
+           CAST(coalesce(f.w_out, 0) AS BIGINT) AS w_out,
+           CAST(coalesce(f.w_in, 0) AS BIGINT) AS w_in
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}') n
+    LEFT JOIN f USING (entity_id)
+    """,
+)
+def q_kg_node_features(spark, sf_dir):
+    """Per-entity structural feature table for GNN / KG-embedding
+    export (operators/graph.py:node_features) — row-count and distinct
+    degree features in both directions, predicate diversity, assertion
+    mass, mention support; isolated nodes keep all-zero rows. One
+    two-way edge explode + ONE entity-keyed aggregate producing every
+    feature (vs the naive 6-join chain), then an entity-keyed left
+    join back to the node table."""
+    from ner_spark.operators.graph import node_features
+
+    return node_features(_kg_nodes(spark, sf_dir), _kg_edges(spark, sf_dir))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5364,7 +5412,7 @@ _DRIVER_ORDER = [
     "sft_packed", "semantic_dedup", "chunk_windows",
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
-    "dedup_incremental", "retry_runs", "kg_supergraph",
+    "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

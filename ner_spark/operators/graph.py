@@ -1901,3 +1901,77 @@ def supergraph(edges: DataFrame, iters: int = 3) -> DataFrame:
             )["pred"].alias("top_pred"),
         )
     )
+
+
+def node_features(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Denormalized per-entity structural feature table — the one frame
+    a GNN / KG-embedding trainer ingests, and the node-level audit view
+    a curation UI sorts by: ``(entity_id, entity_type, n_mentions,
+    out_edges, in_edges, out_nbrs, in_nbrs, out_preds, in_preds,
+    w_out, w_in)``. Degree features count edge ROWS (parallel edges
+    under different predicates each count); ``*_nbrs``/``*_preds`` are
+    distinct-neighbor / distinct-predicate cardinalities; ``w_*`` sum
+    the assertion support. Isolated nodes (no edges) keep their row
+    with all-zero structure — dropping them is the classic silent-skew
+    bug in feature exports.
+
+    Scale shape: each directed edge explodes into exactly two slim
+    (entity, direction, pred, nbr, w) rows, then ONE aggregate keyed on
+    entity id produces every feature at once — a single shuffle on the
+    same entity-id key every other graph operator here uses, instead
+    of a per-feature join chain (the naive 6-join assembly shuffles
+    the edge list 6 times). The distinct counts are per-key exact; hot
+    entities are plain aggregation skew, which AQE absorbs. The final
+    left join back to ``nodes`` broadcasts nothing and stays on the
+    entity-id key.
+    """
+    out = edges.select(
+        F.col("src_entity").alias("entity_id"),
+        F.lit("out").alias("dir"),
+        "pred",
+        F.col("dst_entity").alias("nbr"),
+        F.col("n_turns").cast("long").alias("w"),
+    )
+    inn = edges.select(
+        F.col("dst_entity").alias("entity_id"),
+        F.lit("in").alias("dir"),
+        "pred",
+        F.col("src_entity").alias("nbr"),
+        F.col("n_turns").cast("long").alias("w"),
+    )
+    is_out = F.col("dir") == "out"
+    feats = (
+        out.unionByName(inn)
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.when(is_out, 1)).alias("out_edges"),
+            F.count(F.when(~is_out, 1)).alias("in_edges"),
+            F.countDistinct(F.when(is_out, F.col("nbr"))).alias("out_nbrs"),
+            F.countDistinct(F.when(~is_out, F.col("nbr"))).alias("in_nbrs"),
+            F.countDistinct(F.when(is_out, F.col("pred"))).alias("out_preds"),
+            F.countDistinct(F.when(~is_out, F.col("pred"))).alias("in_preds"),
+            F.coalesce(F.sum(F.when(is_out, F.col("w"))), F.lit(0)).alias(
+                "w_out"
+            ),
+            F.coalesce(F.sum(F.when(~is_out, F.col("w"))), F.lit(0)).alias(
+                "w_in"
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        nodes.select("entity_id", "entity_type", "n_mentions")
+        .join(feats, "entity_id", "left")
+        .select(
+            "entity_id",
+            "entity_type",
+            "n_mentions",
+            *[
+                F.coalesce(F.col(c), zero).alias(c)
+                for c in (
+                    "out_edges", "in_edges", "out_nbrs", "in_nbrs",
+                    "out_preds", "in_preds", "w_out", "w_in",
+                )
+            ],
+        )
+    )

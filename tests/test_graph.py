@@ -1255,3 +1255,40 @@ def test_supergraph_contraction(spark):
         (cb, cb): (3, 15, "makes"),
         (ca, cb): (1, 1, "bridge"),
     }
+
+
+def test_node_features_assembly(spark):
+    """Every feature from one pass: row-count vs distinct degrees
+    diverge on parallel edges; isolated nodes keep all-zero rows."""
+    from ner_spark.operators.graph import node_features
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "likes", "b", 2),
+            ("a", "makes", "b", 3),   # parallel edge a->b, 2nd pred
+            ("a", "likes", "c", 1),
+            ("c", "likes", "a", 4),
+        ],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    nodes = spark.createDataFrame(
+        [
+            ("a", "brand", "a", 1, 9),
+            ("b", "product", "b", 1, 5),
+            ("c", "place", "c", 1, 2),
+            ("iso", "person", "iso", 1, 1),  # no edges at all
+        ],
+        "entity_id string, entity_type string, canonical_name string, "
+        "n_surfaces bigint, n_mentions bigint",
+    )
+    got = {
+        r.entity_id: (
+            r.out_edges, r.in_edges, r.out_nbrs, r.in_nbrs,
+            r.out_preds, r.in_preds, r.w_out, r.w_in, r.n_mentions,
+        )
+        for r in node_features(nodes, edges).collect()
+    }
+    assert got["a"] == (3, 1, 2, 1, 2, 1, 6, 4, 9)
+    assert got["b"] == (0, 2, 0, 1, 0, 2, 0, 5, 5)
+    assert got["c"] == (1, 1, 1, 1, 1, 1, 4, 1, 2)
+    assert got["iso"] == (0, 0, 0, 0, 0, 0, 0, 0, 1)
