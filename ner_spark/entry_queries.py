@@ -481,16 +481,9 @@ def q_tokenize_counts(spark, sf_dir):
     )
 
 
-@query(
-    "quality_scores",
-    """
-    WITH t AS (
-      SELECT doc_id, text,
-             string_split(text, ' ') AS toks,
-             string_split(lower(text), ' ') AS ltoks
-      FROM documents)
-    SELECT doc_id,
-           round(
+# SQL restatement of functions/text.py:quality_score over a CTE exposing
+# (text, toks, ltoks) — shared by quality_scores and curriculum_schedule
+_QUALITY_EXPR = """round(
              0.3 * (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0
                          WHEN length(text) >= 30 THEN 0.5 ELSE 0.0 END)
            + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text))
@@ -498,7 +491,19 @@ def q_tokenize_counts(spark, sf_dir):
            + 0.2 * (CASE WHEN (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) >= 3.0
                           AND (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) <= 10.0
                          THEN 1.0 ELSE 0.3 END)
-           , 6) AS quality
+           , 6)"""
+
+
+@query(
+    "quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             string_split(lower(text), ' ') AS ltoks
+      FROM documents)
+    SELECT doc_id,
+           {_QUALITY_EXPR} AS quality
     FROM t
     """,
 )
@@ -5384,6 +5389,53 @@ def q_kg_node_features(spark, sf_dir):
     return node_features(_kg_nodes(spark, sf_dir), _kg_edges(spark, sf_dir))
 
 
+@query(
+    "curriculum_schedule",
+    f"""
+    WITH t0 AS (
+      SELECT doc_id, text,
+             string_split(text, ' ') AS toks,
+             string_split(lower(text), ' ') AS ltoks
+      FROM documents),
+    t AS (
+      SELECT doc_id,
+             CAST(floor({_QUALITY_EXPR} * 1000000 + 0.5) AS BIGINT) AS qm,
+             CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n,
+             doc_id // 4096 AS bucket
+      FROM t0),
+    btot AS (SELECT qm, bucket, sum(n) AS btok FROM t GROUP BY 1, 2),
+    boff AS (
+      SELECT qm, bucket,
+             CAST(sum(btok) OVER (ORDER BY qm DESC, bucket ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - btok
+             AS BIGINT) AS boff
+      FROM btot),
+    o AS (
+      SELECT t.doc_id, t.qm, t.n,
+             b.boff + CAST(sum(t.n) OVER (PARTITION BY t.qm, t.bucket
+               ORDER BY t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n
+             AS BIGINT) AS off
+      FROM t JOIN boff b USING (qm, bucket))
+    SELECT doc_id, qm AS quality_micro, n AS n_tokens,
+           CAST(off // 2000 AS BIGINT) AS epoch,
+           CAST(off - (off // 2000) * 2000 AS BIGINT) AS epoch_off
+    FROM o
+    """,
+)
+def q_curriculum_schedule(spark, sf_dir):
+    """Quality-ordered curriculum epochs under a 2000-token budget
+    (functions/pack.py:curriculum_schedule) — documents stream
+    best-first and land whole in the epoch their stream offset falls
+    in. The pack_sequences two-level exclusive prefix sum riding a
+    COMPUTED sort key: (quality_micro, doc-id sub-bucket) level-1
+    buckets keep every window bounded while the bucket-level offset
+    window orders slim per-bucket totals only."""
+    from ner_spark.functions.pack import curriculum_schedule
+
+    return curriculum_schedule(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5413,6 +5465,7 @@ _DRIVER_ORDER = [
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
+    "curriculum_schedule",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -270,3 +270,67 @@ def chunk_windows(
         F.size("ctoks").cast("long").alias("n_tokens"),
         F.concat_ws(" ", "ctoks").alias("chunk_text"),
     )
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    budget: int = 2000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """Quality-ordered curriculum epochs under a token budget —
+    ``(doc_id, quality_micro, n_tokens, epoch, epoch_off)``: documents
+    stream best-first (``quality_score`` descending, doc_id ascending
+    as the tie-break) and each document lands WHOLE in the epoch where
+    its stream offset falls (``epoch = floor(off / budget)``,
+    ``epoch_off`` = its token offset inside that epoch). This is the
+    curriculum-learning data layout ("train on the cleanest slice
+    first, widen later") and, read per-epoch, the quality-tiered
+    sampling table a mixture scheduler draws from.
+
+    Same scale-safe two-level exclusive prefix sum as
+    ``pack_sequences``, but riding a COMPUTED sort key: level-1 buckets
+    are ``(quality_micro, floor(doc_id / bucket_size))`` — within a
+    bucket the stream order IS doc_id, so the per-bucket window stays
+    bounded by ``bucket_size`` rows, while the bucket-level offset
+    window orders the slim per-bucket totals by (quality DESC, bucket
+    ASC). No corpus-sized single-partition window anywhere; quality
+    ties of any size stay parallel because the doc-id sub-bucket splits
+    them. ``quality_micro = floor(1e6·quality + 0.5)`` on the already
+    6-decimal-rounded score — integer on both engines, so ordering,
+    epoch boundaries, and offsets are bit-identical.
+    """
+    from ner_spark.functions.text import quality_score
+
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.floor(
+            quality_score(F.col(text_col)) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("qm"),
+        token_count_ws(F.coalesce(F.col(text_col), F.lit("")))
+        .cast("long")
+        .alias("n"),
+    ).withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+
+    btot = t.groupBy("qm", "bucket").agg(F.sum("n").alias("btok"))
+    wb = Window.orderBy(F.desc("qm"), F.asc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    boff = btot.select(
+        "qm", "bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("boff")
+    )
+    wd = Window.partitionBy("qm", "bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    t = t.join(F.broadcast(boff), ["qm", "bucket"]).withColumn(
+        "off", F.col("boff") + F.sum("n").over(wd) - F.col("n")
+    )
+    b = F.lit(budget).cast("long")
+    return t.select(
+        "doc_id",
+        F.col("qm").alias("quality_micro"),
+        F.col("n").alias("n_tokens"),
+        F.floor(F.col("off") / b).alias("epoch"),
+        (F.col("off") - F.floor(F.col("off") / b) * b).alias("epoch_off"),
+    )

@@ -246,3 +246,37 @@ def test_chunk_windows_rejects_bad_geometry(spark):
     for size, stride in ((4, 5), (0, 1), (4, 0)):
         with pytest.raises(ValueError):
             chunk_windows(d, size=size, stride=stride)
+
+
+def test_curriculum_schedule_order_and_epochs(spark):
+    """Docs stream quality-descending (doc_id tie-break), each lands
+    WHOLE in the epoch its offset falls in; offsets partition the
+    stream exactly; bucket_size never changes the result."""
+    from ner_spark.functions.pack import curriculum_schedule
+
+    # quality differs via length band: long-enough texts score higher
+    hi = "the stock rating of the company is good and the board agreed " * 3
+    lo = "x y"
+    docs = _docs(spark, [lo, hi, lo, hi, hi])
+    out = {
+        r.doc_id: (r.quality_micro, r.n_tokens, r.epoch, r.epoch_off)
+        for r in curriculum_schedule(docs, budget=30).collect()
+    }
+    assert len(out) == 5
+    # high-quality docs (1, 3, 4) must precede low-quality (0, 2)
+    his = [out[i] for i in (1, 3, 4)]
+    los = [out[i] for i in (0, 2)]
+    assert min(q for q, *_ in his) > max(q for q, *_ in los)
+    # stream offsets: doc 1 first (33 toks -> epoch 0), doc 3 at off 33
+    # (epoch 1), doc 4 at off 66 (epoch 2), then doc 0, doc 2
+    n_hi = his[0][1]
+    assert his[0][2:] == (0, 0)
+    assert out[3][2] == (n_hi * 1) // 30
+    assert out[4][2] == (n_hi * 2) // 30
+    assert out[0][2] <= out[2][2]  # doc_id tie-break within equal quality
+    # bucket_size invariance (forces multi-bucket path)
+    small = {
+        r.doc_id: (r.quality_micro, r.n_tokens, r.epoch, r.epoch_off)
+        for r in curriculum_schedule(docs, budget=30, bucket_size=2).collect()
+    }
+    assert small == out
