@@ -3910,7 +3910,7 @@ def q_unigram_logprob(spark, sf_dir):
 
 @query(
     "bigram_logprob",
-    """
+    _BIGRAM_NLL_SQL := """
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
@@ -5436,6 +5436,43 @@ def q_curriculum_schedule(spark, sf_dir):
     return curriculum_schedule(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "perplexity_buckets",
+    f"""
+    WITH s AS ({{bigram}}),
+    tot AS (SELECT count(*) AS n FROM s),
+    o AS (SELECT doc_id, n_tokens, mean_nll_micro,
+            row_number() OVER (ORDER BY mean_nll_micro ASC, doc_id ASC) - 1
+              AS off
+          FROM s)
+    SELECT doc_id, n_tokens, mean_nll_micro,
+           CAST((off * 10) // tot.n AS BIGINT) AS decile,
+           CASE WHEN (off * 10) // tot.n <= 2 THEN 'head'
+                WHEN (off * 10) // tot.n <= 6 THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM o, tot
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity banding (functions/corpus.py:
+    perplexity_buckets) — equal-population rank deciles over the
+    interpolated-bigram NLL, labeled head/middle/tail (head = the
+    slice CCNet keeps). The exact global rank rides the two-level
+    prefix-count device, never a corpus-sized window; the oracle is
+    free to flatten to one row_number. Bucket assignment is integer
+    ``(rank·10) div total``."""
+    from ner_spark.functions.corpus import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+# the bigram oracle is a full statement; inline it as a parenthesized
+# subquery (DuckDB allows WITH inside a derived table)
+ORACLES["perplexity_buckets"] = ORACLES["perplexity_buckets"].format(
+    bigram=_BIGRAM_NLL_SQL
+)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5465,7 +5502,7 @@ _DRIVER_ORDER = [
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
-    "curriculum_schedule",
+    "curriculum_schedule", "perplexity_buckets",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

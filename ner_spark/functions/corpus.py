@@ -19,7 +19,7 @@ training-data-pipeline scope in SURVEY §6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ner_spark.functions.colutil import let
@@ -617,4 +617,64 @@ def source_overlap(
             .cast("long")
             .alias("jaccard_micro"),
         )
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    lam_micro: int = 800_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 4096,
+) -> DataFrame:
+    """CCNet-style perplexity banding — ``(doc_id, n_tokens,
+    mean_nll_micro, decile, band)``: every document ranked by its
+    interpolated-bigram LM score (``bigram_logprob``, ascending NLL =
+    most fluent first, doc_id tie-break), cut into ``n_buckets``
+    equal-population rank buckets, and labeled ``head`` (deciles 0-2,
+    the slice CCNet keeps), ``middle`` (3-6), or ``tail`` (7-9, the
+    perplexity garbage). The decile column is what a mixture scheduler
+    samples against; the band is the ship/hold/drop decision.
+
+    The ranking is an exact global rank computed WITHOUT a corpus-sized
+    window: the same two-level exclusive prefix device as
+    ``curriculum_schedule``, counting rows instead of tokens — level-1
+    buckets are ``(mean_nll_micro, floor(doc_id / bucket_size))`` so
+    NLL ties of any size stay parallel, the bucket-level offset window
+    orders only slim per-bucket counts, and the corpus total arrives
+    as a broadcast scalar (never a whole-frame window). Bucket
+    assignment is pure integer arithmetic ``(rank · n_buckets) div
+    total`` — bit-identical on every engine and partitioning.
+    """
+    s = bigram_logprob(df, lam_micro=lam_micro, id_col=id_col, text_col=text_col)
+    t = s.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
+    btot = t.groupBy("mean_nll_micro", "bucket").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    wb = Window.orderBy(
+        F.asc("mean_nll_micro"), F.asc("bucket")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    boff = btot.select(
+        "mean_nll_micro",
+        "bucket",
+        (F.sum("bc").over(wb) - F.col("bc")).alias("boff"),
+    )
+    total = btot.agg(F.sum("bc").alias("n_total"))
+    wd = Window.partitionBy("mean_nll_micro", "bucket").orderBy("doc_id")
+    ranked = (
+        t.join(F.broadcast(boff), ["mean_nll_micro", "bucket"])
+        .crossJoin(F.broadcast(total))
+        .withColumn("off", F.col("boff") + F.row_number().over(wd) - 1)
+    )
+    decile = F.expr(f"(off * {int(n_buckets)}) div n_total")
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "mean_nll_micro",
+        decile.alias("decile"),
+        F.when(decile <= (n_buckets * 3) // 10 - 1, F.lit("head"))
+        .when(decile <= (n_buckets * 7) // 10 - 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
     )

@@ -246,3 +246,37 @@ def test_bigram_logprob_hand_fixture(spark):
     garbage = fluent[:5] + ["mat the on sat cat the"]
     f = {r["doc_id"]: r for r in bigram_logprob(_docs(spark, garbage)).collect()}
     assert f[5]["mean_nll_micro"] > f[0]["mean_nll_micro"]
+
+
+def test_perplexity_buckets_rank_partition(spark):
+    """Equal-population deciles over the bigram NLL rank: bucket
+    populations differ by at most 1, bands follow the 3/4/3 head/
+    middle/tail split, and ordering is NLL-ascending (fluent repeats
+    rank before one-off shuffles)."""
+    from collections import Counter
+
+    from ner_spark.functions.corpus import bigram_logprob, perplexity_buckets
+
+    # 10 docs: repeated fluent phrasing + increasingly scrambled text
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    texts = [fluent, fluent, fluent + " again"] + [
+        " ".join(reversed((fluent + f" v{i}").split())) for i in range(7)
+    ]
+    docs = _docs(spark, texts)
+    out = perplexity_buckets(docs).collect()
+    assert len(out) == 10
+    per_decile = Counter(r.decile for r in out)
+    assert all(v == 1 for v in per_decile.values()) and len(per_decile) == 10
+    bands = Counter(r.band for r in out)
+    assert bands == {"head": 3, "middle": 4, "tail": 3}
+    # ranking consistent with bigram_logprob ordering
+    nll = {r.doc_id: r.mean_nll_micro for r in bigram_logprob(docs).collect()}
+    by_rank = sorted(out, key=lambda r: r.decile)
+    ranked_ids = [r.doc_id for r in by_rank]
+    assert ranked_ids == sorted(nll, key=lambda d: (nll[d], d))
+    # bucket_size invariance through the two-level rank device
+    small = {
+        (r.doc_id, r.decile, r.band)
+        for r in perplexity_buckets(docs, bucket_size=3).collect()
+    }
+    assert small == {(r.doc_id, r.decile, r.band) for r in out}
