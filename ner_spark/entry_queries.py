@@ -5473,6 +5473,45 @@ ORACLES["perplexity_buckets"] = ORACLES["perplexity_buckets"].format(
 )
 
 
+@query(
+    "kg_entity_salience",
+    f"""
+    WITH occ AS (
+      SELECT conv_id, subj AS entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+      UNION ALL
+      SELECT conv_id, obj AS entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')),
+    tf AS (SELECT conv_id, entity, CAST(count(*) AS BIGINT) AS tf
+           FROM occ GROUP BY 1, 2),
+    cf AS (SELECT entity, CAST(count(*) AS BIGINT) AS cf
+           FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT conv_id) AS n_convs FROM tf),
+    sc AS (
+      SELECT tf.conv_id, tf.entity, tf.tf, cf.cf,
+             round(tf.tf * (ln((n.n_convs + 1)::DOUBLE / (cf.cf + 1)) + 1.0),
+                   6) AS salience
+      FROM tf JOIN cf USING (entity), n)
+    SELECT conv_id, entity, tf, cf, salience, CAST(rk AS INTEGER) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY conv_id ORDER BY salience DESC, entity ASC) AS rk
+          FROM sc)
+    WHERE rk <= 5
+    """,
+)
+def q_kg_entity_salience(spark, sf_dir):
+    """Per-conversation top-5 salient entities by assertion-level
+    tf-idf (operators/graph.py:entity_salience) — conversation-
+    specific entities surface, corpus-wide boilerplate sinks; the
+    entity-level counterpart of tfidf_top_terms with the same
+    smoothed-idf 6-decimal contract. Two-role explode, pair-keyed
+    count, cf from the tf frame, broadcast N, conv-bounded rank
+    window."""
+    from ner_spark.operators.graph import entity_salience
+
+    return entity_salience(_canonical_triples(spark, sf_dir))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5502,7 +5541,7 @@ _DRIVER_ORDER = [
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
-    "curriculum_schedule", "perplexity_buckets",
+    "curriculum_schedule", "perplexity_buckets", "kg_entity_salience",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

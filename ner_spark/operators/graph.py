@@ -20,7 +20,7 @@ the component map is tiny relative to mentions — broadcastable below
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ner_spark.operators.linking import normalize_surface_col
@@ -1974,4 +1974,64 @@ def node_features(nodes: DataFrame, edges: DataFrame) -> DataFrame:
                 )
             ],
         )
+    )
+
+
+def entity_salience(triples: DataFrame, k: int = 5) -> DataFrame:
+    """Per-conversation salient entities — ``(conv_id, entity, tf, cf,
+    salience, rk)``: the top-``k`` canonical entities of each
+    conversation ranked by tf-idf over ASSERTIONS rather than tokens.
+    ``tf`` counts the entity's appearances in the conversation's
+    triples (subject or object role), ``cf`` counts conversations that
+    mention it anywhere, ``salience = round(tf · (ln((N+1)/(cf+1)) +
+    1), 6)`` with N the conversations carrying any triple — the same
+    smoothed-idf / 6-decimal contract as ``tfidf_top_terms``, so
+    corpus-wide boilerplate entities (high cf) sink and
+    conversation-specific ones surface. This is the "what is this
+    conversation about, in KG terms" signal a retrieval index or a
+    conversation-card ranker keys on — the entity-level counterpart of
+    the token-level tfidf_top_terms.
+
+    Plan shape: each triple explodes into two slim (conv, entity) role
+    rows; one pair-keyed count (map-side combinable), the entity
+    conversation-frequency aggregated FROM that tf frame (no second
+    pass), an entity-keyed join, N as a broadcast 1-row dimension, and
+    a per-conv rank window bounded by the conversation's distinct
+    entities — never a corpus-wide window. Rank order (salience desc,
+    entity asc) is total, so output is engine- and partitioning-
+    invariant.
+    """
+    occ = triples.select(
+        "conv_id", F.col("subj").alias("entity")
+    ).unionByName(triples.select("conv_id", F.col("obj").alias("entity")))
+    tf = occ.groupBy("conv_id", "entity").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("entity").agg(F.count(F.lit(1)).alias("cf"))
+    n = tf.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )
+    scored = (
+        tf.join(cf, "entity")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "salience",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_convs") + 1).cast("double")
+                        / (F.col("cf") + 1)
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("salience").desc(), F.col("entity").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("conv_id", "entity", "tf", "cf", "salience", "rk")
     )

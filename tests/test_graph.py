@@ -1292,3 +1292,28 @@ def test_node_features_assembly(spark):
     assert got["b"] == (0, 2, 0, 1, 0, 2, 0, 5, 5)
     assert got["c"] == (1, 1, 1, 1, 1, 1, 4, 1, 2)
     assert got["iso"] == (0, 0, 0, 0, 0, 0, 0, 0, 1)
+
+
+def test_entity_salience_idf_and_rank(spark):
+    """Boilerplate entities (in every conv) sink below conv-specific
+    ones despite higher tf; rank is dense per conv and capped at k."""
+    import math
+
+    from ner_spark.operators.graph import entity_salience
+
+    rows = []
+    # 'brand|common' appears in all 3 convs; each conv has one unique entity
+    for i, cv in enumerate(["c1", "c2", "c3"]):
+        rows.append((cv, 0, "brand|common", "makes", f"product|unique{i}"))
+        rows.append((cv, 1, "brand|common", "makes", f"product|unique{i}"))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    out = [r for r in entity_salience(t, k=2).collect() if r.conv_id == "c1"]
+    got = {r.entity: (r.tf, r.cf, r.salience, r.rk) for r in out}
+    # unique0: tf=2, cf=1 -> idf = ln(4/2)+1 ; common: tf=2, cf=3 -> ln(4/4)+1 = 1
+    assert got["product|unique0"][:2] == (2, 1)
+    assert got["brand|common"][:2] == (2, 3)
+    assert got["product|unique0"][2] == round(2 * (math.log(4 / 2) + 1), 6)
+    assert got["brand|common"][2] == round(2 * 1.0, 6)
+    assert got["product|unique0"][3] == 1 and got["brand|common"][3] == 2
