@@ -349,6 +349,13 @@ def main() -> None:
         "containment_pairs",
         "kg_cloze_questions",
         "dedup_incremental",
+        # round-4 continuation additions
+        "retry_runs",
+        "kg_supergraph",
+        "kg_node_features",
+        "curriculum_schedule",
+        "perplexity_buckets",
+        "kg_entity_salience",
     ):
         run(
             qname,

@@ -5512,6 +5512,81 @@ def q_kg_entity_salience(spark, sf_dir):
     return entity_salience(_canonical_triples(spark, sf_dir))
 
 
+@query(
+    "kg_motif_census",
+    f"""
+    WITH aug AS (
+      SELECT src_entity, dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      UNION ALL
+      SELECT dst_entity AS src_entity, src_entity AS dst_entity
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      WHERE substring(md5(src_entity || '>' || dst_entity), 1, 1)
+            IN ('0', '1', '2', '3')),
+    d AS (
+      SELECT DISTINCT src_entity AS s, dst_entity AS t
+      FROM aug WHERE src_entity <> dst_entity),
+    ps AS (
+      SELECT least(s, t) AS a, greatest(s, t) AS b,
+             sum(CASE WHEN s < t THEN 1 ELSE 2 END) AS state
+      FROM d GROUP BY 1, 2),
+    tri AS (
+      SELECT p1.a AS x, p1.b AS y, p2.b AS z,
+             p1.state AS s_xy, p2.state AS s_xz, p3.state AS s_yz
+      FROM ps p1
+      JOIN ps p2 ON p1.a = p2.a AND p2.b > p1.b
+      JOIN ps p3 ON p3.a = p1.b AND p3.b = p2.b),
+    f AS (
+      SELECT (s_xy = 3)::INT + (s_xz = 3)::INT + (s_yz = 3)::INT AS nm,
+             (s_xy = 1)::INT + (s_xz = 1)::INT AS ox,
+             (s_xy = 2)::INT + (s_yz = 1)::INT AS oy,
+             (s_xz = 2)::INT + (s_yz = 2)::INT AS oz,
+             s_xy, s_xz, s_yz
+      FROM tri),
+    cls AS (
+      SELECT CASE
+        WHEN nm = 3 THEN '300'
+        WHEN nm = 2 THEN '210'
+        WHEN nm = 1 THEN (
+          CASE (CASE WHEN s_yz = 3 THEN ox
+                     WHEN s_xz = 3 THEN oy ELSE oz END)
+            WHEN 2 THEN '120D' WHEN 0 THEN '120U' ELSE '120C' END)
+        WHEN ox = 1 AND oy = 1 AND oz = 1 THEN '030C'
+        ELSE '030T' END AS triad_class
+      FROM f)
+    SELECT triad_class, CAST(count(*) AS BIGINT) AS n_triads
+    FROM cls GROUP BY 1
+    """,
+)
+def q_kg_motif_census(spark, sf_dir):
+    """Directed triad census over complete triads (operators/graph.py:
+    motif_census) — 030T/030C/120D/120U/120C/210/300 counts, the
+    feed-forward-vs-feedback structural health profile of the KG.
+    Enumeration reuses the degree-oriented wedge closing (O(m^1.5)
+    wedge volume regardless of hub skew); direction bits ride a slim
+    per-pair state frame joined three times on the uniform pair key;
+    classification is row-local CASE arithmetic into a 7-key
+    aggregate. The typed fixture KG has no reciprocal edges (every
+    predicate is directional), so the query deterministically reverses
+    ~1/4 of edges (md5-gated on the pair) on BOTH engines to exercise
+    the mutual-dyad classes. Oracle: the naive a<b<c triple join,
+    quadratic but exact at fixture scale."""
+    from ner_spark.operators.graph import motif_census
+
+    e = _kg_edges(spark, sf_dir)
+    rev = e.where(
+        F.substring(
+            F.md5(F.concat_ws(">", "src_entity", "dst_entity")), 1, 1
+        ).isin("0", "1", "2", "3")
+    ).select(
+        F.col("dst_entity").alias("src_entity"),
+        "pred",
+        F.col("src_entity").alias("dst_entity"),
+        "n_turns",
+    )
+    return motif_census(e.unionByName(rev.select(e.columns)))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5541,7 +5616,7 @@ _DRIVER_ORDER = [
     "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
-    "curriculum_schedule", "perplexity_buckets", "kg_entity_salience",
+    "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -2035,3 +2035,151 @@ def entity_salience(triples: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rk") <= k)
         .select("conv_id", "entity", "tf", "cf", "salience", "rk")
     )
+
+
+def motif_census(
+    edges: DataFrame, src: str = "src_entity", dst: str = "dst_entity"
+) -> DataFrame:
+    """Directed triad census of the KG restricted to complete triads —
+    ``(triad_class, n_triads)`` for every triangle of the underlying
+    undirected graph, classified by its direction pattern:
+
+    * ``030T`` — no mutual pair, one node points at both others
+      (feed-forward / hierarchy motif);
+    * ``030C`` — no mutual pair, directions form a 3-cycle (feedback
+      motif, rare in real hierarchies — its share is a standard
+      structural health metric);
+    * ``120D`` / ``120U`` / ``120C`` — exactly one mutually-connected
+      pair; the off-dyad node has 2 outgoing / 2 incoming / one-each
+      single edges (convention pinned HERE: D = off-dyad node points
+      at the dyad);
+    * ``210`` — two mutual pairs; ``300`` — all three mutual.
+
+    Motif shares distinguish extraction noise from real structure (a
+    KG whose 030C share explodes usually has a symmetric-predicate
+    canonicalization bug), and the census is the feature vector for
+    graph-level comparisons across corpus snapshots.
+
+    Scale shape: triangle ENUMERATION reuses ``triangle_count``'s
+    degree-oriented wedge closing — wedge volume O(m^1.5) no matter
+    how skewed the degree distribution — except the closing join must
+    KEEP the third vertex (inner join, not semi). Direction bits ride
+    a slim per-undirected-pair state frame (fwd/rev/both, one row per
+    pair, built with one aggregate from the distinct directed pairs);
+    each triangle joins that frame three times on the uniform pair
+    key, then classification is pure row-local CASE arithmetic and
+    one tiny 7-key aggregate. The SQL oracle is the naive a<b<c
+    triple join — free to be quadratic at fixture scale — asserting
+    the same census.
+    """
+    from ner_spark.functions.dedup import register_persist
+
+    d = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    # per-undirected-pair direction state: 1=a→b only, 2=b→a only, 3=both
+    pair_state = register_persist(
+        d.select(
+            F.least("s", "t").alias("a"),
+            F.greatest("s", "t").alias("b"),
+            F.when(F.col("s") < F.col("t"), F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("bit"),
+        )
+        .groupBy("a", "b")
+        # d is distinct directed pairs, so each (a, b) sees bit=1 and
+        # bit=2 at most once each: plain sum is the state or-mask
+        .agg(F.sum("bit").alias("state"))
+    )
+    und = pair_state.select("a", "b")
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = register_persist(
+        und.join(deg.withColumnsRenamed({"x": "a", "deg": "deg_a"}), "a")
+        .join(deg.withColumnsRenamed({"x": "b", "deg": "deg_b"}), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | (
+                    (F.col("deg_a") == F.col("deg_b"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("p"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("q"))
+    wedges = w1.join(w2, "u").where(F.col("p") < F.col("q"))
+    tri = wedges.join(
+        und,
+        (F.least("p", "q") == F.col("a")) & (F.greatest("p", "q") == F.col("b")),
+    ).select("u", "p", "q")
+    # canonical sorted triple (x < y < z) and its three pair states
+    tri = tri.select(
+        F.array_sort(F.array("u", "p", "q")).alias("n")
+    ).select(
+        F.col("n")[0].alias("x"), F.col("n")[1].alias("y"), F.col("n")[2].alias("z")
+    )
+    ps = pair_state
+    tri = (
+        tri.join(
+            ps.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                      F.col("state").alias("s_xy")),
+            ["x", "y"],
+        )
+        .join(
+            ps.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                      F.col("state").alias("s_xz")),
+            ["x", "z"],
+        )
+        .join(
+            ps.select(F.col("a").alias("y"), F.col("b").alias("z"),
+                      F.col("state").alias("s_yz")),
+            ["y", "z"],
+        )
+    )
+    n_mutual = (
+        (F.col("s_xy") == 3).cast("int")
+        + (F.col("s_xz") == 3).cast("int")
+        + (F.col("s_yz") == 3).cast("int")
+    )
+    # out-degree of each vertex counting SINGLE (non-mutual) edges only
+    out_x = (F.col("s_xy") == 1).cast("int") + (F.col("s_xz") == 1).cast("int")
+    out_y = (F.col("s_xy") == 2).cast("int") + (F.col("s_yz") == 1).cast("int")
+    out_z = (F.col("s_xz") == 2).cast("int") + (F.col("s_yz") == 2).cast("int")
+    # the off-dyad vertex's single-edge out-count when n_mutual == 1
+    z_out = (
+        F.when(F.col("s_yz") == 3, out_x)
+        .when(F.col("s_xz") == 3, out_y)
+        .otherwise(out_z)
+    )
+    cls = (
+        F.when(n_mutual == 3, F.lit("300"))
+        .when(n_mutual == 2, F.lit("210"))
+        .when(
+            n_mutual == 1,
+            F.when(z_out == 2, F.lit("120D"))
+            .when(z_out == 0, F.lit("120U"))
+            .otherwise(F.lit("120C")),
+        )
+        # n_mutual == 0: cyclic iff every vertex has out-degree exactly 1
+        .when(
+            (out_x == 1) & (out_y == 1) & (out_z == 1), F.lit("030C")
+        )
+        .otherwise(F.lit("030T"))
+    )
+    return (
+        tri.select(cls.alias("triad_class"))
+        .groupBy("triad_class")
+        .agg(F.count(F.lit(1)).alias("n_triads"))
+    )

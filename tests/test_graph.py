@@ -1317,3 +1317,42 @@ def test_entity_salience_idf_and_rank(spark):
     assert got["product|unique0"][2] == round(2 * (math.log(4 / 2) + 1), 6)
     assert got["brand|common"][2] == round(2 * 1.0, 6)
     assert got["product|unique0"][3] == 1 and got["brand|common"][3] == 2
+
+
+def test_motif_census_all_classes(spark):
+    """One hand-built triangle per triad class; the census finds each
+    exactly once, on any partitioning."""
+    from ner_spark.operators.graph import motif_census
+
+    pairs = [
+        # 030T: a points at both, b->c closes the hierarchy
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        # 030C: 3-cycle
+        ("d", "e"), ("e", "f"), ("f", "d"),
+        # 120D: i points at the mutual dyad {g, h}
+        ("g", "h"), ("h", "g"), ("i", "g"), ("i", "h"),
+        # 120U: the dyad {j, k} points at l
+        ("j", "k"), ("k", "j"), ("j", "l"), ("k", "l"),
+        # 120C: path through the off-dyad node o
+        ("m", "n"), ("n", "m"), ("m", "o"), ("o", "n"),
+        # 210: two mutual dyads + one single
+        ("p", "q"), ("q", "p"), ("p", "r"), ("r", "p"), ("q", "r"),
+        # 300: all mutual
+        ("s", "t"), ("t", "s"), ("t", "u"), ("u", "t"), ("s", "u"), ("u", "s"),
+    ]
+    edges = spark.createDataFrame(
+        [(s, "r", t, 1) for s, t in pairs],
+        "src_entity string, pred string, dst_entity string, n_turns bigint",
+    )
+    got = {
+        r.triad_class: r.n_triads for r in motif_census(edges).collect()
+    }
+    assert got == {
+        "030T": 1, "030C": 1, "120D": 1, "120U": 1,
+        "120C": 1, "210": 1, "300": 1,
+    }
+    rep = {
+        r.triad_class: r.n_triads
+        for r in motif_census(edges.repartition(7)).collect()
+    }
+    assert rep == got

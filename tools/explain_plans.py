@@ -973,6 +973,90 @@ CHECKS = {
             "device as entity_cards)."
         ),
     ),
+    "retry_runs": dict(
+        requires=["Window"],
+        forbids=["Python", "CartesianProduct", "Join"],
+        max_tree_exchanges=3,
+        note=(
+            "Gaps-and-islands retry detection: two conv-partitioned "
+            "windows and one aggregate whose grouping keys extend the "
+            "second window's partitioning (no extra exchange for it — "
+            "the subset rule), NO join anywhere; every exchange is "
+            "keyed on conv_id(+tool), bounded by conversation length."
+        ),
+    ),
+    "kg_supergraph": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Community contraction: the LPA label frame arrives "
+            "checkpointed (per-round truncation, same device as "
+            "pagerank), joins the edge list once per endpoint on the "
+            "entity-id key, and collapses through a (pair, pred)-keyed "
+            "map-side-combinable aggregate + per-pair arg-min "
+            "aggregate — no window, no Python; output is bounded by "
+            "the community count."
+        ),
+    ),
+    "kg_node_features": dict(
+        requires=["HashAggregate", "Union"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "One-pass node feature assembly: the two-way edge explode "
+            "is a Union of two slim projections reduced by a SINGLE "
+            "entity-keyed aggregate (count-distinct expands in-plan, "
+            "still one shuffle family) — instead of the naive 6-join "
+            "chain that shuffles the edge list once per feature."
+        ),
+    ),
+    "curriculum_schedule": dict(
+        requires=["Window", "BroadcastExchange"],
+        forbids=["Python", "CartesianProduct", "SortMergeJoin"],
+        note=(
+            "Two-level exclusive prefix sum on a computed sort key: "
+            "the bucket-level offset window orders only slim per-"
+            "bucket totals (broadcast back), the per-doc window is "
+            "partitioned by (quality, sub-bucket) — bounded by "
+            "bucket_size rows; no corpus-sized window partition "
+            "anywhere in the plan."
+        ),
+    ),
+    "perplexity_buckets": dict(
+        requires=["BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "CCNet banding: the exact global NLL rank rides the same "
+            "two-level prefix device (per-bucket counts windowed, "
+            "offsets + corpus total broadcast); the corpus-sized "
+            "frames only ever hash-join slim broadcast dimensions. "
+            "The bigram-LM feeder keeps its two-scan shape "
+            "(bigram_logprob plan, asserted separately)."
+        ),
+    ),
+    "kg_motif_census": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Directed triad census: triangles enumerate via the same "
+            "degree-oriented wedge closing as triangle_count (wedge "
+            "volume O(m^1.5) under any hub skew), the closing join "
+            "keeps the third vertex, and the slim per-pair direction-"
+            "state frame joins three times on the uniform pair key; "
+            "classification is codegen CASE arithmetic into a 7-key "
+            "aggregate."
+        ),
+    ),
+    "kg_entity_salience": dict(
+        requires=["Window", "BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Assertion-level tf-idf: two-role explode unions into one "
+            "pair-keyed count, cf aggregates FROM the tf frame (no "
+            "second pass over triples), N joins as a broadcast 1-row "
+            "dimension, and the rank window partitions by conv_id — "
+            "bounded by a conversation's distinct entities."
+        ),
+    ),
 }
 
 
