@@ -5587,6 +5587,79 @@ def q_kg_motif_census(spark, sf_dir):
     return motif_census(e.unionByName(rev.select(e.columns)))
 
 
+@query(
+    "kg_fact_confidence",
+    f"""
+    WITH facts AS (
+      SELECT subj, pred, obj,
+             CAST(count(*) AS BIGINT) AS support,
+             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+      GROUP BY 1, 2, 3),
+    sp AS (
+      SELECT subj, pred, sum(support) AS sp_total,
+             count(*) AS n_objs
+      FROM facts GROUP BY 1, 2)
+    SELECT f.subj, f.pred, f.obj, f.support, f.n_convs,
+           CAST(floor(1000000 * (f.support + 1)::DOUBLE
+                      / (sp.sp_total + sp.n_objs)::DOUBLE) AS BIGINT)
+             AS conf_micro
+    FROM facts f JOIN sp USING (subj, pred)
+    """,
+)
+def q_kg_fact_confidence(spark, sf_dir):
+    """Laplace-smoothed per-fact confidence (operators/graph.py:
+    fact_confidence) — p(obj | subj, pred) with assertion and
+    distinct-conversation support; the threshold column KG pruning
+    and the noise-audit queue key on. One fact-keyed aggregate, the
+    (subj, pred) totals derived FROM the fact frame, one join back —
+    no second corpus pass, no window."""
+    from ner_spark.operators.graph import fact_confidence
+
+    return fact_confidence(_canonical_triples(spark, sf_dir))
+
+
+@query(
+    "novelty_scores",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    gh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 8 THEN list_distinct(list_transform(
+               range(CAST(1 AS BIGINT), CAST(len(t) - 6 AS BIGINT)),
+               i -> {_h60("array_to_string(t[i:i+7], ' ')")}))
+             ELSE [] END AS hs
+      FROM toks),
+    spans AS (SELECT doc_id, unnest(hs) AS h FROM gh),
+    first AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h),
+    fl AS (
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_seen
+      FROM spans JOIN first USING (h) GROUP BY doc_id)
+    SELECT g.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_seen, 0) AS BIGINT) AS n_seen,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN CAST(floor(1000000 * (1.0
+                       - n_seen::DOUBLE / n_grams::DOUBLE)) AS BIGINT)
+                ELSE 1000000 END AS novelty_micro
+    FROM gh g LEFT JOIN fl USING (doc_id)
+    """,
+)
+def q_novelty_scores(spark, sf_dir):
+    """Prefix-novelty audit (functions/corpus.py:novelty_scores) — per
+    document, the fraction of its distinct word 8-grams first seen in a
+    LOWER doc_id: the ingest-order "did this increment add anything"
+    signal a crawl pipeline budgets by (novelty sliding toward 0 =
+    crawl exhaustion). dup_span_fraction's slim-hash device with an
+    arg-min census instead of a frequency census."""
+    from ner_spark.functions.corpus import novelty_scores
+
+    return novelty_scores(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5617,6 +5690,7 @@ _DRIVER_ORDER = [
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
+    "kg_fact_confidence", "novelty_scores",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -678,3 +678,85 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("band"),
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-novelty audit for incrementally grown corpora —
+    ``(doc_id, n_grams, n_seen, novelty_micro)``: for each document,
+    the fraction of its distinct word ``n``-grams that already
+    appeared in any LOWER-doc_id document. ``novelty_micro =
+    floor(1e6 · (1 − n_seen/n_grams))``; gram-free docs (shorter than
+    ``n`` tokens or NULL text) pin to 1e6 — nothing repeated, nothing
+    to discount. Where ``dup_span_fraction`` asks "is this content
+    duplicated ANYWHERE", novelty asks the ingest-order question a
+    crawl pipeline budgets by — "did THIS increment add anything" —
+    and a sliding novelty average dropping toward 0 is the classic
+    crawl-exhaustion signal.
+
+    Scale shape (the dup_span_fraction device plus an arg-min): gram
+    hashes are 60-bit md5 longs computed row-locally and de-duplicated
+    per doc BEFORE the explode, so shuffled rows are slim (doc_id,
+    int64) pairs; the first-occurrence owner per gram is ONE
+    map-side-combinable ``min(doc_id)`` aggregate on the uniform hash
+    key; the join back is a plain hash join on that key and the
+    per-doc verdict one aggregate. The gram strings never leave the
+    scan stage, and no step depends on partitioning or order.
+    """
+    from ner_spark.functions.colutil import let
+    from ner_spark.operators.linking import md5_hash60_col
+
+    gram_hashes = let(
+        tokens_col(F.lower(F.col(text_col))),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: md5_hash60_col(
+                        F.concat_ws(" ", F.slice(toks, i + F.lit(1), n))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    per_doc = df.select(F.col(id_col).alias("doc_id"), gram_hashes.alias("gh"))
+    spans = per_doc.select("doc_id", F.explode("gh").alias("h"))
+    first = spans.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    counted = (
+        spans.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_seen"),
+        )
+    )
+    return (
+        per_doc.select("doc_id")
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.floor(
+                    F.lit(1_000_000)
+                    * (
+                        F.lit(1.0)
+                        - F.col("n_seen").cast("double")
+                        / F.col("n_grams").cast("double")
+                    )
+                ),
+            )
+            .otherwise(F.lit(1_000_000))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )

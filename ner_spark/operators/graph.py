@@ -2183,3 +2183,48 @@ def motif_census(
         .groupBy("triad_class")
         .agg(F.count(F.lit(1)).alias("n_triads"))
     )
+
+
+def fact_confidence(triples: DataFrame) -> DataFrame:
+    """Per-fact confidence scores for KG pruning — ``(subj, pred, obj,
+    support, n_convs, conf_micro)``: ``support`` counts assertions of
+    the fact, ``n_convs`` the distinct conversations asserting it
+    (cross-conversation support is the stronger signal — one
+    conversation repeating itself is not corroboration), and
+    ``conf_micro = floor(1e6 · (support+1) / (sp_total + n_objs))``
+    the Laplace-smoothed conditional probability of the object given
+    (subj, pred), where ``sp_total`` is the subject-predicate's total
+    assertion count and ``n_objs`` its distinct-object count. For a
+    functional predicate asserted consistently, conf approaches 1; a
+    noisy extraction that scattered objects over a subject-predicate
+    pair scores every alternative low — threshold on conf_micro and
+    the noise queue falls out.
+
+    Plan shape: one fact-keyed aggregate over the triples (map-side
+    combinable; the conv-distinct count expands in-plan), the
+    (subj, pred) totals aggregated FROM that fact frame (strictly
+    smaller — no second pass over the corpus), and one join back on
+    the (subj, pred) key. The division is a single integer→IEEE
+    double op floored onto the 1e-6 grid — exact on both engines. No
+    window, no Python, nothing wider than the fact table itself.
+    """
+    facts = triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    sp = facts.groupBy("subj", "pred").agg(
+        F.sum("support").alias("sp_total"),
+        F.count(F.lit(1)).alias("n_objs"),
+    )
+    return facts.join(sp, ["subj", "pred"]).select(
+        "subj",
+        "pred",
+        "obj",
+        "support",
+        "n_convs",
+        F.floor(
+            F.lit(1_000_000)
+            * (F.col("support") + 1).cast("double")
+            / (F.col("sp_total") + F.col("n_objs")).cast("double")
+        ).cast("long").alias("conf_micro"),
+    )

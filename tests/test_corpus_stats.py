@@ -280,3 +280,26 @@ def test_perplexity_buckets_rank_partition(spark):
         for r in perplexity_buckets(docs, bucket_size=3).collect()
     }
     assert small == {(r.doc_id, r.decile, r.band) for r in out}
+
+
+def test_novelty_scores_prefix_order(spark):
+    """First occurrence owns the gram: an exact copy later scores 0
+    novelty, the original stays fully novel; short docs pin to 1e6."""
+    from ner_spark.functions.corpus import novelty_scores
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    texts = [
+        base,                  # doc 0: all grams first-seen -> novelty 1e6
+        "tiny doc",            # doc 1: no 8-grams -> pinned 1e6
+        base,                  # doc 2: exact copy of doc 0 -> novelty 0
+        base + " w11 w12",     # doc 3: shares doc 0's grams, adds 2 new
+    ]
+    got = {
+        r.doc_id: (r.n_grams, r.n_seen, r.novelty_micro)
+        for r in novelty_scores(_docs(spark, texts)).collect()
+    }
+    assert got[0] == (3, 0, 1_000_000)
+    assert got[1] == (0, 0, 1_000_000)
+    assert got[2] == (3, 3, 0)
+    # doc 3: 5 grams, 3 seen in doc 0 -> floor(1e6 * 2/5)
+    assert got[3] == (5, 3, 400_000)

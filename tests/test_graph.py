@@ -1356,3 +1356,30 @@ def test_motif_census_all_classes(spark):
         for r in motif_census(edges.repartition(7)).collect()
     }
     assert rep == got
+
+
+def test_fact_confidence_laplace(spark):
+    """Consistent functional facts approach 1; scattered objects split
+    the mass; repeated same-conv assertions raise support but not
+    n_convs."""
+    from ner_spark.operators.graph import fact_confidence
+
+    rows = [
+        # s1/makes: 3 assertions of o1 (2 convs), 1 of o2 -> sp_total 4, n_objs 2
+        ("c1", 0, "s1", "makes", "o1"),
+        ("c1", 1, "s1", "makes", "o1"),
+        ("c2", 0, "s1", "makes", "o1"),
+        ("c2", 1, "s1", "makes", "o2"),
+        # s2/makes: single clean fact -> conf = (1+1)/(1+1) = 1
+        ("c3", 0, "s2", "makes", "o3"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    got = {
+        (r.subj, r.pred, r.obj): (r.support, r.n_convs, r.conf_micro)
+        for r in fact_confidence(t).collect()
+    }
+    assert got[("s1", "makes", "o1")] == (3, 2, int(1e6 * 4 / 6))
+    assert got[("s1", "makes", "o2")] == (1, 1, int(1e6 * 2 / 6))
+    assert got[("s2", "makes", "o3")] == (1, 1, 1_000_000)

@@ -1033,6 +1033,30 @@ CHECKS = {
             "(bigram_logprob plan, asserted separately)."
         ),
     ),
+    "kg_fact_confidence": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Laplace fact confidence: one fact-keyed aggregate over "
+            "the triples (conv-distinct expands in-plan), the "
+            "(subj, pred) totals aggregated FROM that fact frame — "
+            "strictly smaller, no second corpus pass — and one join "
+            "back on the subject-predicate key; the smoothing "
+            "division is codegen arithmetic."
+        ),
+    ),
+    "novelty_scores": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Prefix novelty: gram hashes computed and deduped "
+            "row-locally before the explode (shuffled rows are slim "
+            "(doc_id, int64) pairs; gram strings never leave the "
+            "scan), first-occurrence ownership is one map-side-"
+            "combinable min(doc_id) on the uniform hash key, then a "
+            "hash join + per-doc aggregate."
+        ),
+    ),
     "kg_motif_census": dict(
         requires=["HashAggregate"],
         forbids=["Python", "CartesianProduct", "Window"],
