@@ -5660,6 +5660,47 @@ def q_novelty_scores(spark, sf_dir):
     return novelty_scores(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "kg_entity_bursts",
+    f"""
+    WITH wt AS (
+      SELECT c.subj, c.obj, epoch(t.ts)::BIGINT // 86400 AS day
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') c
+      JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') t
+        USING (conv_id, turn_idx)),
+    occ AS (
+      SELECT subj AS entity, day FROM wt
+      UNION ALL
+      SELECT obj AS entity, day FROM wt),
+    pd AS (SELECT entity, day, CAST(count(*) AS BIGINT) AS n_mentions
+           FROM occ GROUP BY 1, 2),
+    tot AS (SELECT entity, CAST(sum(n_mentions) AS BIGINT) AS total_mentions
+            FROM pd GROUP BY 1),
+    days AS (
+      SELECT CAST(count(DISTINCT epoch(ts)::BIGINT // 86400) AS BIGINT)
+               AS n_days
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}'))
+    SELECT pd.entity, pd.day, pd.n_mentions, tot.total_mentions, days.n_days
+    FROM pd JOIN tot USING (entity), days
+    WHERE pd.n_mentions * days.n_days > 2 * tot.total_mentions
+      AND pd.n_mentions >= 3
+    """,
+)
+def q_kg_entity_bursts(spark, sf_dir):
+    """Entity assertion-burst days (operators/graph.py:entity_bursts)
+    — (entity, day) cells whose count beats factor × the entity's
+    per-active-day mean via integer cross-multiplication (no mean/
+    variance/sqrt — bit-exact), with the corpus day census as a
+    broadcast scalar. The KG-side event detector and per-entity skew
+    early-warning."""
+    from ner_spark.operators.graph import entity_bursts
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return entity_bursts(_canonical_triples(spark, sf_dir), t)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5690,7 +5731,7 @@ _DRIVER_ORDER = [
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
-    "kg_fact_confidence", "novelty_scores",
+    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

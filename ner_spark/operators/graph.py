@@ -2228,3 +2228,62 @@ def fact_confidence(triples: DataFrame) -> DataFrame:
             / (F.col("sp_total") + F.col("n_objs")).cast("double")
         ).cast("long").alias("conf_micro"),
     )
+
+
+def entity_bursts(
+    canonical_triples: DataFrame,
+    transcripts: DataFrame,
+    factor: int = 2,
+    min_mentions: int = 3,
+) -> DataFrame:
+    """Temporal burst detection over entity assertion activity —
+    ``(entity, day, n_mentions, total_mentions, n_days)``: one row per
+    (entity, UTC day) whose assertion count exceeds ``factor`` × the
+    entity's per-active-day corpus mean AND an absolute floor of
+    ``min_mentions``. Bursts are the KG-side event detector ("this
+    product suddenly dominates the transcripts — launch? incident?")
+    and the skew early-warning for downstream per-entity partitioning.
+
+    Determinism without a z-score: the threshold is the integer
+    cross-multiplication ``n_mentions · n_days > factor ·
+    total_mentions`` (n_days = the CORPUS's distinct active days, a
+    broadcast scalar), so no mean, no variance, no sqrt — bit-exact on
+    any engine. Day buckets are ``floor(epoch / 86400)`` UTC grid.
+
+    Plan shape: triples join the 3-column-pruned transcripts on the
+    (conv_id, turn_idx) key they are already clustered by (at full
+    scale ``ts`` threads through extraction instead — see
+    edge_temporal_profile); both entity roles union into slim
+    (entity, day) rows; one pair-keyed count, the per-entity totals
+    aggregated FROM that frame, the day census as a broadcast 1-row
+    dimension, one join back on entity. No window anywhere.
+    """
+    with_ts = canonical_triples.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).select(
+        "subj", "obj",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    )
+    occ = with_ts.select(F.col("subj").alias("entity"), "day").unionByName(
+        with_ts.select(F.col("obj").alias("entity"), "day")
+    )
+    per_day = occ.groupBy("entity", "day").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+    totals = per_day.groupBy("entity").agg(
+        F.sum("n_mentions").alias("total_mentions")
+    )
+    days = transcripts.select(
+        F.floor(F.unix_timestamp("ts") / 86400).alias("d")
+    ).agg(F.countDistinct("d").alias("n_days"))
+    return (
+        per_day.join(totals, "entity")
+        .crossJoin(F.broadcast(days))
+        .where(
+            (F.col("n_mentions") * F.col("n_days")
+             > F.lit(factor) * F.col("total_mentions"))
+            & (F.col("n_mentions") >= min_mentions)
+        )
+        .select("entity", "day", "n_mentions", "total_mentions", "n_days")
+    )

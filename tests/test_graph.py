@@ -1383,3 +1383,52 @@ def test_fact_confidence_laplace(spark):
     assert got[("s1", "makes", "o1")] == (3, 2, int(1e6 * 4 / 6))
     assert got[("s1", "makes", "o2")] == (1, 1, int(1e6 * 2 / 6))
     assert got[("s2", "makes", "o3")] == (1, 1, 1_000_000)
+
+
+def test_entity_bursts_threshold(spark):
+    """Integer cross-multiplication threshold: a day must beat
+    factor x the per-active-day mean AND the absolute floor."""
+    import datetime as dt
+
+    from ner_spark.operators.graph import entity_bursts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def ts(day):
+        return dt.datetime(2026, 1, 1 + day, 12, 0, 0)
+
+    # corpus spans 4 distinct days (day 0..3)
+    trans, triples = [], []
+    turn = 0
+    # e1: 1 mention on days 0-2, 5 on day 3 -> total 8, mean 2/day;
+    # day 3: 5*4=20 > 2*8 and 5 >= 3 -> burst
+    for day, cnt in [(0, 1), (1, 1), (2, 1), (3, 5)]:
+        for _ in range(cnt):
+            trans.append(("c1", turn, "user", f"t{turn}", None, ts(day)))
+            triples.append(("c1", turn, "brand|e1", "makes", f"product|p{turn}"))
+            turn += 1
+    # e2: 2+2 mentions on two days -> never beats 2x mean
+    for day in (0, 1):
+        for _ in range(2):
+            trans.append(("c1", turn, "user", f"t{turn}", None, ts(day)))
+            triples.append(("c1", turn, "brand|e2", "makes", f"product|q{turn}"))
+            turn += 1
+    t = spark.createDataFrame(
+        trans,
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    c = spark.createDataFrame(
+        triples,
+        "conv_id string, turn_idx long, subj string, pred string, obj string",
+    )
+    got = {
+        (r.entity, r.day): (r.n_mentions, r.total_mentions, r.n_days)
+        for r in entity_bursts(c, t).collect()
+    }
+    day3 = int(ts(3).replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert ("brand|e1", day3) in got
+    assert got[("brand|e1", day3)] == (5, 8, 4)
+    assert not any(e == "brand|e2" for e, _ in got)
+    # objects are unique per turn -> every product has 1 mention, no bursts
+    assert all(e.startswith("brand|") for e, _ in got)

@@ -1057,6 +1057,19 @@ CHECKS = {
             "hash join + per-doc aggregate."
         ),
     ),
+    "kg_entity_bursts": dict(
+        requires=["HashAggregate", "BroadcastExchange"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Burst detection: triples join the 3-column-pruned "
+            "transcripts on the (conv, turn) key they are already "
+            "clustered by, both entity roles union into slim "
+            "(entity, day) rows, per-entity totals aggregate FROM the "
+            "per-day frame, the corpus day census broadcasts as a "
+            "1-row dimension, and the threshold is integer cross-"
+            "multiplication — no mean/variance/sqrt, no window."
+        ),
+    ),
     "kg_motif_census": dict(
         requires=["HashAggregate"],
         forbids=["Python", "CartesianProduct", "Window"],
