@@ -5701,6 +5701,53 @@ def q_kg_entity_bursts(spark, sf_dir):
     return entity_bursts(_canonical_triples(spark, sf_dir), t)
 
 
+def _lm_oracle(terms: list[str], k: int = 10, mu: float = 2000.0) -> str:
+    """Dirichlet query-likelihood oracle: same per-term int64-quantized
+    contributions; μ·p(t|C) recomputed by DuckDB from the integer
+    collection stats with the identical op order the Spark side uses
+    to fold its literals."""
+    tf_defs = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    cf_defs = ", ".join(
+        f"sum(tf{i}) AS cf{i}" for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"""CAST(floor(1e6 * ln(
+          (CAST(tf{i} AS DOUBLE)
+           + {mu!r} * ((st.cf{i} + 1) / (st.total_dl + 1)))
+          / (CAST(dl AS DOUBLE) + {mu!r}))) AS BIGINT)"""
+        for i in range(len(terms))
+    )
+    any_match = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, len(toks) AS dl,
+             {tf_defs}
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    st AS (SELECT sum(dl) AS total_dl, {cf_defs} FROM base)
+    SELECT doc_id, {contribs} AS score_micro
+    FROM base, st
+    WHERE {any_match}
+    ORDER BY score_micro DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+@query("lm_topk", _lm_oracle(_BM25_TERMS))
+def q_lm_topk(spark, sf_dir):
+    """Dirichlet query-likelihood top-10 retrieval for the same fixed
+    3-term query as bm25_topk (functions/text.py:lm_topk) — the
+    language-modeling scorer of the lexical trio. Row-local per-term
+    tf, ONE scalar collection-stats aggregate, μ·p(t|C) folded into
+    literals, per-term libm-ln-then-floor contributions summed in
+    fixed order, TakeOrderedAndProject top-k."""
+    from ner_spark.functions.text import lm_topk
+
+    return lm_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5731,7 +5778,7 @@ _DRIVER_ORDER = [
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
-    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts",
+    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -480,3 +480,86 @@ def token_percentiles(
         "p90_tokens",
         "max_tokens",
     )
+
+
+def lm_topk(
+    df,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Query-likelihood top-``k`` retrieval with Dirichlet smoothing —
+    the language-modeling member of the lexical-retrieval trio
+    (tfidf_top_terms / bm25_topk / lm_topk): ``(doc_id, score_micro)``
+    where ``score = Σ_t ln((tf_t + μ·p(t|C)) / (dl + μ))`` (Zhai &
+    Lafferty's Dirichlet-prior estimator), ``p(t|C)`` the add-one-
+    smoothed collection unigram ``(cf_t + 1)/(total_tokens + 1)``.
+    Scores are negative log-likelihoods of the query under each
+    document's smoothed LM; only documents containing at least one
+    query term rank (pure-smoothing matches carry no evidence).
+
+    Scale shape mirrors bm25_topk — no inverted index for a bounded
+    query: per-term tf and dl are row-local higher-order expressions
+    (|terms| is a query constant); collection statistics (Σdl, per-term
+    collection frequencies Σtf) are ONE scalar map-side-combinable
+    aggregate collected as a single bounded row; ``μ·p(t|C)`` folds
+    into per-term double LITERALS. Each per-term contribution floors
+    onto the 1e-6 grid BEFORE the fixed-order sum (the libm-ln-then-
+    floor contract bm25/bigram ride), so scores are bit-identical
+    across engines and partitionings; top-k is orderBy+limit —
+    TakeOrderedAndProject, never a global sort.
+    """
+    import math
+
+    from ner_spark.functions.dedup import register_persist
+
+    toks = F.split(F.col(text_col), " ")
+    base_cols = [
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+    ]
+
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    for i, t in enumerate(terms):
+        base_cols.append(_tf(t).alias(f"tf{i}"))
+    base = register_persist(df.select(*base_cols))
+
+    aggs = [F.sum("dl").alias("total_dl")]
+    for i in range(len(terms)):
+        aggs.append(F.sum(f"tf{i}").alias(f"cf{i}"))
+    st = base.agg(*aggs).collect()[0]
+    total_dl = st["total_dl"] or 0
+    if total_dl == 0:
+        return base.select(
+            "doc_id", F.lit(0).cast("long").alias("score_micro")
+        ).where(F.lit(False))
+
+    contribs = []
+    for i in range(len(terms)):
+        # parenthesization mirrored VERBATIM in the SQL oracle
+        mu_pc = mu * ((st[f"cf{i}"] + 1) / (total_dl + 1))
+        contribs.append(
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.col(f"tf{i}").cast("double") + F.lit(mu_pc))
+                    / (F.col("dl").cast("double") + F.lit(mu))
+                )
+            ).cast("long")
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    any_match = F.greatest(
+        *[F.col(f"tf{i}") for i in range(len(terms))]
+    ) > 0 if len(terms) > 1 else F.col("tf0") > 0
+    return (
+        base.where(any_match)
+        .select("doc_id", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )

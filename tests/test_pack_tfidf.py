@@ -280,3 +280,34 @@ def test_curriculum_schedule_order_and_epochs(spark):
         for r in curriculum_schedule(docs, budget=30, bucket_size=2).collect()
     }
     assert small == out
+
+
+def test_lm_topk_dirichlet_scoring(spark):
+    """Hand-checked Dirichlet query likelihood: higher tf wins at equal
+    length, longer docs pay the length prior, non-matching docs never
+    rank, scores match a pure-Python reference bit-for-bit."""
+    import math
+
+    from ner_spark.functions.text import lm_topk
+
+    texts = [
+        "spark spark spark pad",       # doc 0: tf=3, dl=4
+        "spark pad pad pad",           # doc 1: tf=1, dl=4
+        "spark " + "pad " * 98 + "end",  # doc 2: tf=1, dl=100
+        "no match here",               # doc 3: tf=0 -> excluded
+    ]
+    docs = _docs(spark, texts)
+    out = {r.doc_id: r.score_micro for r in lm_topk(docs, ["spark"], k=10).collect()}
+    assert 3 not in out and set(out) == {0, 1, 2}
+    # python reference with identical op order
+    dls = [4, 4, 100]
+    total_dl = 4 + 4 + 100 + 3
+    cf = 5
+    mu = 2000.0
+    mu_pc = mu * ((cf + 1) / (total_dl + 1))
+    ref = {
+        i: math.floor(1e6 * math.log((tf + mu_pc) / (dl + mu)))
+        for i, tf, dl in [(0, 3.0, 4.0), (1, 1.0, 4.0), (2, 1.0, 100.0)]
+    }
+    assert out == ref
+    assert out[0] > out[1] > out[2]

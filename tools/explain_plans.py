@@ -1057,6 +1057,18 @@ CHECKS = {
             "hash join + per-doc aggregate."
         ),
     ),
+    "lm_topk": dict(
+        requires=["TakeOrderedAndProject", "InMemoryTableScan"],
+        forbids=["Python", "CartesianProduct", "Window", "SortMergeJoin"],
+        note=(
+            "Dirichlet query likelihood: per-term tf and dl are "
+            "row-local higher-order expressions over the persisted "
+            "tokenized base (one scan, two consumers), collection "
+            "stats collapse to one bounded scalar row, μ·p(t|C) folds "
+            "into literals, and the top-k is TakeOrderedAndProject — "
+            "no inverted-index shuffle for a bounded query."
+        ),
+    ),
     "kg_entity_bursts": dict(
         requires=["HashAggregate", "BroadcastExchange"],
         forbids=["Python", "CartesianProduct", "Window"],
