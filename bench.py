@@ -356,6 +356,11 @@ def main() -> None:
         "curriculum_schedule",
         "perplexity_buckets",
         "kg_entity_salience",
+        "kg_motif_census",
+        "kg_fact_confidence",
+        "novelty_scores",
+        "kg_entity_bursts",
+        "lm_topk",
     ):
         run(
             qname,

@@ -483,7 +483,8 @@ def q_tokenize_counts(spark, sf_dir):
 
 # SQL restatement of functions/text.py:quality_score over a CTE exposing
 # (text, toks, ltoks) — shared by quality_scores and curriculum_schedule
-_QUALITY_EXPR = """round(
+_QUALITY_EXPR = """CASE WHEN length(coalesce(text, '')) = 0 THEN 0.0
+           ELSE round(
              0.3 * (CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0
                          WHEN length(text) >= 30 THEN 0.5 ELSE 0.0 END)
            + 0.3 * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE / length(text))
@@ -491,7 +492,7 @@ _QUALITY_EXPR = """round(
            + 0.2 * (CASE WHEN (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) >= 3.0
                           AND (list_sum(list_transform(toks, t2 -> length(t2)))::DOUBLE / len(toks)) <= 10.0
                          THEN 1.0 ELSE 0.3 END)
-           , 6)"""
+           , 6) END"""
 
 
 @query(

@@ -76,7 +76,12 @@ def quality_score(text: Column) -> Column:
         + 0.2 * F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
         + 0.2 * tl_band
     )
-    return F.round(score, 6)
+    # total function: empty/NULL text pins to 0.0 (alpha_ratio would
+    # otherwise divide by zero under ANSI mode) — mirrored in the
+    # shared SQL restatement (_QUALITY_EXPR)
+    return F.when(
+        F.coalesce(F.length(text), F.lit(0)) == 0, F.lit(0.0)
+    ).otherwise(F.round(score, 6))
 
 
 def repetition_ratio(text: Column, n: int = 3) -> Column:

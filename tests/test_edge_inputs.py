@@ -247,3 +247,65 @@ def test_round4_operators_degenerate_inputs(spark):
     )
     r = verbalize_entities(t1).collect()[0]
     assert r["card_text"] == "s|x: p o|y." and r["n_facts"] == 1
+
+
+def test_round4_ops_on_edge_inputs(spark, edge_df):
+    """The round-4 continuation operators must survive degenerate
+    inputs — all-null tools, empty edge/node/triple frames, empty or
+    token-free documents — without crashing or emitting rows they
+    shouldn't."""
+    from ner_spark.functions.corpus import novelty_scores, perplexity_buckets
+    from ner_spark.functions.pack import curriculum_schedule
+    from ner_spark.functions.text import lm_topk
+    from ner_spark.operators.graph import (
+        entity_bursts,
+        entity_salience,
+        fact_confidence,
+        motif_census,
+        node_features,
+        supergraph,
+    )
+    from ner_spark.operators.segments import retry_runs
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    # all tools are null -> no calls, no runs
+    assert retry_runs(edge_df).count() == 0
+
+    empty_edges = spark.createDataFrame(
+        [], "src_entity string, pred string, dst_entity string, n_turns bigint"
+    )
+    empty_nodes = spark.createDataFrame(
+        [],
+        "entity_id string, entity_type string, canonical_name string, "
+        "n_surfaces bigint, n_mentions bigint",
+    )
+    empty_triples = spark.createDataFrame(
+        [], "conv_id string, turn_idx long, subj string, pred string, obj string"
+    )
+    assert supergraph(empty_edges).count() == 0
+    assert motif_census(empty_edges).count() == 0
+    assert node_features(empty_nodes, empty_edges).count() == 0
+    assert fact_confidence(empty_triples).count() == 0
+    assert entity_salience(empty_triples).count() == 0
+    assert entity_bursts(empty_triples, edge_df).count() == 0
+
+    # degenerate documents: empty text, whitespace runs, unicode
+    # (unique doc ids — EDGE_TURNS reuses turn_idx across conversations)
+    from pyspark.sql import Window
+
+    docs = edge_df.select(
+        (
+            F.row_number().over(
+                Window.orderBy("conv_id", "turn_idx")
+            ).cast("long")
+        ).alias("doc_id"),
+        "text",
+    )
+    nv = {r.doc_id: r.novelty_micro for r in novelty_scores(docs).collect()}
+    assert len(nv) == docs.count()  # every doc keeps a row
+    cs = curriculum_schedule(docs, budget=10)
+    assert cs.count() == docs.count()
+    pb = perplexity_buckets(docs)
+    assert pb.count() == docs.count()
+    assert lm_topk(docs, ["nonexistent-term-xyz"], k=5).count() == 0
