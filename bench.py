@@ -361,6 +361,7 @@ def main() -> None:
         "novelty_scores",
         "kg_entity_bursts",
         "lm_topk",
+        "conv_summary",
     ):
         run(
             qname,

@@ -5749,6 +5749,75 @@ def q_lm_topk(spark, sf_dir):
     return lm_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+@query(
+    "conv_summary",
+    f"""
+    WITH t AS (
+      SELECT conv_id, turn_idx,
+             list_distinct(list_filter(
+               string_split(lower(coalesce(text, '')), ' '), x -> x <> ''))
+               AS toks
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')),
+    lagged AS (
+      SELECT conv_id, turn_idx, toks,
+             lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+      FROM t),
+    j AS (
+      SELECT conv_id, turn_idx,
+        CASE WHEN prev IS NULL THEN CAST(-1 AS BIGINT)
+             WHEN len(list_distinct(list_concat(toks, prev))) = 0
+               THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(1e6 *
+                  (CAST(len(list_intersect(toks, prev)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(toks, prev)))
+                          AS DOUBLE))) AS BIGINT)
+        END AS jaccard_micro
+      FROM lagged),
+    seg AS (
+      SELECT conv_id, turn_idx,
+             CAST(sum(CASE WHEN jaccard_micro >= 0 AND jaccard_micro < 150000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+               AS segment_id
+      FROM j),
+    tok_rows AS (SELECT conv_id, turn_idx, unnest(toks) AS token FROM t),
+    dfreq AS (SELECT token, count(*) AS df FROM tok_rows GROUP BY token),
+    n AS (SELECT count(*) AS n_turns FROM t),
+    scored AS (
+      SELECT conv_id, turn_idx,
+             CAST(sum(CAST(floor(1e6 * (ln((n.n_turns + 1)::DOUBLE / (df + 1))
+                                        + 1.0)) AS BIGINT)) AS BIGINT)
+               AS score_micro
+      FROM tok_rows JOIN dfreq USING (token), n
+      GROUP BY conv_id, turn_idx),
+    joined AS (
+      SELECT s.conv_id, s.segment_id, s.turn_idx,
+             coalesce(sc.score_micro, 0) AS score_micro
+      FROM seg s LEFT JOIN scored sc USING (conv_id, turn_idx))
+    SELECT conv_id, segment_id, turn_idx, score_micro
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY conv_id, segment_id
+            ORDER BY score_micro DESC, turn_idx ASC) AS rk
+          FROM joined)
+    WHERE rk = 1
+    """,
+)
+def q_conv_summary(spark, sf_dir):
+    """Extractive conversation summaries (operators/segments.py:
+    conv_extractive_summary) — the most idf-informative turn of every
+    topic segment, the distillation/preview text a conversation index
+    stores. Per-token smoothed-idf scores floored onto the micro grid
+    BEFORE the per-turn integer sum (float order never matters); turn
+    df census is one token-keyed count; segment cuts and the per-
+    segment arg-max ride conv-bounded windows."""
+    from ner_spark.operators.segments import conv_extractive_summary
+
+    t = spark.read.parquet(
+        os.path.join(_fx(sf_dir), "transcripts.parquet")
+    )
+    return conv_extractive_summary(t)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -5779,7 +5848,7 @@ _DRIVER_ORDER = [
     "session_windows", "containment_pairs", "kg_cloze_questions",
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
-    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk",
+    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk", "conv_summary",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

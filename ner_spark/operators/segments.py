@@ -292,3 +292,81 @@ def retry_runs(transcripts: DataFrame, min_len: int = 2) -> DataFrame:
             "conv_id", "tool", "start_turn", "end_turn", "run_len", "span_ms"
         )
     )
+
+
+def conv_extractive_summary(transcripts: DataFrame) -> DataFrame:
+    """Extractive conversation summaries — ``(conv_id, segment_id,
+    turn_idx, score_micro)``: for every topic segment (the
+    ``topic_segments`` lexical-cohesion cuts), the single most
+    informative turn, ranked by summed smoothed-idf mass of the turn's
+    distinct lowercase tokens. One representative turn per topic is
+    the classic extractive transcript summary — the distillation /
+    preview text a conversation index stores, at ~one-tenth the
+    tokens.
+
+    Determinism: token idf uses the tfidf_top_terms contract —
+    ``ln((N+1)/(df+1)) + 1`` with ``df`` the number of TURNS containing
+    the token and ``N`` the total turn count — and every per-token score is
+    floored onto the 1e-6 integer grid BEFORE the per-turn sum
+    (float-addition order never matters: both engines sum identical
+    int64s). Ties break to the earliest turn. Token-free turns score
+    0.
+
+    Scale shape: per-turn distinct tokens explode into slim
+    (conv, turn, token) rows; the turn-frequency census is ONE
+    map-side-combinable count on the token key (distinct-per-turn
+    makes count(*) the df); the idf join is a plain hash join on the
+    uniform token key; the per-turn sum and the per-(conv, segment)
+    arg-max window are both bounded by conversation length — the same
+    bound every transcript window here rides. N arrives as a broadcast
+    1-row dimension.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "),
+            lambda t: t != F.lit(""),
+        )
+    )
+    base = transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
+    tok_rows = base.select(
+        "conv_id", "turn_idx", F.explode("toks").alias("token")
+    )
+    dfreq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = base.agg(F.count(F.lit(1)).alias("n_turns"))
+    scored = (
+        tok_rows.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    F.log(
+                        (F.col("n_turns") + 1).cast("double")
+                        / (F.col("df") + 1)
+                    )
+                    + F.lit(1.0)
+                )
+            ).cast("long").alias("tok_score"),
+        )
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.sum("tok_score").alias("score_micro"))
+    )
+    seg = topic_segments(transcripts).select(
+        "conv_id", "turn_idx", "segment_id"
+    )
+    joined = seg.join(scored, ["conv_id", "turn_idx"], "left").select(
+        "conv_id",
+        "segment_id",
+        "turn_idx",
+        F.coalesce("score_micro", F.lit(0)).cast("long").alias("score_micro"),
+    )
+    w = Window.partitionBy("conv_id", "segment_id").orderBy(
+        F.desc("score_micro"), F.asc("turn_idx")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("conv_id", "segment_id", "turn_idx", "score_micro")
+    )

@@ -1432,3 +1432,36 @@ def test_entity_bursts_threshold(spark):
     assert not any(e == "brand|e2" for e, _ in got)
     # objects are unique per turn -> every product has 1 mention, no bursts
     assert all(e.startswith("brand|") for e, _ in got)
+
+
+def test_conv_extractive_summary_picks_idf_heavy_turn(spark):
+    """Within a cohesive segment the turn carrying rare tokens beats
+    the one made of corpus-wide boilerplate; ties break earliest."""
+    import math
+
+    from ner_spark.operators.segments import conv_extractive_summary
+
+    # one conversation, high adjacent overlap -> a single segment;
+    # 'zebra quagga' are unique, the rest repeat in both turns and c2
+    rows = [
+        ("c1", 0, "u", "the price check on widget", None),
+        ("c1", 1, "u", "the price check on widget zebra quagga", None),
+        ("c2", 0, "u", "the price check on widget", None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx long, role string, text string, tool string",
+    )
+    got = {
+        (r.conv_id, r.segment_id): (r.turn_idx, r.score_micro)
+        for r in conv_extractive_summary(t).collect()
+    }
+    # c1 collapses to one segment (jaccard 5/7 > 0.15); turn 1 wins
+    assert got[("c1", 0)][0] == 1
+    # c2: single turn, trivially its own summary
+    assert got[("c2", 0)][0] == 0
+    # score check: N=3 turns; common tokens df=3, zebra/quagga df=1
+    common = math.floor(1e6 * (math.log(4 / 4) + 1.0))
+    rare = math.floor(1e6 * (math.log(4 / 2) + 1.0))
+    assert got[("c1", 0)][1] == 5 * common + 2 * rare
+    assert got[("c2", 0)][1] == 5 * common

@@ -1057,6 +1057,19 @@ CHECKS = {
             "hash join + per-doc aggregate."
         ),
     ),
+    "conv_summary": dict(
+        requires=["Window", "BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Extractive summaries: the turn-frequency census is one "
+            "token-keyed map-side-combinable count (per-turn distinct "
+            "makes count(*) the df), idf joins back on the uniform "
+            "token key with N broadcast, per-token scores floor onto "
+            "the micro grid BEFORE the integer per-turn sum, and both "
+            "the segment cut and the per-segment arg-max are conv-"
+            "bounded windows."
+        ),
+    ),
     "lm_topk": dict(
         requires=["TakeOrderedAndProject", "InMemoryTableScan"],
         forbids=["Python", "CartesianProduct", "Window", "SortMergeJoin"],
