@@ -362,6 +362,16 @@ def main() -> None:
         "kg_entity_bursts",
         "lm_topk",
         "conv_summary",
+        # round-4 wave-2 additions
+        "event_funnel",
+        "event_retention",
+        "gopher_rules",
+        "text_normalize",
+        "zipf_fit",
+        "dup_cluster_stats",
+        "dialog_acts",
+        "ann_recall_eval",
+        "kg_transitive_closure",
     ):
         run(
             qname,

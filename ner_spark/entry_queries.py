@@ -5819,6 +5819,390 @@ def q_conv_summary(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 continuation wave 2: event analytics, quality rules, corpus
+# law fit, normalization, duplication profile, dialog acts, ANN eval,
+# KG closure
+# ===========================================================================
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "event_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+    s1 AS (SELECT user_id, min(ep) AS t FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(ep) AS t FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND ep > s1.t GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(ep) AS t FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND ep > s2.t GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q_event_funnel(spark, sf_dir):
+    """Ordered-step funnel conversion (functions/events.py:
+    funnel_counts): users completing view -> click -> purchase in
+    strict timestamp order, each step after the user's EARLIEST
+    completion of the previous one. Integer epoch comparisons only;
+    one user-keyed min-agg + join per step, frames shrink down the
+    funnel."""
+    from ner_spark.functions.events import funnel_counts
+
+    return funnel_counts(_t(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+@query(
+    "event_retention",
+    """
+    WITH e AS (SELECT DISTINCT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+    sz AS (SELECT cohort_day, count(*) AS n_cohort FROM c GROUP BY cohort_day),
+    a AS (SELECT c.cohort_day,
+                 CAST(e.day - c.cohort_day AS INTEGER) AS day_offset,
+                 count(*) AS n_active
+          FROM e JOIN c USING (user_id)
+          WHERE e.day - c.cohort_day IN (1, 3, 7)
+          GROUP BY 1, 2)
+    SELECT a.cohort_day, a.day_offset, sz.n_cohort, a.n_active
+    FROM a JOIN sz USING (cohort_day)
+    """,
+)
+def q_event_retention(spark, sf_dir):
+    """First-day cohort retention at day offsets 1/3/7
+    (functions/events.py:retention_table): activity deduplicated to
+    (user, epoch-day) FIRST so nothing downstream scales with raw
+    event volume; cohort sizes broadcast onto the active-cell agg."""
+    from ner_spark.functions.events import retention_table
+
+    return retention_table(_t(spark, sf_dir, "events"), offsets=(1, 3, 7))
+
+
+def _gopher_oracle() -> str:
+    from ner_spark.functions.text import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_FRAC,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_UNIQUE_FRAC,
+        GOPHER_MIN_WORDS,
+        STOPWORDS_EN,
+    )
+
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    rules = {
+        "r_word_count": f"(n >= {GOPHER_MIN_WORDS} AND n <= {GOPHER_MAX_WORDS})",
+        "r_mean_word_len": (
+            f"(total_len::DOUBLE / n >= {GOPHER_MIN_MEAN_WLEN} AND "
+            f"total_len::DOUBLE / n <= {GOPHER_MAX_MEAN_WLEN})"
+        ),
+        "r_unique_frac": f"(n_uniq::DOUBLE / n >= {GOPHER_MIN_UNIQUE_FRAC})",
+        "r_stopwords": f"(sw_hits >= {GOPHER_MIN_STOPWORD_HITS})",
+        "r_alpha_words": f"(n_alpha::DOUBLE / n >= {GOPHER_MIN_ALPHA_WORD_FRAC})",
+    }
+    # CASE short-circuit: the ratio divisions never evaluate at n = 0
+    # (mirrors the Spark-side _guard; DuckDB int/0 is NULL, not FALSE)
+    cols = ",\n           ".join(
+        f"CASE WHEN n = 0 THEN FALSE ELSE {expr} END AS {name}"
+        for name, expr in rules.items()
+    )
+    conj = " AND ".join(rules.values())
+    return f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS w
+               FROM documents),
+    m AS (SELECT doc_id, len(w) AS n,
+                 coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS total_len,
+                 len(list_distinct(w)) AS n_uniq,
+                 len(list_filter(list_transform(w, x -> lower(x)),
+                     x -> x IN ({sw}))) AS sw_hits,
+                 len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+          FROM w)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_words,
+           {cols},
+           CASE WHEN n = 0 THEN FALSE ELSE ({conj}) END AS pass_gopher
+    FROM m
+    """
+
+
+@query("gopher_rules", _gopher_oracle())
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style per-rule quality booleans (Rae et al. 2021 App. A,
+    thresholds scaled to the synthetic corpus band — functions/text.py:
+    gopher_rules_cols): word-count band, mean word length, unique-word
+    fraction, stopword hits, alphabetic-word fraction, and their
+    conjunction. Row-local, codegen; each ratio is one IEEE division
+    so the booleans are bit-identical across engines."""
+    from ner_spark.functions.text import gopher_rules_cols
+
+    d = _t(spark, sf_dir, "documents")
+    rules = gopher_rules_cols(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(nm) for nm, c in rules.items()]
+    )
+
+
+def _normalize_oracle() -> str:
+    from ner_spark.functions.text import ZERO_WIDTH_CHARS
+
+    zw_class = "[" + ZERO_WIDTH_CHARS + "]"
+    return f"""
+    WITH noisy AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN chr(7) || '  ' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN chr(8203) ELSE '' END)
+             || text
+             || (CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(9) || chr(31) || ' ' ELSE '' END)
+               AS t
+      FROM documents),
+    clean AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               t, '{zw_class}', '', 'g'),
+               '[\\x00-\\x09\\x0b-\\x1f\\x7f]', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean_text
+      FROM noisy)
+    SELECT doc_id, clean_text,
+           CAST(length(t) - length(clean_text) AS INTEGER) AS n_removed
+    FROM clean
+    """
+
+
+@query("text_normalize", _normalize_oracle())
+def q_text_normalize(spark, sf_dir):
+    """Release-scrub text normalization (functions/text.py:
+    normalize_text_col): zero-width strip -> control-to-space ->
+    space-run collapse -> trim, exercised end-to-end by injecting
+    deterministic noise first (normalize_inject_col — the pii_inject
+    device). Pure regexp_replace chain: row-local, no Python, no
+    shuffle, the shape a 100-TB cleanup pass needs."""
+    from ner_spark.functions.text import normalize_inject_col, normalize_text_col
+
+    d = _t(spark, sf_dir, "documents")
+    noisy = normalize_inject_col(F.col("text"), F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        noisy.alias("t"),
+    ).select(
+        "doc_id",
+        normalize_text_col(F.col("t")).alias("clean_text"),
+        (F.length("t") - F.length(normalize_text_col(F.col("t"))))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
+@query(
+    "zipf_fit",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+               AS token
+      FROM documents),
+    f AS (SELECT token, count(*) AS freq FROM toks GROUP BY token
+          ORDER BY freq DESC, token ASC LIMIT 200),
+    r AS (SELECT
+            CAST(floor(1e6 * ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS DOUBLE))) AS BIGINT) AS x,
+            CAST(floor(1e6 * ln(CAST(freq AS DOUBLE))) AS BIGINT) AS y
+          FROM f),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM r)
+    SELECT CAST(n AS INTEGER) AS n_ranks,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+    FROM s
+    """,
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law slope/intercept of the corpus rank-frequency head
+    (functions/corpus.py:zipf_fit): top-200 terms via
+    TakeOrderedAndProject, ln floored onto the micro grid per rank,
+    regression sums in exact int64, one double division at the end."""
+    from ner_spark.functions.corpus import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dup_cluster_stats",
+    f"""
+    WITH RECURSIVE {_LSH_CTE_BODY},
+    e AS (SELECT id_a AS a, id_b AS b FROM dup_pairs
+          UNION SELECT id_b, id_a FROM dup_pairs),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS canonical FROM reach GROUP BY a),
+    surv AS (SELECT docs.doc_id,
+                    coalesce(comp.canonical, docs.doc_id) AS canonical_id
+             FROM documents docs LEFT JOIN comp ON docs.doc_id = comp.doc_id),
+    sz AS (SELECT canonical_id, count(*) AS cluster_size
+           FROM surv GROUP BY canonical_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_stats(spark, sf_dir):
+    """Duplication profile: cluster-size histogram of the near-dup
+    collapse (functions/dedup.py:dup_cluster_stats) — the "how
+    duplicated is this crawl" report read before choosing a dedup
+    policy. Two integer aggregates over the survivors frame; the
+    oracle re-derives the clusters by recursive-CTE closure."""
+    from ner_spark.functions.dedup import dup_cluster_stats
+
+    return dup_cluster_stats(_t(spark, sf_dir, "documents"))
+
+
+def _dialog_acts_oracle() -> str:
+    from ner_spark.operators.segments import (
+        ACT_ACK_WORDS,
+        ACT_COMMAND_WORDS,
+        ACT_QUESTION_WORDS,
+    )
+
+    qlist = ", ".join(f"'{w}'" for w in ACT_QUESTION_WORDS)
+    acklist = ", ".join(f"'{w}'" for w in ACT_ACK_WORDS)
+    cmdlist = ", ".join(f"'{w}'" for w in ACT_COMMAND_WORDS)
+    return f"""
+    WITH t AS (SELECT conv_id, turn_idx, role, text,
+                      string_split(lower(text), ' ') AS toks
+               FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}'))
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN list_has_any(toks, [{qlist}]) OR ends_with(text, '?')
+                  THEN 'question'
+                WHEN toks[1] IN ({acklist}) THEN 'ack'
+                WHEN toks[1] IN ({cmdlist}) THEN 'command'
+                WHEN role = 'tool' THEN 'tool_result'
+                ELSE 'statement' END AS act
+    FROM t
+    """
+
+
+@query("dialog_acts", _dialog_acts_oracle())
+def q_dialog_acts(spark, sf_dir):
+    """Per-turn dialog-act labels by deterministic lexical rules
+    (operators/segments.py:dialog_acts) — question / ack / command /
+    tool_result / statement, the first-cut triage of which dialogues
+    are instruction-shaped before SFT selection. Row-local, zero
+    shuffle."""
+    from ner_spark.operators.segments import dialog_acts
+
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return dialog_acts(t)
+
+
+@query(
+    "ann_recall_eval",
+    f"""
+    WITH cent AS (SELECT vec_id AS cell, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+    ca AS (SELECT neighbor_id, cv, cell FROM (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS cv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent) x WHERE crk = 1),
+    qa AS (SELECT query_id, qv, cell FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qv, cent.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.embedding', 'cvec')} DESC, cent.cell ASC) AS crk
+        FROM embeddings e, cent WHERE e.vec_id < 50) x WHERE crk = 1),
+    ivf_s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+              FROM ca JOIN qa USING (cell) WHERE neighbor_id <> query_id),
+    ivf AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM ivf_s) x WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 50),
+    bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    bs AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cosine
+           FROM bc, bq WHERE neighbor_id <> query_id),
+    truth AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM bs) x WHERE rank <= 5),
+    j AS (SELECT t.query_id,
+                 CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM truth t LEFT JOIN ivf i
+            ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id)
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(5 AS INTEGER) AS k,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           round(CAST(sum(hit) AS BIGINT)::DOUBLE
+                 / (count(DISTINCT query_id) * 5), 6) AS recall
+    FROM j
+    """,
+)
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@5 of the IVF index vs exact brute-force ground truth
+    (functions/similarity.py:ann_recall_eval) — the eval protocol
+    itself as a two-engine-checked operator; both arms reuse the
+    production ivf_topk / brute_force_topk, the overlay is one join
+    and two integer counts."""
+    from ner_spark.functions.similarity import ann_recall_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_recall_eval(
+        e, e.where(F.col("vec_id") < 50), k=5, n_cells=16, nprobe=1
+    )
+
+
+@query(
+    "kg_transitive_closure",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT src_entity AS s, dst_entity AS d
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      WHERE pred IN ('affiliated_with', 'based_in', 'located_in')
+        AND src_entity <> dst_entity),
+    reach(s, d, hops) AS (
+      SELECT s, d, 1 FROM e
+      UNION
+      SELECT r.s, e.d, r.hops + 1
+      FROM reach r JOIN e ON r.d = e.s
+      WHERE r.hops < 10 AND e.d <> r.s)
+    SELECT s AS src_entity, d AS dst_entity,
+           CAST(min(hops) AS INTEGER) AS min_hops
+    FROM reach
+    GROUP BY 1, 2
+    """,
+)
+def q_kg_transitive_closure(spark, sf_dir):
+    """Reachability closure of the affiliation+location subgraph with minimum
+    hop counts (operators/graph.py:transitive_closure) — hierarchy
+    completion by level-synchronous BFS from every node, plan
+    truncated per round; the oracle walks the same pairs by
+    recursive-CTE enumeration + min(hops), a different algorithm
+    agreeing on the fixture."""
+    from ner_spark.operators.graph import transitive_closure
+
+    return transitive_closure(
+        _kg_edges(spark, sf_dir),
+        preds=("affiliated_with", "based_in", "located_in"),
+        max_hops=10,
+    )
+
+
+# ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
@@ -5849,6 +6233,10 @@ _DRIVER_ORDER = [
     "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
     "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
     "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk", "conv_summary",
+    # --- wave 2 (slots 42-50): exactly fills the window to 50
+    "event_funnel", "event_retention", "gopher_rules", "text_normalize",
+    "zipf_fit", "dup_cluster_stats", "dialog_acts", "ann_recall_eval",
+    "kg_transitive_closure",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

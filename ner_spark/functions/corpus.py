@@ -760,3 +760,75 @@ def novelty_scores(
             .alias("novelty_micro"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    n_ranks: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution — one summary
+    row ``(n_ranks int, slope double, intercept double)``: the
+    least-squares line through (ln rank, ln freq) over the top
+    ``n_ranks`` terms. A natural corpus fits slope ~ -1; templated or
+    synthetic text bends the rank curve, so the slope is a cheap
+    whole-corpus health indicator alongside the per-document filters
+    (Piantadosi 2014 reviews the empirical law).
+
+    Determinism: ranks are assigned (freq desc, term asc); each ln is
+    floored onto the 1e-6 micro grid IMMEDIATELY (one libm call per
+    rank — the unigram_logprob contract), and all regression sums run
+    over those int64s. Headroom: with y = ln(freq) <= 44e6 on the grid
+    (freq bounded by int64) and x = ln(rank) <= 6e6 at n_ranks <= 300,
+    n * sum(x*y) stays under 2^63 for ANY corpus size — keep n_ranks
+    in the low hundreds (the Zipf head is where the law lives anyway);
+    the closed-form slope is then two exact integer-difference terms
+    divided once in double. The SQL oracle casts its (HUGEINT) sums
+    back through BIGINT to pin the identical arithmetic.
+
+    Scale shape: token histogram = one token-keyed map-side-combined
+    aggregate; the top-N is TakeOrderedAndProject (no global sort, no
+    single-partition window over the term table); the 200-row tail
+    does its windowed ranking and final fold in one tiny task.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    freq = (
+        df.select(F.explode_outer(toks).alias("token"))
+        .where(F.col("token").isNotNull() & (F.col("token") != ""))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(n_ranks)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = freq.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    ).select(
+        F.floor(F.lit(1e6) * F.log(F.col("rank").cast("double")))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.lit(1e6) * F.log(F.col("freq").cast("double")))
+        .cast("long")
+        .alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    # micro-grid ints -> natural units: x = X/1e6, so slope is unit-free
+    # after the 1e6 cancels; intercept needs one /1e6.
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n / F.lit(1e6)
+    return s.select(
+        F.col("n").cast("int").alias("n_ranks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -1204,3 +1204,35 @@ def incremental_dup_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard", "pair_kind")
     )
+
+
+def dup_cluster_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Duplication profile of the corpus — the cluster-size histogram
+    of the near-dup collapse: ``(cluster_size bigint, n_clusters
+    bigint, n_docs bigint)``, one row per distinct cluster size
+    (singletons included, so the rows sum to the corpus). This is the
+    report a curation run reads to answer "how duplicated is this
+    crawl?" before choosing a dedup policy (cf. the duplicate-cluster
+    histograms in Lee et al. 2022).
+
+    Plan: rides ``near_dup_survivors`` (blocked LSH + adaptive CC) and
+    adds two map-side-combined integer aggregates keyed on canonical
+    id then on cluster size — both bounded by the cluster dimension,
+    nothing new scales with corpus size.
+    """
+    surv = near_dup_survivors(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    )
+    sizes = surv.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    ).select("cluster_size", "n_clusters", "n_docs")

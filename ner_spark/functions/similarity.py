@@ -954,3 +954,62 @@ def pq_adc_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_q", "rank")
     )
+
+
+def ann_recall_eval(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute-force ground
+    truth, as one summary row ``(n_queries bigint, k int, n_hits
+    bigint, recall double)`` — the measurement every ANN deployment
+    runs before trusting an approximate index (the recall/probe curve
+    is THE tuning artifact; BENCH.md carries the clustered-fixture
+    curve, this query pins the protocol itself as an operator with a
+    two-engine oracle).
+
+    Both arms reuse the production operators (ivf_topk /
+    brute_force_topk); the overlay is an inner join on (query,
+    neighbor) and two integer counts — recall = hits / (n_queries *
+    k), one exact integer division in double, rounded to the 6-decimal
+    spec. The brute arm is the eval's cost ceiling by design: ground
+    truth at full scale is computed once over a sampled query set, not
+    per query at serving time.
+    """
+    truth = brute_force_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = ivf_topk(
+        emb,
+        queries,
+        k=k,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        nprobe=nprobe,
+    )
+    scored = truth.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return (
+        scored.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            "n_queries",
+            "k",
+            "n_hits",
+            F.round(
+                F.col("n_hits")
+                / (F.col("n_queries") * F.lit(k)).cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

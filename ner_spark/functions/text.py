@@ -568,3 +568,111 @@ def lm_topk(
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, Appendix A —
+# public MassiveText filtering heuristics), scaled to the synthetic
+# corpus band. Each rule is an independent boolean so a curation report
+# can attribute rejections per-rule; pass_gopher is their conjunction.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MEAN_WLEN = 3.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MIN_UNIQUE_FRAC = 0.55
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace words with empty tokens dropped (documents may carry
+    trailing spaces; a bare ``split`` would count phantom words)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def gopher_rules_cols(text: Column) -> dict[str, Column]:
+    """Per-rule booleans of the Gopher quality filter over one
+    document. Row-local, codegen-friendly; every ratio is a single
+    IEEE division of two integers, so the comparisons are bit-identical
+    across engines (the SQL restatement mirrors each expression)."""
+    w = words_col(text)
+    n = F.size(w)
+    total_len = F.aggregate(w, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    mean_wlen = total_len / n
+    uniq_frac = F.size(F.array_distinct(w)) / n
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    sw_hits = F.size(
+        F.filter(
+            F.transform(w, lambda t: F.lower(t)),
+            lambda t: F.array_contains(sw, t),
+        )
+    )
+    alpha_word_frac = (
+        F.size(F.filter(w, lambda t: t.rlike("[A-Za-z]"))) / n
+    )
+    def _guard(rule: Column) -> Column:
+        # total function: zero-word docs fail every rule as FALSE (not
+        # NULL) — the SQL restatement short-circuits the same way, so
+        # the ratio divisions never evaluate at n = 0
+        return F.when(n > 0, rule).otherwise(F.lit(False))
+
+    rules = {
+        "n_words": n.cast("int"),
+        "r_word_count": _guard((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)),
+        "r_mean_word_len": _guard(
+            (mean_wlen >= GOPHER_MIN_MEAN_WLEN)
+            & (mean_wlen <= GOPHER_MAX_MEAN_WLEN)
+        ),
+        "r_unique_frac": _guard(uniq_frac >= GOPHER_MIN_UNIQUE_FRAC),
+        "r_stopwords": _guard(sw_hits >= GOPHER_MIN_STOPWORD_HITS),
+        "r_alpha_words": _guard(alpha_word_frac >= GOPHER_MIN_ALPHA_WORD_FRAC),
+    }
+    rules["pass_gopher"] = (
+        rules["r_word_count"]
+        & rules["r_mean_word_len"]
+        & rules["r_unique_frac"]
+        & rules["r_stopwords"]
+        & rules["r_alpha_words"]
+    )
+    return rules
+
+
+# --------------------------------------------------------------------------
+# Text normalization (release-scrub cleanup): strip zero-width code
+# points, rewrite control characters to spaces, collapse whitespace
+# runs, trim. The fixture corpus is already clean, so the query surface
+# injects deterministic noise first (same device as functions/pii.py's
+# pii_inject_col) — the operator's effect is then checkable end-to-end.
+# Character classes are written as LITERAL characters (not escape
+# sequences) so the Java-regex and RE2 restatements cannot drift.
+# --------------------------------------------------------------------------
+
+ZERO_WIDTH_CHARS = "​‌‍﻿"
+CONTROL_CHARS = "\x07\x1f\t"  # the injected inventory; class below is wider
+
+_ZW_CLASS = "[" + ZERO_WIDTH_CHARS + "]"
+# every C0 control + DEL, except \n (document structure) — literal range
+_CTRL_CLASS = "[\x00-\x09\x0b-\x1f\x7f]"
+
+
+def normalize_inject_col(text: Column, doc_id: Column) -> Column:
+    """Deterministic noise: even ids get a leading BEL + double space,
+    ids % 3 == 0 get a trailing tab/unit-separator run, ids % 5 == 0 a
+    leading zero-width space."""
+    pre = F.concat(
+        F.when(doc_id % 2 == 0, F.lit("\x07  ")).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit("​")).otherwise(F.lit("")),
+    )
+    suf = F.when(doc_id % 3 == 0, F.lit(" \t\x1f ")).otherwise(F.lit(""))
+    return F.concat(pre, text, suf)
+
+
+def normalize_text_col(text: Column) -> Column:
+    """Zero-width strip -> control-to-space -> space-run collapse ->
+    trim. Pure regexp_replace chain: row-local, no Python, no shuffle."""
+    t = F.regexp_replace(text, _ZW_CLASS, "")
+    t = F.regexp_replace(t, _CTRL_CLASS, " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)

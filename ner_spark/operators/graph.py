@@ -2287,3 +2287,67 @@ def entity_bursts(
         )
         .select("entity", "day", "n_mentions", "total_mentions", "n_days")
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    preds: tuple[str, ...] = ("affiliated_with", "based_in", "located_in"),
+    max_hops: int = 10,
+) -> DataFrame:
+    """All-pairs reachability over one predicate's subgraph —
+    ``(src_entity, dst_entity, min_hops int)`` for every ordered pair
+    connected by a directed path of <= ``max_hops`` edges (self-pairs
+    excluded). The hierarchy-completion primitive: materializing the
+    closure of a containment predicate (located_in, part_of) turns
+    multi-hop KGQA lookups into single equi-joins, and is the standard
+    pre-inference step for type/containment reasoning over extracted
+    triples. The default predicate set composes org->org affiliation
+    with org->place location, the chain the per-predicate (typed,
+    bipartite) subgraphs cannot form alone.
+
+    Level-synchronous multi-source BFS (every node is a source):
+    starts from the distinct edge set as hop-1 pairs, each round joins
+    the FRONTIER (pairs discovered last round, not the closure) to the
+    edge list on ``frontier.dst = e.src``, anti-joins pairs already in
+    the closure (first discovery = minimum hops), and localCheckpoints
+    every frame so the plan never deepens. Joins are keyed on entity
+    ids; frontier rows are two ids wide — the closure itself, not any
+    single buffer, is the only thing that grows. The oracle computes
+    the same pairs by a recursive-CTE walk enumeration with min(hops)
+    — a different algorithm agreeing on the fixture.
+    """
+    e = (
+        edges.where(F.col("pred").isin(*preds))
+        .select(F.col("src_entity").alias("s"), F.col("dst_entity").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    closure = e.withColumn("min_hops", F.lit(1).cast("int")).localCheckpoint(
+        eager=True
+    )
+    frontier = closure.select("s", "d")
+    try:
+        for h in range(2, max_hops + 1):
+            step = e.select(F.col("s").alias("m"), F.col("d").alias("nd"))
+            nxt = (
+                frontier.join(step, frontier.d == step.m)
+                .select("s", F.col("nd").alias("d"))
+                .where(F.col("s") != F.col("d"))
+                .distinct()
+                .join(closure.select("s", "d"), ["s", "d"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            closure = closure.unionByName(
+                nxt.withColumn("min_hops", F.lit(h).cast("int"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        e.unpersist()
+    return closure.select(
+        F.col("s").alias("src_entity"),
+        F.col("d").alias("dst_entity"),
+        "min_hops",
+    )

@@ -370,3 +370,48 @@ def conv_extractive_summary(transcripts: DataFrame) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("conv_id", "segment_id", "turn_idx", "score_micro")
     )
+
+
+# word inventories for the first-token dialog-act rules: the corpus is
+# synthetic word-salad (no punctuation), so acts key off lexical
+# markers rather than syntax — the same rule set is restated in the
+# DuckDB oracle, making the inventory part of the operator spec.
+ACT_COMMAND_WORDS = [
+    "build", "check", "compare", "deliver", "find", "give", "list",
+    "look", "make", "note", "open", "order", "plan", "query", "return",
+    "review", "run", "scan", "ship", "show", "sort", "take", "tell",
+    "test", "update",
+]
+ACT_ACK_WORDS = ["maybe", "no", "okay", "quite", "really", "sure", "yes"]
+ACT_QUESTION_WORDS = ["how", "what", "when", "where", "which", "who", "why"]
+
+
+def dialog_acts(transcripts: DataFrame) -> DataFrame:
+    """Per-turn dialog-act classification ``(conv_id, turn_idx, role,
+    act)`` by deterministic lexical rules, precedence: 'question' if
+    ANY token is an interrogative marker (or the turn ends with '?'),
+    else 'ack' / 'command' by the FIRST token's inventory, else
+    'tool_result' for tool turns, else 'statement'. The act histogram
+    is the standard first cut for conversation-corpus triage (which
+    dialogues are instruction-shaped vs chit-chat) before SFT
+    selection.
+
+    Row-local (one lowercase split per turn, array membership via
+    literal inventories) — zero shuffle, whole-stage codegen.
+    """
+    toks = F.split(F.lower(F.col("text")), " ")
+    qset = F.array(*[F.lit(x) for x in ACT_QUESTION_WORDS])
+    ackset = F.array(*[F.lit(x) for x in ACT_ACK_WORDS])
+    cmdset = F.array(*[F.lit(x) for x in ACT_COMMAND_WORDS])
+    first = F.element_at(toks, 1)
+    act = (
+        F.when(
+            F.arrays_overlap(toks, qset) | F.col("text").endswith("?"),
+            F.lit("question"),
+        )
+        .when(F.array_contains(ackset, first), F.lit("ack"))
+        .when(F.array_contains(cmdset, first), F.lit("command"))
+        .when(F.col("role") == "tool", F.lit("tool_result"))
+        .otherwise(F.lit("statement"))
+    )
+    return transcripts.select("conv_id", "turn_idx", "role", act.alias("act"))

@@ -1,0 +1,215 @@
+"""Round-4 wave-2 operators: funnel/retention, Gopher rules, text
+normalization, Zipf fit, duplication profile, dialog acts, ANN recall
+eval, transitive closure — hand-computable fixtures pinning the exact
+semantics the DuckDB oracles restate."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, TS0 + datetime.timedelta(seconds=s), u, t)
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_funnel_strict_order(spark):
+    """Steps count only strictly AFTER the user's earliest previous
+    step; same-second and out-of-order events don't convert."""
+    from ner_spark.functions.events import funnel_counts
+
+    rows = [
+        # u1 converts fully: view@0 -> click@10 -> purchase@20
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+        # u2: click BEFORE view only -> stops at view
+        (2, "click", 0), (2, "view", 10),
+        # u3: click at the SAME second as view -> strict > rejects
+        (3, "view", 5), (3, "click", 5),
+        # u4: view->click, purchase before click -> stops at click
+        (4, "purchase", 0), (4, "view", 1), (4, "click", 2),
+        # u5: never views
+        (5, "click", 0), (5, "purchase", 1),
+    ]
+    out = {
+        r["step"]: (r["step_idx"], r["n_users"])
+        for r in funnel_counts(_ev(spark, rows), ("view", "click", "purchase")).collect()
+    }
+    assert out == {"view": (1, 4), "click": (2, 2), "purchase": (3, 1)}
+
+
+def test_retention_cohort_offsets(spark):
+    """Cohort = first active epoch-day; only requested offsets emit,
+    only cells with at least one active user."""
+    from ner_spark.functions.events import retention_table
+
+    day = 86400
+    rows = [
+        (1, "view", 0), (1, "view", 1 * day + 5), (1, "view", 7 * day),
+        (2, "view", 10), (2, "view", 3 * day + 1),
+        (3, "view", 1 * day), (3, "view", 2 * day),  # cohort day 1, offset 1
+    ]
+    out = sorted(
+        (r["cohort_day"], r["day_offset"], r["n_cohort"], r["n_active"])
+        for r in retention_table(_ev(spark, rows), offsets=(1, 3, 7)).collect()
+    )
+    d0 = (TS0 - datetime.datetime(1970, 1, 1)).days
+    assert out == [
+        (d0, 1, 2, 1),   # day-0 cohort {1,2}: u1 active day 1
+        (d0, 3, 2, 1),   # u2 active day 3
+        (d0, 7, 2, 1),   # u1 active day 7
+        (d0 + 1, 1, 1, 1),  # day-1 cohort {3}: active day 2
+    ]
+
+
+def test_gopher_rules_each_rule_and_empty(spark):
+    from ner_spark.functions.text import gopher_rules_cols
+
+    ok = " ".join(["the", "a"] + [f"word{i:02d}" for i in range(28)])  # 30 words
+    docs = [
+        (0, ok),                                   # passes all
+        (1, "the a " + "w " * 8),                  # 10 words -> word_count fails
+        (2, " ".join(["the", "a"] + ["xx"] * 28)),  # unique_frac fails
+        (3, " ".join([f"word{i:02d}" for i in range(30)])),  # no stopwords
+        (4, ""),                                   # empty: all False, not NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rules = gopher_rules_cols(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(n) for n, c in rules.items()]).collect()
+    }
+    assert out[0]["pass_gopher"] is True
+    assert out[1]["r_word_count"] is False
+    assert out[2]["r_unique_frac"] is False
+    assert out[3]["r_stopwords"] is False
+    empty = out[4]
+    assert empty["n_words"] == 0
+    for k, v in empty.items():
+        if k.startswith(("r_", "pass_")):
+            assert v is False  # FALSE, never NULL
+
+
+def test_normalize_strips_and_collapses(spark):
+    from ner_spark.functions.text import normalize_text_col
+
+    noisy = "\x07  he​llo \t\x1f world  "
+    df = spark.createDataFrame([(noisy,)], "t string")
+    out = df.select(normalize_text_col(F.col("t")).alias("c")).first()["c"]
+    assert out == "hello world"
+
+
+def test_zipf_slope_matches_plain_python(spark):
+    """Two-term corpus with known frequencies: the quantized closed
+    form equals an independent plain-Python computation."""
+    from ner_spark.functions.corpus import zipf_fit
+
+    # freqs: aa x 8, bb x 4, cc x 2, dd x 1
+    text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, n_ranks=200).first()
+    xs = [math.floor(1e6 * math.log(r)) for r in (1, 2, 3, 4)]
+    ys = [math.floor(1e6 * math.log(f)) for f in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    assert row["n_ranks"] == 4
+    assert row["slope"] == round(slope, 6)
+    assert row["intercept"] == round(intercept, 6)
+
+
+def test_dup_cluster_stats_sums_to_corpus(spark):
+    from ner_spark.functions.dedup import dup_cluster_stats
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, base), (1, base), (2, base),            # one 3-cluster
+        (3, "totally different words here entirely"),
+        (4, "another unrelated document text body"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["cluster_size"]: (r["n_clusters"], r["n_docs"])
+        for r in dup_cluster_stats(df).collect()
+    }
+    assert out[3] == (1, 3)
+    assert out[1] == (2, 2)
+    assert sum(nd for _, nd in out.values()) == len(docs)
+
+
+def test_dialog_acts_precedence(spark):
+    from ner_spark.operators.segments import dialog_acts
+
+    rows = [
+        ("c", 0, "user", "what run sort"),        # question beats command
+        ("c", 1, "user", "run the report"),       # command (first token)
+        ("c", 2, "assistant", "yes the report"),  # ack
+        ("c", 3, "tool", "rows returned fine"),   # tool_result
+        ("c", 4, "assistant", "totals look fine"),  # statement
+        ("c", 5, "user", "deploy it now?"),       # trailing ? -> question
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["turn_idx"]: r["act"] for r in dialog_acts(df).collect()}
+    assert out == {
+        0: "question", 1: "command", 2: "ack",
+        3: "tool_result", 4: "statement", 5: "question",
+    }
+
+
+def test_ann_recall_one_cell_is_exact(spark):
+    """With a single IVF cell the index degenerates to brute force, so
+    recall must be exactly 1.0 — pins the eval overlay's join/count
+    arithmetic."""
+    from ner_spark.functions.similarity import ann_recall_eval
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)], 0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    row = ann_recall_eval(
+        df, df.where(F.col("vec_id") < 5), k=3, n_cells=1
+    ).first()
+    assert row["n_queries"] == 5
+    assert row["n_hits"] == 15
+    assert row["recall"] == 1.0
+
+
+def test_transitive_closure_chain_and_cycle(spark):
+    from ner_spark.operators.graph import transitive_closure
+
+    edges = [
+        (1, "located_in", 2, 1),
+        (2, "located_in", 3, 1),
+        (3, "located_in", 4, 1),
+        (5, "located_in", 6, 1),
+        (6, "located_in", 5, 1),   # 2-cycle: no self-pairs emitted
+        (7, "makes", 8, 1),        # other predicate ignored
+    ]
+    df = spark.createDataFrame(
+        edges, "src_entity long, pred string, dst_entity long, n_turns long"
+    )
+    out = sorted(
+        (r["src_entity"], r["dst_entity"], r["min_hops"])
+        for r in transitive_closure(df, preds=("located_in",), max_hops=10).collect()
+    )
+    assert out == [
+        (1, 2, 1), (1, 3, 2), (1, 4, 3),
+        (2, 3, 1), (2, 4, 2),
+        (3, 4, 1),
+        (5, 6, 1), (6, 5, 1),
+    ]

@@ -1119,6 +1119,100 @@ CHECKS = {
             "bounded by a conversation's distinct entities."
         ),
     ),
+    "event_funnel": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Ordered funnel: one user-keyed min-aggregate (map-side "
+            "combined) + equi-join per step; the step-i frame holds at "
+            "most one row per user and shrinks monotonically, so the "
+            "deepest funnel is a chain of user-dimension joins — no "
+            "per-user event collection, no window."
+        ),
+    ),
+    "event_retention": dict(
+        requires=["BroadcastExchange", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Cohort retention: activity dedups to (user, epoch-day) "
+            "FIRST — everything downstream is bounded by users × "
+            "active-days, not raw events; cohort sizes ride a "
+            "broadcast day-dimension frame onto the active-cell "
+            "aggregate."
+        ),
+    ),
+    "gopher_rules": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "Gopher quality rules are one codegen span over the scan "
+            "(split + higher-order counts + boolean arithmetic) — "
+            "zero shuffles, scales embarrassingly with input splits."
+        ),
+    ),
+    "text_normalize": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "Normalization is a pure regexp_replace chain in one "
+            "codegen span — zero shuffles, no Python worker; the "
+            "release-scrub shape for a 100-TB pass."
+        ),
+    ),
+    "zipf_fit": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python", "CartesianProduct", "SortMergeJoin"],
+        note=(
+            "Zipf fit: the token histogram is one map-side-combined "
+            "aggregate, the top-200 head is TakeOrderedAndProject (no "
+            "global sort), and the only unpartitioned window ranks the "
+            "200-row head in one tiny task before a single-row fold."
+        ),
+    ),
+    "dup_cluster_stats": dict(
+        requires=["HashAggregate"],
+        forbids=["CartesianProduct"],
+        note=(
+            "Duplication profile: two integer aggregates (canonical id "
+            "→ cluster size → histogram) over the survivors frame; "
+            "everything upstream is the proven blocked-LSH + adaptive-"
+            "CC chain (its loop frames localCheckpoint, so this plan "
+            "stays shallow), and both new aggregates are bounded by "
+            "the cluster dimension."
+        ),
+    ),
+    "dialog_acts": dict(
+        requires=[],
+        forbids=["Exchange", "Python"],
+        note=(
+            "Dialog-act rules are row-local CASE + array membership "
+            "over one lowercase split — zero shuffles."
+        ),
+    ),
+    "ann_recall_eval": dict(
+        requires=["HashAggregate"],
+        forbids=["Python"],
+        note=(
+            "Recall eval: both arms are the production operators "
+            "(brute truth over the sampled query set broadcast against "
+            "the corpus; IVF via the per-cell equi-join); the overlay "
+            "is a slim (query, neighbor) left join and one count "
+            "fold — the eval adds no new scale surface."
+        ),
+    ),
+    "kg_transitive_closure": dict(
+        builder="closure_round",
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "One closure round (the loop localCheckpoints between "
+            "rounds, so the per-round plan is what must scale): the "
+            "FRONTIER — not the growing closure — joins the edge list "
+            "on an entity-id equi-key, dedups, and anti-joins the "
+            "closure on the pair key; every exchange carries 2-3 id "
+            "columns."
+        ),
+    ),
 }
 
 
@@ -1328,6 +1422,37 @@ def main() -> None:
             )
         elif spec.get("builder") == "pmi":
             df = _pmi_over_goldens()
+        elif spec.get("builder") == "closure_round":
+            # one frontier-expansion round of the transitive closure
+            # over the golden edges (the real loop's frames come from
+            # checkpointed parents, same device as bfs_hop/kcore)
+            from pyspark.sql import functions as F
+
+            from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXT
+
+            raw = spark.read.parquet(os.path.join(_FXT, "edges.parquet"))
+            e = (
+                raw.where(
+                    F.col("pred").isin(
+                        "affiliated_with", "based_in", "located_in"
+                    )
+                )
+                .select(
+                    F.col("src_entity").alias("s"),
+                    F.col("dst_entity").alias("d"),
+                )
+                .where(F.col("s") != F.col("d"))
+                .distinct()
+            )
+            closure = e
+            step = e.select(F.col("s").alias("m"), F.col("d").alias("nd"))
+            df = (
+                closure.join(step, closure.d == step.m)
+                .select("s", F.col("nd").alias("d"))
+                .where(F.col("s") != F.col("d"))
+                .distinct()
+                .join(closure.select("s", "d"), ["s", "d"], "left_anti")
+            )
         elif spec.get("builder") == "cloze":
             from ner_spark.entry_queries import FIXTURES_SQL_ROOT as _FXC
             from ner_spark.operators.graph import cloze_questions
