@@ -821,12 +821,15 @@ def zipf_fit(
     n = F.col("n").cast("double")
     # micro-grid ints -> natural units: x = X/1e6, so slope is unit-free
     # after the 1e6 cancels; intercept needs one /1e6.
+    # try_divide: a single-distinct-term corpus has zero x-variance —
+    # slope/intercept pin to NULL on both engines (DuckDB x/0 is NULL)
+    # instead of raising under ANSI mode.
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    slope = num / den
-    intercept = (
-        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
-    ) / n / F.lit(1e6)
+    slope = F.try_divide(num, den)
+    intercept = F.try_divide(
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double"), n
+    ) / F.lit(1e6)
     return s.select(
         F.col("n").cast("int").alias("n_ranks"),
         F.round(slope, 6).alias("slope"),

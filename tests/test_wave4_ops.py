@@ -213,3 +213,78 @@ def test_transitive_closure_chain_and_cycle(spark):
         (3, 4, 1),
         (5, 6, 1), (6, 5, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs: the wave-2 operators must neither crash nor emit
+# NULL-typed garbage on empty/trivial frames
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_empty_and_missing_steps(spark):
+    from ner_spark.functions.events import funnel_counts
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["step"]: r["n_users"] for r in funnel_counts(empty, ("view", "click")).collect()}
+    assert out == {"view": 0, "click": 0}
+    # step never present in the data: later steps report 0, not error
+    rows = [(1, "view", 0)]
+    out2 = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(_ev(spark, rows), ("view", "click", "purchase")).collect()
+    }
+    assert out2 == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_retention_empty_and_single_event(spark):
+    from ner_spark.functions.events import retention_table
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    assert retention_table(empty).count() == 0
+    # one event: cohort exists but no offset cells emit
+    assert retention_table(_ev(spark, [(1, "view", 0)])).count() == 0
+
+
+def test_dup_cluster_stats_no_duplicates(spark):
+    from ner_spark.functions.dedup import dup_cluster_stats
+
+    docs = [(i, f"completely unique document number {i} body text") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [(r["cluster_size"], r["n_clusters"], r["n_docs"]) for r in dup_cluster_stats(df).collect()]
+    assert out == [(1, 4, 4)]
+
+
+def test_zipf_degenerate_single_term(spark):
+    """One distinct term: the regression denominator is zero -> the
+    division yields no finite slope; the op must not crash and must
+    still report n_ranks."""
+    from ner_spark.functions.corpus import zipf_fit
+
+    df = spark.createDataFrame([(1, "aa aa aa")], "doc_id long, text string")
+    row = zipf_fit(df).first()
+    assert row["n_ranks"] == 1
+    # zero x-variance: try_divide pins slope to NULL (DuckDB x/0 is
+    # NULL too, so the two-engine gate agrees)
+    assert row["slope"] is None
+    assert row["intercept"] is None
+
+
+def test_transitive_closure_empty_pred(spark):
+    from ner_spark.operators.graph import transitive_closure
+
+    df = spark.createDataFrame(
+        [(1, "makes", 2, 1)],
+        "src_entity long, pred string, dst_entity long, n_turns long",
+    )
+    assert transitive_closure(df, preds=("located_in",)).count() == 0
+
+
+def test_normalize_identity_on_clean_text(spark):
+    from ner_spark.functions.text import normalize_text_col
+
+    df = spark.createDataFrame([("already clean text",)], "t string")
+    assert df.select(normalize_text_col(F.col("t")).alias("c")).first()["c"] == "already clean text"
