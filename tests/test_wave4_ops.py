@@ -288,3 +288,113 @@ def test_normalize_identity_on_clean_text(spark):
 
     df = spark.createDataFrame([("already clean text",)], "t string")
     assert df.select(normalize_text_col(F.col("t")).alias("c")).first()["c"] == "already clean text"
+
+
+# ---------------------------------------------------------------------------
+# seeded randomized cross-checks vs plain-Python references (different
+# algorithms computing the same answer — the oracle-gate philosophy,
+# in-process)
+# ---------------------------------------------------------------------------
+
+
+def _py_bfs_closure(edges, max_hops=10):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        adj[s].append(d)
+        nodes.add(s)
+        nodes.add(d)
+    out = {}
+    for src in nodes:
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            x = q.popleft()
+            if dist[x] >= max_hops:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for dst, h in dist.items():
+            if dst != src:
+                out[(src, dst)] = h
+    return out
+
+
+def test_transitive_closure_random_digraphs_vs_python_bfs(spark):
+    import random
+
+    from ner_spark.operators.graph import transitive_closure
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 14
+        edges = {
+            (rng.randrange(n), rng.randrange(n)) for _ in range(22)
+        }
+        edges = {(s, d) for s, d in edges if s != d}
+        df = spark.createDataFrame(
+            [(s, "located_in", d, 1) for s, d in edges],
+            "src_entity long, pred string, dst_entity long, n_turns long",
+        )
+        got = {
+            (r["src_entity"], r["dst_entity"]): r["min_hops"]
+            for r in transitive_closure(df, preds=("located_in",), max_hops=10).collect()
+        }
+        assert got == _py_bfs_closure(edges), f"trial {trial}"
+
+
+def test_funnel_random_logs_vs_python(spark):
+    import random
+
+    from ner_spark.functions.events import funnel_counts
+
+    rng = random.Random(11)
+    steps = ("view", "click", "purchase")
+    rows = [
+        (rng.randrange(8), rng.choice(steps + ("error",)), rng.randrange(2000))
+        for _ in range(120)
+    ]
+    # python reference: per user, greedy earliest strictly-increasing chain
+    by_user = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((s, t))
+    counts = [0, 0, 0]
+    for evs in by_user.values():
+        prev = None
+        for i, step in enumerate(steps):
+            cand = [
+                s for s, t in evs
+                if t == step and (prev is None or s > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(_ev(spark, rows), steps).collect()
+    }
+    assert [got[s] for s in steps] == counts
+    # monotone: conversion never increases down the funnel
+    assert counts[0] >= counts[1] >= counts[2]
+
+
+def test_retention_bounds_random(spark):
+    import random
+
+    from ner_spark.functions.events import retention_table
+
+    rng = random.Random(13)
+    rows = [
+        (rng.randrange(10), "view", rng.randrange(12) * 86400 + rng.randrange(86400))
+        for _ in range(150)
+    ]
+    out = retention_table(_ev(spark, rows), offsets=(1, 3, 7)).collect()
+    assert out, "random log dense enough to produce cells"
+    for r in out:
+        assert 1 <= r["n_active"] <= r["n_cohort"]
+        assert r["day_offset"] in (1, 3, 7)
