@@ -664,6 +664,22 @@ def main() -> None:
         "kg_triples_per_sec": out["kg_triples_per_sec"],
         "kg_turns_per_sec": out["kg_turns_per_sec"],
     }
+    # latest mirror-gate result (written by tools/check_entry.py) as a
+    # cross-reference: total/bad + age in hours, so the record shows
+    # how fresh the correctness state behind these timings is
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".gate_last.json")
+        ) as f:
+            g = json.load(f)
+        compact["gate"] = {
+            "total": g["total"],
+            "bad": g["bad"],
+            "age_h": round((time.time() - g["ts"]) / 3600, 1),
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     sc = out.get("scaling")
     if sc:
         compact["scaling"] = {

@@ -182,6 +182,23 @@ def main():
 
     bad = {k: v for k, v in results.items() if v[0] not in ("ok", "rows_only")}
     print(json.dumps({"total": len(results), "bad": len(bad)}))
+    # persist the result so bench.py can embed the latest gate state in
+    # its compact summary line (labeled with this run's timestamp + sf —
+    # a cross-reference, not a claim the bench re-verified correctness)
+    try:
+        with open(os.path.join(REPO, ".gate_last.json"), "w") as f:
+            json.dump(
+                {
+                    "total": len(results),
+                    "bad": len(bad),
+                    "bad_names": sorted(bad)[:10],
+                    "sf_dir": sf_dir,
+                    "ts": int(time.time()),
+                },
+                f,
+            )
+    except OSError:
+        pass
     spark.stop()
     sys.exit(1 if bad else 0)
 
