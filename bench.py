@@ -372,6 +372,12 @@ def main() -> None:
         "dialog_acts",
         "ann_recall_eval",
         "kg_transitive_closure",
+        # round-4 wave-3 additions (round-5 window pool)
+        "heaps_fit",
+        "kg_subject_completeness",
+        "split_leakage",
+        "event_anomaly_days",
+        "rank_agreement",
     ):
         run(
             qname,

@@ -6203,6 +6203,198 @@ def q_kg_transitive_closure(spark, sf_dir):
 
 
 # ===========================================================================
+# Round-4 wave 3 (round-5 window pool): Heaps fit, KG completion work
+# list, split leakage, event anomalies, retrieval rank agreement
+# ===========================================================================
+
+
+@query(
+    "event_anomaly_days",
+    """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events),
+    d AS (SELECT event_type, day, count(*) AS n_events
+          FROM e GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total_events,
+                 count(*) AS n_days
+          FROM d GROUP BY 1)
+    SELECT d.event_type, d.day, d.n_events, t.total_events, t.n_days
+    FROM d JOIN t USING (event_type)
+    WHERE 8 * d.n_events * t.n_days > 9 * t.total_events
+    """,
+)
+def q_event_anomaly_days(spark, sf_dir):
+    """Per-type daily burst days (functions/events.py:
+    event_anomaly_days): count > 9/8 x the type's per-active-day
+    mean, tested by integer cross-multiplication — the
+    kg_entity_bursts device on the event log (the rational factor
+    keeps the test exact at any sensitivity). Totals aggregate FROM
+    the daily frame and broadcast back; nothing scales with raw
+    events."""
+    from ner_spark.functions.events import event_anomaly_days
+
+    return event_anomaly_days(
+        _t(spark, sf_dir, "events"), factor_num=9, factor_den=8
+    )
+
+
+@query(
+    "split_leakage",
+    f"""
+    WITH {_LSH_CTE_BODY},
+    sides AS (SELECT doc_id,
+                     CASE WHEN ('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               % 1000 < 900 THEN 'train' ELSE 'val' END AS split
+              FROM documents)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           a.split AS split_a, b.split AS split_b
+    FROM dup_pairs p
+    JOIN sides a ON p.id_a = a.doc_id
+    JOIN sides b ON p.id_b = b.doc_id
+    WHERE a.split <> b.split
+    """,
+)
+def q_split_leakage(spark, sf_dir):
+    """Near-dup pairs crossing the train/val split (functions/dedup.py:
+    split_leakage) — the leakage exact-match decontamination misses.
+    Composes the proven blocked-LSH pair generator with the
+    deterministic md5-bucket split; the split columns join from the id
+    dimension, no new shuffle surface."""
+    from ner_spark.functions.dedup import split_leakage
+
+    return split_leakage(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "heaps_fit",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+               FROM documents),
+    dm AS (SELECT max(doc_id) + 1 AS dd FROM d),
+    dstat AS (SELECT doc_id, len(t) AS n_toks FROM d),
+    tok AS (SELECT doc_id, unnest(t) AS token FROM d),
+    first AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY token),
+    vper AS (SELECT CAST(((8 * fd + 1) + dd - 1) // dd AS INTEGER) AS j,
+                    count(*) AS dv
+             FROM first, dm GROUP BY 1),
+    nper AS (SELECT CAST(((8 * doc_id + 1) + dd - 1) // dd AS INTEGER) AS j,
+                    CAST(sum(n_toks) AS BIGINT) AS dn
+             FROM dstat, dm GROUP BY 1),
+    grid AS (SELECT unnest(range(1, 9)) AS j),
+    pts AS (SELECT g.j,
+                   CAST(sum(coalesce(n.dn, 0)) OVER (ORDER BY g.j) AS BIGINT) AS nn,
+                   CAST(sum(coalesce(v.dv, 0)) OVER (ORDER BY g.j) AS BIGINT) AS vv
+            FROM grid g LEFT JOIN nper n ON g.j = n.j
+                        LEFT JOIN vper v ON g.j = v.j),
+    q AS (SELECT CAST(floor(1e6 * ln(CAST(nn AS DOUBLE))) AS BIGINT) AS x,
+                 CAST(floor(1e6 * ln(CAST(vv AS DOUBLE))) AS BIGINT) AS y
+          FROM pts WHERE nn > 0 AND vv > 0),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM q)
+    SELECT CAST(n AS INTEGER) AS n_points,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+    FROM s
+    """,
+)
+def q_heaps_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (functions/corpus.py:
+    heaps_fit): ln V vs ln N over 8 doc-id-order corpus prefixes —
+    ONE first-occurrence census (min doc_id per token) + ONE per-doc
+    token count, bucketed by integer ceil-division and
+    cumulative-summed over the 8-row prefix frame; the shared
+    quantized log-log fold (loglog_fit). Nothing rescans the corpus
+    per prefix point."""
+    from ner_spark.functions.corpus import heaps_fit
+
+    return heaps_fit(_t(spark, sf_dir, "documents"), n_points=8)
+
+
+@query(
+    "kg_subject_completeness",
+    f"""
+    WITH nodes AS (SELECT entity_id, entity_type
+                   FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")}')),
+    present AS (SELECT DISTINCT src_entity AS entity_id, pred
+                FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')),
+    subjects AS (SELECT p.entity_id, n.entity_type
+                 FROM (SELECT DISTINCT entity_id FROM present) p
+                 JOIN nodes n USING (entity_id)),
+    nbt AS (SELECT entity_type, count(*) AS n_subjects
+            FROM subjects GROUP BY 1),
+    nw AS (SELECT s.entity_type, p.pred, count(*) AS n_with
+           FROM present p JOIN nodes s USING (entity_id)
+           GROUP BY 1, 2),
+    expected AS (SELECT nw.entity_type, nw.pred
+                 FROM nw JOIN nbt USING (entity_type)
+                 WHERE 100 * nw.n_with >= 50 * nbt.n_subjects)
+    SELECT s.entity_id, s.entity_type, e.pred
+    FROM subjects s JOIN expected e USING (entity_type)
+    WHERE NOT EXISTS (SELECT 1 FROM present pr
+                      WHERE pr.entity_id = s.entity_id
+                        AND pr.pred = e.pred)
+    """,
+)
+def q_kg_subject_completeness(spark, sf_dir):
+    """Missing-fact work list (operators/graph.py:
+    subject_completeness): predicates asserted by >= 50% of a type's
+    active subjects, emitted for each subject lacking them — the
+    candidate table KG-completion ranking starts from. Census-sized
+    aggregates, integer share test, broadcast expected-pairs join,
+    anti-join on present facts."""
+    from ner_spark.operators.graph import subject_completeness
+
+    return subject_completeness(
+        _kg_nodes(spark, sf_dir), _kg_edges(spark, sf_dir), min_share_pct=50
+    )
+
+
+def _rank_agreement_oracle() -> str:
+    b_sql = _bm25_oracle(_BM25_TERMS)
+    l_sql = _lm_oracle(_BM25_TERMS)
+    return f"""
+    WITH b AS ({b_sql}),
+    l AS ({l_sql}),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS ra FROM b),
+    rl AS (SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rbb FROM l),
+    j AS (SELECT rb.doc_id, ra, rl.rbb FROM rb JOIN rl USING (doc_id)),
+    pr AS (SELECT x.ra AS a1, x.rbb AS b1, y.ra AS a2, y.rbb AS b2
+           FROM j x JOIN j y ON x.doc_id < y.doc_id),
+    f AS (SELECT
+            CAST(coalesce(sum(CASE WHEN (a1 - a2) * (b1 - b2) > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+            CAST(coalesce(sum(CASE WHEN (a1 - a2) * (b1 - b2) < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+          FROM pr),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM j)
+    SELECT c.n_common, f.concordant, f.discordant,
+           round(CAST(f.concordant - f.discordant AS DOUBLE)
+                 / CAST(f.concordant + f.discordant AS DOUBLE), 6) AS tau
+    FROM c, f
+    """
+
+
+@query("rank_agreement", _rank_agreement_oracle())
+def q_rank_agreement(spark, sf_dir):
+    """Kendall-tau agreement between the BM25 and Dirichlet-QL top-10
+    rankings for the shared fixed query (functions/text.py:
+    rank_agreement) — the diagnostic that says whether RRF fusion is
+    doing real work. Both arms are the production scorers; the
+    overlay (rank join, k^2 pair fold) rides one tiny task."""
+    from ner_spark.functions.text import rank_agreement
+
+    return rank_agreement(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
+
+
+# ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
@@ -6237,6 +6429,13 @@ _DRIVER_ORDER = [
     "event_funnel", "event_retention", "gopher_rules", "text_normalize",
     "zipf_fit", "dup_cluster_stats", "dialog_acts", "ann_recall_eval",
     "kg_transitive_closure",
+    # ------------------------- 50-slot boundary -------------------------
+    # --- wave 3 (positions 51-55): the ROUND-5 WINDOW POOL. These are
+    # mirror-green but cannot receive a round-4 driver row (the window
+    # above is exactly full); round 5's FIRST commit must rotate them
+    # into slots 1-5 (plus any r04-red rows) before adding new queries.
+    "heaps_fit", "kg_subject_completeness", "split_leakage",
+    "event_anomaly_days", "rank_agreement",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -801,17 +801,31 @@ def zipf_fit(
         .limit(n_ranks)
     )
     w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    ranked = freq.select(
-        F.row_number().over(w).alias("rank"), "freq"
-    ).select(
-        F.floor(F.lit(1e6) * F.log(F.col("rank").cast("double")))
+    ranked = freq.select(F.row_number().over(w).alias("rank"), "freq")
+    return loglog_fit(ranked, "rank", "freq", n_alias="n_ranks")
+
+
+def loglog_fit(
+    points: DataFrame, x_col: str, y_col: str, n_alias: str = "n_points"
+) -> DataFrame:
+    """Least-squares line through (ln x, ln y) over positive-integer
+    point columns — the shared fitting tail of the corpus power-law
+    operators (zipf_fit, heaps_fit). Each ln is floored onto the 1e-6
+    micro grid immediately; the regression sums run in exact int64
+    (headroom analysis in zipf_fit's docstring); the closed form is
+    two integer-difference terms divided once in double. try_divide: a
+    zero-x-variance input (one point, or all-equal x) pins slope and
+    intercept to NULL on both engines (DuckDB x/0 is NULL) instead of
+    raising under ANSI mode."""
+    q = points.select(
+        F.floor(F.lit(1e6) * F.log(F.col(x_col).cast("double")))
         .cast("long")
         .alias("x"),
-        F.floor(F.lit(1e6) * F.log(F.col("freq").cast("double")))
+        F.floor(F.lit(1e6) * F.log(F.col(y_col).cast("double")))
         .cast("long")
         .alias("y"),
     )
-    s = ranked.agg(
+    s = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
@@ -821,9 +835,6 @@ def zipf_fit(
     n = F.col("n").cast("double")
     # micro-grid ints -> natural units: x = X/1e6, so slope is unit-free
     # after the 1e6 cancels; intercept needs one /1e6.
-    # try_divide: a single-distinct-term corpus has zero x-variance —
-    # slope/intercept pin to NULL on both engines (DuckDB x/0 is NULL)
-    # instead of raising under ANSI mode.
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     slope = F.try_divide(num, den)
@@ -831,7 +842,78 @@ def zipf_fit(
         F.col("sy").cast("double") - slope * F.col("sx").cast("double"), n
     ) / F.lit(1e6)
     return s.select(
-        F.col("n").cast("int").alias("n_ranks"),
+        F.col("n").cast("int").alias(n_alias),
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    n_points: int = 8,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth — one summary row
+    ``(n_points int, slope double, intercept double)`` fitting
+    ln V = slope * ln N + intercept over ``n_points`` corpus prefixes
+    (V = distinct vocabulary, N = total tokens in the prefix; natural
+    corpora fit slope ~ 0.4-0.6). Rising slope across crawls means the
+    corpus still discovers vocabulary; a flattening curve is the
+    crawl-exhaustion signal next to novelty_scores' per-doc view.
+
+    Prefixes are by doc_id order: cut j covers doc_id < ceil(D*j/P)
+    (D = max id + 1). The whole computation is census-shaped — ONE
+    first-occurrence aggregate (min doc_id per token: vocabulary
+    growth needs only each token's FIRST document, not per-prefix
+    recounts) and ONE per-doc token count, each bucketed to its
+    smallest containing prefix via integer ceil-division, then
+    cumulative-summed over the P-row prefix frame. Nothing rescans
+    the corpus per prefix point; the only windows ride P rows.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("t"))
+    tok_rows = base.select(
+        "doc_id", F.explode_outer("t").alias("token")
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+
+    dstat = base.select(
+        "doc_id",
+        F.size(F.filter(F.col("t"), lambda x: x != F.lit(""))).cast("long").alias("n_toks"),
+    )
+    dmax = dstat.agg((F.max("doc_id") + 1).alias("D"))
+
+    # smallest prefix j containing doc x: j = ceil((P*x + 1) / D),
+    # integer ceil-division (exactness over double rounding)
+    def jmin(col):
+        return F.expr(
+            f"CAST((({n_points} * {col} + 1) + D - 1) div D AS INT)"
+        )
+
+    first = tok_rows.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    vper = (
+        first.crossJoin(F.broadcast(dmax))
+        .select(jmin("fd").alias("j"))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    nper = (
+        dstat.crossJoin(F.broadcast(dmax))
+        .select(jmin("doc_id").alias("j"), "n_toks")
+        .groupBy("j")
+        .agg(F.sum("n_toks").alias("dn"))
+    )
+    grid = dmax.select(
+        F.explode(F.sequence(F.lit(1), F.lit(n_points))).alias("j")
+    )
+    w = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        grid.join(vper, "j", "left")
+        .join(nper, "j", "left")
+        .select(
+            "j",
+            F.sum(F.coalesce("dn", F.lit(0))).over(w).alias("N"),
+            F.sum(F.coalesce("dv", F.lit(0))).over(w).alias("V"),
+        )
+        .where((F.col("N") > 0) & (F.col("V") > 0))
+    )
+    return loglog_fit(pts, "N", "V", n_alias="n_points")

@@ -1236,3 +1236,42 @@ def dup_cluster_stats(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
     ).select("cluster_size", "n_clusters", "n_docs")
+
+
+def split_leakage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 3,
+    train_pct: int = 90,
+) -> DataFrame:
+    """Near-duplicate pairs that CROSS the train/val split — the
+    leakage an exact-match decontamination pass misses (a val doc
+    whose near-copy sits in train inflates eval): the blocked-LSH pair
+    generator composed with the engine's own deterministic md5-bucket
+    split. Output ``(id_a, id_b, jaccard, split_a, split_b)`` with
+    split_a <> split_b.
+
+    Scale shape: identical to the proven pair generator (blocking,
+    skew-split salted join, slim scored rows); the split columns are
+    two row-local md5 buckets joined from the id dimension — no new
+    shuffle surface.
+    """
+    from ner_spark.functions.datasets import split_assign_col
+
+    pairs = minhash_lsh_pairs(
+        df, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    )
+    sides = df.select(
+        F.col(id_col).alias("sid"),
+        split_assign_col(F.col(id_col), train_pct=train_pct).alias("split"),
+    )
+    return (
+        pairs.join(sides.withColumnRenamed("sid", "id_a"), "id_a")
+        .withColumnRenamed("split", "split_a")
+        .join(sides.withColumnRenamed("sid", "id_b"), "id_b")
+        .withColumnRenamed("split", "split_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    )

@@ -108,3 +108,46 @@ def retention_table(
     return act.join(F.broadcast(sizes), "cohort_day").select(
         "cohort_day", "day_offset", "n_cohort", "n_active"
     )
+
+
+def event_anomaly_days(
+    events: DataFrame, factor_num: int = 9, factor_den: int = 8
+) -> DataFrame:
+    """Per-type daily burst days: a (event_type, day) cell is anomalous
+    when its count exceeds ``factor_num/factor_den`` x the type's
+    per-active-day mean, tested as INTEGER cross-multiplication
+    (den * n * n_days > num * total) — no mean/variance/sqrt floats,
+    the kg_entity_bursts device on the event log; the RATIONAL factor
+    keeps the test exact at any sensitivity (the default 9/8 resolves
+    the mild daily swings of a near-uniform stream; a crawl spike
+    detector would run 2/1). Output ``(event_type, day bigint,
+    n_events, total_events, n_days)``, flagged cells only.
+
+    Scale shape: one (type, day)-keyed count (map-side combined), the
+    per-type totals aggregate FROM that daily frame (bounded by types x
+    active days, never raw events) and broadcast back onto it.
+    """
+    e = _ep_events(events)
+    daily = (
+        e.select("etype", F.expr(f"ep div {DAY_S}").alias("day"))
+        .groupBy("etype", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    totals = daily.groupBy("etype").agg(
+        F.sum("n_events").alias("total_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        daily.join(F.broadcast(totals), "etype")
+        .where(
+            F.lit(factor_den) * F.col("n_events") * F.col("n_days")
+            > F.lit(factor_num) * F.col("total_events")
+        )
+        .select(
+            F.col("etype").alias("event_type"),
+            "day",
+            "n_events",
+            "total_events",
+            "n_days",
+        )
+    )

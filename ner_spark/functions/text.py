@@ -9,7 +9,7 @@ the DuckDB oracle in ``__spark_entry__.py``, so the exact arithmetic
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from ner_spark.operators.linking import md5_hash60_col
@@ -676,3 +676,60 @@ def normalize_text_col(text: Column) -> Column:
     t = F.regexp_replace(t, _CTRL_CLASS, " ")
     t = F.regexp_replace(t, " +", " ")
     return F.trim(t)
+
+
+def rank_agreement(
+    df,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Kendall-tau agreement between the BM25 and Dirichlet-QL top-k
+    rankings for the same query — the retrieval-diagnostic overlay of
+    the lexical trio: low tau on a query class says the two scorers
+    disagree about what the corpus is "about" and the RRF fusion is
+    doing real work; tau ~ 1 says one arm is redundant. One summary
+    row ``(n_common, concordant, discordant, tau)`` over the documents
+    BOTH arms retrieve; tau = (C - D) / (C + D) (tau-a — row_number
+    ranks cannot tie), NULL when fewer than 2 common docs (try_divide,
+    mirrored by the oracle's x/0).
+
+    Scale shape: both arms end in TakeOrderedAndProject, so the
+    overlay never sees more than 2k rows — the rank join, the k²-pair
+    self-join and the fold all ride one tiny task; the corpus-sized
+    work is exactly the two production scorers.
+    """
+    b = bm25_topk(df, terms, k=k, id_col=id_col, text_col=text_col)
+    l = lm_topk(df, terms, k=k, id_col=id_col, text_col=text_col)
+    wb = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    rb = b.select("doc_id", F.row_number().over(wb).alias("ra"))
+    rl = l.select("doc_id", F.row_number().over(wb).alias("rb"))
+    j = rb.join(rl, "doc_id")
+    x = j.select(
+        F.col("doc_id").alias("d1"), F.col("ra").alias("a1"), F.col("rb").alias("b1")
+    )
+    y = j.select(
+        F.col("doc_id").alias("d2"), F.col("ra").alias("a2"), F.col("rb").alias("b2")
+    )
+    pairs = x.join(y, F.col("d1") < F.col("d2"))
+    sgn = (F.col("a1") - F.col("a2")) * (F.col("b1") - F.col("b2"))
+    folded = pairs.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).alias("discordant"),
+    )
+    # 1-row x 1-row crossJoin (the repo's scalar-stats device) — no
+    # driver-side count action inside the operator
+    counts = j.agg(F.count(F.lit(1)).alias("n_common"))
+    return counts.crossJoin(folded).select(
+        F.col("n_common").cast("long").alias("n_common"),
+        F.coalesce("concordant", F.lit(0)).alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).alias("discordant"),
+        F.round(
+            F.try_divide(
+                (F.coalesce("concordant", F.lit(0)) - F.coalesce("discordant", F.lit(0))).cast("double"),
+                (F.coalesce("concordant", F.lit(0)) + F.coalesce("discordant", F.lit(0))).cast("double"),
+            ),
+            6,
+        ).alias("tau"),
+    )

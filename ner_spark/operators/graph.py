@@ -2351,3 +2351,54 @@ def transitive_closure(
         F.col("d").alias("dst_entity"),
         "min_hops",
     )
+
+
+def subject_completeness(
+    nodes: DataFrame, edges: DataFrame, min_share_pct: int = 50
+) -> DataFrame:
+    """Missing-fact candidates — the KG-completion WORK LIST: for every
+    entity type, a predicate is *expected* when at least
+    ``min_share_pct`` % of that type's subjects assert it; emit
+    ``(entity_id, entity_type, pred)`` for each expected predicate an
+    active subject of that type lacks. Ranked KG-completion pipelines
+    (link prediction, verbalize-and-ask) start from exactly this table;
+    `kg_linkpred_*` then scores the candidates this operator proposes.
+
+    "Subjects of a type" are entities that assert at least one edge —
+    inactive tail entities (objects only) carry no evidence about which
+    predicates they should have, so they are excluded from both the
+    share census and the emission (the oracle restates the same rule).
+
+    Scale shape: everything is census-sized — one (subject, pred)
+    distinct projection of the edge fact, one (type, pred) share
+    aggregate tested by INTEGER cross-multiplication (100 * n_with >=
+    pct * n_subjects, no ratio floats), and one expected-pairs x
+    subjects join keyed on the type dimension minus an anti-join on
+    the present pairs. Nothing scales with turns or with edge weights.
+    """
+    present = edges.select(
+        F.col("src_entity").alias("entity_id"), "pred"
+    ).distinct()
+    typed = nodes.select("entity_id", "entity_type")
+    subjects = present.select("entity_id").distinct().join(typed, "entity_id")
+    n_by_type = subjects.groupBy("entity_type").agg(
+        F.count(F.lit(1)).alias("n_subjects")
+    )
+    n_with = (
+        present.join(typed, "entity_id")
+        .groupBy("entity_type", "pred")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    expected = (
+        n_with.join(F.broadcast(n_by_type), "entity_type")
+        .where(
+            F.lit(100) * F.col("n_with")
+            >= F.lit(min_share_pct) * F.col("n_subjects")
+        )
+        .select("entity_type", "pred")
+    )
+    return (
+        subjects.join(F.broadcast(expected), "entity_type")
+        .join(present, ["entity_id", "pred"], "left_anti")
+        .select("entity_id", "entity_type", "pred")
+    )

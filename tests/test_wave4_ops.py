@@ -398,3 +398,142 @@ def test_retention_bounds_random(spark):
     for r in out:
         assert 1 <= r["n_active"] <= r["n_cohort"]
         assert r["day_offset"] in (1, 3, 7)
+
+
+# ---------------------------------------------------------------------------
+# wave 3 (round-5 window pool): heaps fit, subject completeness, split
+# leakage, event anomalies, rank agreement
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_fit_matches_plain_python(spark):
+    """4-doc corpus, 8 prefixes: prefix (N, V) points and the quantized
+    fit both equal an independent python computation."""
+    from ner_spark.functions.corpus import heaps_fit
+
+    docs = [
+        (0, "a b c"),
+        (1, "a b d d"),
+        (2, "e f"),
+        (3, "a g g g"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = heaps_fit(df, n_points=8).first()
+
+    # python reference: same prefix rule (doc_id < ceil(D*j/8))
+    toks = {i: t.split() for i, t in docs}
+    D = 4
+    pts = []
+    for j in range(1, 9):
+        cut = -(-D * j // 8)
+        pref = [i for i in toks if i < cut]
+        N = sum(len(toks[i]) for i in pref)
+        V = len({w for i in pref for w in toks[i]})
+        if N > 0 and V > 0:
+            pts.append((N, V))
+    xs = [math.floor(1e6 * math.log(n)) for n, _ in pts]
+    ys = [math.floor(1e6 * math.log(v)) for _, v in pts]
+    n = len(pts)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n / 1e6
+    assert row["n_points"] == n
+    assert row["slope"] == round(slope, 6)
+    assert row["intercept"] == round(intercept, 6)
+
+
+def test_subject_completeness_majority_rule(spark):
+    """Type 'org': 2 of 3 subjects assert 'makes' (67% >= 50% ->
+    expected); the third gets a missing-fact row. A 1-of-3 predicate
+    (33%) is not expected. Object-only entities emit nothing."""
+    from ner_spark.operators.graph import subject_completeness
+
+    nodes = spark.createDataFrame(
+        [(1, "org"), (2, "org"), (3, "org"), (4, "place"), (9, "org")],
+        "entity_id long, entity_type string",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, "makes", 4, 1),
+            (2, "makes", 4, 1),
+            (3, "based_in", 4, 1),   # subject, but lacks 'makes'
+            (1, "rare_pred", 4, 1),  # 1/3 -> not expected
+            # entity 9 never a subject -> excluded entirely
+        ],
+        "src_entity long, pred string, dst_entity long, n_turns long",
+    )
+    out = sorted(
+        (r["entity_id"], r["pred"])
+        for r in subject_completeness(nodes, edges, min_share_pct=50).collect()
+    )
+    # 'makes' expected for org (2/3); missing for subject 3.
+    # 'based_in' is 1/3 -> not expected; 'rare_pred' 1/3 -> not expected.
+    assert out == [(3, "makes")]
+
+
+def test_split_leakage_only_cross_pairs(spark):
+    from ner_spark.functions.datasets import split_assign_col
+    from ner_spark.functions.dedup import split_leakage
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # find two ids on opposite split sides and two on the same side
+    probe = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    ).select("doc_id", split_assign_col(F.col("doc_id")).alias("s"))
+    sides = {r["doc_id"]: r["s"] for r in probe.collect()}
+    train_ids = [i for i, s in sides.items() if s == "train"]
+    val_ids = [i for i, s in sides.items() if s == "val"]
+    assert len(train_ids) >= 2 and len(val_ids) >= 1
+    docs = [
+        (train_ids[0], base),
+        (train_ids[1], base),   # same-side near-dup: NOT leakage
+        (val_ids[0], base),     # cross-side near-dup: leakage
+        (train_ids[2] if len(train_ids) > 2 else train_ids[0] + 1000,
+         "totally unrelated words entirely different content"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = [
+        (r["id_a"], r["id_b"], r["split_a"], r["split_b"])
+        for r in split_leakage(df).collect()
+    ]
+    assert len(out) == 2  # val doc pairs with each of the two train copies
+    for _a, _b, sa, sb in out:
+        assert {sa, sb} == {"train", "val"}
+
+
+def test_event_anomaly_rational_threshold(spark):
+    from ner_spark.functions.events import event_anomaly_days
+
+    day = 86400
+    # type 'x': days 0..3 with counts 3,3,3,7 -> total 16, n_days 4,
+    # mean 4; 9/8 threshold: flag iff 8*n*4 > 9*16 <=> n > 4.5 -> day 3
+    rows = []
+    for d, c in enumerate([3, 3, 3, 7]):
+        rows += [(1, "x", d * day + k) for k in range(c)]
+    out = [
+        (r["event_type"], r["day"], r["n_events"])
+        for r in event_anomaly_days(_ev(spark, rows)).collect()
+    ]
+    d0 = (TS0 - datetime.datetime(1970, 1, 1)).days
+    assert out == [("x", d0 + 3, 7)]
+
+
+def test_rank_agreement_tau_one_when_scores_monotone(spark):
+    """Single-term query over equal-length docs: both BM25 and QL rank
+    by tf, so the two top-k lists agree pairwise -> tau = 1.0."""
+    from ner_spark.functions.text import rank_agreement
+
+    docs = []
+    for i in range(12):
+        tf = i + 1
+        fill = 20 - tf
+        docs.append(
+            (i, " ".join(["apple"] * tf + [f"pad{i}w{j}" for j in range(fill)]))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = rank_agreement(df, ["apple"], k=5).first()
+    assert row["n_common"] == 5
+    assert row["discordant"] == 0
+    assert row["tau"] == 1.0

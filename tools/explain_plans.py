@@ -1200,6 +1200,58 @@ CHECKS = {
             "fold — the eval adds no new scale surface."
         ),
     ),
+    "heaps_fit": dict(
+        requires=["BroadcastExchange"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Heaps fit: one first-occurrence census (min doc_id per "
+            "token) + one per-doc token count, each bucketed to its "
+            "smallest containing prefix by integer ceil-division with "
+            "the 1-row max-id frame broadcast; the cumulative windows "
+            "and the log-log fold ride the 8-row prefix frame."
+        ),
+    ),
+    "kg_subject_completeness": dict(
+        requires=["HashAggregate", "BroadcastExchange"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Missing-fact work list: census-sized (subject, pred) "
+            "distinct + (type, pred) share aggregate tested by integer "
+            "cross-multiplication; expected pairs broadcast onto the "
+            "subject dimension, anti-join on present facts. Reads the "
+            "session-materialized node/edge tables."
+        ),
+    ),
+    "split_leakage": dict(
+        requires=[],
+        forbids=["Python"],
+        note=(
+            "Cross-split near-dup pairs: the proven blocked-LSH pair "
+            "generator (persisted band frame, skew-split salted join) "
+            "plus two row-local md5-bucket split columns joined from "
+            "the id dimension — no new shuffle surface."
+        ),
+    ),
+    "event_anomaly_days": dict(
+        requires=["BroadcastExchange", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Daily burst days: one (type, day)-keyed count, per-type "
+            "totals aggregated FROM the daily frame (bounded by types x "
+            "active days) and broadcast back; the rational threshold is "
+            "integer cross-multiplication."
+        ),
+    ),
+    "rank_agreement": dict(
+        requires=["TakeOrderedAndProject"],
+        forbids=["Python"],
+        note=(
+            "Retrieval rank agreement: both arms end in "
+            "TakeOrderedAndProject, so the overlay (rank join, k^2 "
+            "pair fold) never sees more than 2k rows; the corpus-sized "
+            "work is exactly the two production scorers."
+        ),
+    ),
     "kg_transitive_closure": dict(
         builder="closure_round",
         requires=["HashAggregate"],
