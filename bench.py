@@ -378,6 +378,10 @@ def main() -> None:
         "split_leakage",
         "event_anomaly_days",
         "rank_agreement",
+        "chunk_dedup",
+        "oov_rate",
+        "lsh_recall_eval",
+        "mmr_rerank",
     ):
         run(
             qname,

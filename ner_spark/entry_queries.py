@@ -6359,6 +6359,202 @@ def q_kg_subject_completeness(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NOT NULL THEN
+               list_filter(string_split(lower(text), ' '), x -> x <> '')
+             ELSE [] END AS t
+      FROM documents),
+    st AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) > 0
+                  THEN 1 + CAST(ceil(greatest(len(t) - 32, 0)::DOUBLE / 32)
+                           AS BIGINT)
+                  ELSE 0 END AS n_starts
+      FROM base),
+    ch AS (
+      SELECT doc_id, unnest(range(n_starts)) AS chunk_idx, t
+      FROM st WHERE n_starts > 0),
+    hx AS (
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             {_h60("array_to_string(t[chunk_idx*32+1 : chunk_idx*32+32], ' ')")} AS h
+      FROM ch),
+    pop AS (SELECT h, count(*) AS n_occurrences FROM hx GROUP BY h)
+    SELECT hx.doc_id, hx.chunk_idx, pop.n_occurrences
+    FROM hx JOIN pop USING (h)
+    WHERE pop.n_occurrences >= 2
+    """,
+)
+def q_chunk_dedup(spark, sf_dir):
+    """Passage-granularity exact dedup (functions/dedup.py:
+    chunk_dedup): non-overlapping 32-token windows flagged when their
+    exact text occurs at >= 2 chunk positions corpus-wide — the chunk
+    member of the dedup-granularity family (doc / conversation / span
+    / chunk). Chunk text hashes row-local; the one exchange carries
+    (doc_id, idx, int64)."""
+    from ner_spark.functions.dedup import chunk_dedup
+
+    return chunk_dedup(_t(spark, sf_dir, "documents"), size=32)
+
+
+@query(
+    "oov_rate",
+    f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    v2 AS (SELECT token FROM vocab WHERE token <> ''),
+    tt AS (SELECT role, unnest(string_split(text, ' ')) AS token
+           FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}')),
+    t2 AS (SELECT role, token FROM tt
+           WHERE token IS NOT NULL AND token <> '')
+    SELECT role,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v2.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST((1000000 * sum(CASE WHEN v2.token IS NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS oov_micro
+    FROM t2 LEFT JOIN v2 USING (token)
+    GROUP BY role
+    """,
+)
+def q_oov_rate(spark, sf_dir):
+    """Vocabulary-transfer coverage (functions/corpus.py:
+    vocab_coverage): per-role OOV rate of the transcripts corpus
+    against the documents-corpus S1 vocabulary (raw whitespace tokens,
+    the reference's vocab semantics) — the diagnostic run before
+    reusing a tokenizer vocabulary on a new domain. One distinct
+    vocab projection + one group-keyed integer aggregate."""
+    from ner_spark.functions.corpus import vocab_coverage
+
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return vocab_coverage(t, _t(spark, sf_dir, "documents"), group_col="role")
+
+
+def _lsh_recall_oracle(sample_max_id: int = 500) -> str:
+    # the sample-restricted restatement of _LSH_CTE_BODY plus a
+    # brute-force truth arm over the same shingle sets
+    return f"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < {sample_max_id}),
+    t AS (SELECT doc_id,
+            CASE WHEN len(toks) < 3 THEN [text]
+                 ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+            END AS sh
+          FROM d),
+    hh AS (SELECT doc_id, sh, {_hs_sql('sh')} AS hs FROM t),
+    m AS (SELECT doc_id, sh, {_sig_sql()} AS sig FROM hh),
+    b AS (SELECT doc_id,
+            b::VARCHAR || '|' || sig[3*b+1]::VARCHAR || '-' || sig[3*b+2]::VARCHAR || '-' || sig[3*b+3]::VARCHAR AS key
+          FROM m, (SELECT unnest(range(0, 4)) AS b) bands),
+    p AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+          FROM b a JOIN b c ON a.key = c.key AND a.doc_id < c.doc_id),
+    j AS (SELECT id_a, id_b,
+            round(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+                  / len(list_distinct(list_concat(ta.sh, tb.sh))), 6) AS jaccard
+          FROM p JOIN t ta ON p.id_a = ta.doc_id JOIN t tb ON p.id_b = tb.doc_id),
+    dup_pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+    truth AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM t a JOIN t c ON a.doc_id < c.doc_id
+              WHERE round(len(list_intersect(a.sh, c.sh))::DOUBLE
+                          / len(list_distinct(list_concat(a.sh, c.sh))), 6) >= 0.5),
+    scored AS (SELECT tr.id_a, tr.id_b,
+                      CASE WHEN dp.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+               FROM truth tr LEFT JOIN dup_pairs dp
+                 ON tr.id_a = dp.id_a AND tr.id_b = dp.id_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_candidates,
+           round(CAST(coalesce(sum(hit), 0) AS BIGINT)::DOUBLE / count(*), 6) AS recall
+    FROM scored
+    """
+
+
+@query("lsh_recall_eval", _lsh_recall_oracle())
+def q_lsh_recall_eval(spark, sf_dir):
+    """Recall of MinHash-LSH banding vs brute-force pair ground truth
+    over a 500-id sample (functions/dedup.py:lsh_recall_eval) — the
+    dedup counterpart of ann_recall_eval. The production arm verifies
+    exact Jaccard after banding, so precision is 1.0 by construction
+    and the recorded number is the banding's recall."""
+    from ner_spark.functions.dedup import lsh_recall_eval
+
+    return lsh_recall_eval(
+        _t(spark, sf_dir, "documents"), sample_max_id=500
+    )
+
+
+def _mmr_oracle(k: int = 5, shortlist: int = 20, n_queries: int = 8) -> str:
+    """Unrolled greedy MMR: step j's max-sim joins the sim table
+    against the union of picks 1..j-1 — a genuinely different
+    evaluation strategy from the engine's per-group Python scan."""
+    steps = []
+    for j in range(2, k + 1):
+        sel_prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM p{i}" for i in range(1, j)
+        )
+        steps.append(f"""
+    sel{j - 1} AS ({sel_prev}),
+    m{j} AS (SELECT c.query_id, c.neighbor_id, c.rel, max(s.sim) AS ms
+             FROM cand c
+             JOIN sim s ON s.query_id = c.query_id AND s.na = c.neighbor_id
+             JOIN sel{j - 1} x ON x.query_id = c.query_id AND x.neighbor_id = s.nb
+             WHERE NOT EXISTS (SELECT 1 FROM sel{j - 1} y
+                               WHERE y.query_id = c.query_id
+                                 AND y.neighbor_id = c.neighbor_id)
+             GROUP BY 1, 2, 3),
+    p{j} AS (SELECT query_id, neighbor_id, score FROM (
+        SELECT query_id, neighbor_id, 0.5 * rel - 0.5 * ms AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY (0.5 * rel - 0.5 * ms) DESC, neighbor_id ASC) AS rk
+        FROM m{j}) z WHERE rk = 1)""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST({j} AS INTEGER) AS rank, "
+        f"round(score, 6) AS mmr_score FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {n_queries}),
+    c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s0 AS (SELECT query_id, neighbor_id, {_COS_SQL.replace("cv", "c0.cv").replace("qv", "q.qv")} AS rel
+           FROM c0, q WHERE neighbor_id <> query_id),
+    cand AS (SELECT query_id, neighbor_id, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, neighbor_id ASC) AS rk FROM s0) x
+        WHERE rk <= {shortlist}),
+    ev AS (SELECT cand.query_id, cand.neighbor_id, e.embedding AS v
+           FROM cand JOIN embeddings e ON cand.neighbor_id = e.vec_id),
+    sim AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+                   {_cos2('a.v', 'b.v')} AS sim
+            FROM ev a JOIN ev b
+              ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+    p1 AS (SELECT query_id, neighbor_id, score FROM (
+        SELECT query_id, neighbor_id, 0.5 * rel AS score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, neighbor_id ASC) AS rk
+        FROM cand) z WHERE rk = 1),{",".join(steps)}
+    {final}
+    """
+
+
+@query("mmr_rerank", _mmr_oracle())
+def q_mmr_rerank(spark, sf_dir):
+    """Maximal-marginal-relevance diversity rerank of each query's
+    brute-force shortlist (functions/similarity.py:mmr_rerank) — the
+    cogroup + applyInPandas showcase for genuinely iterative per-group
+    logic: relevance and candidate-candidate similarities are computed
+    JVM-side with the green ANN cosine expressions, so the Python
+    greedy scan sees bit-identical rounded inputs on both engines; the
+    oracle evaluates the same greedy by k unrolled SQL stages."""
+    from ner_spark.functions.similarity import mmr_rerank
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_rerank(e, e.where(F.col("vec_id") < 8), k=5, shortlist=20)
+
+
 def _rank_agreement_oracle() -> str:
     b_sql = _bm25_oracle(_BM25_TERMS)
     l_sql = _lm_oracle(_BM25_TERMS)
@@ -6435,7 +6631,8 @@ _DRIVER_ORDER = [
     # above is exactly full); round 5's FIRST commit must rotate them
     # into slots 1-5 (plus any r04-red rows) before adding new queries.
     "heaps_fit", "kg_subject_completeness", "split_leakage",
-    "event_anomaly_days", "rank_agreement",
+    "event_anomaly_days", "rank_agreement", "chunk_dedup", "oov_rate",
+    "lsh_recall_eval", "mmr_rerank",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -917,3 +917,56 @@ def heaps_fit(
         .where((F.col("N") > 0) & (F.col("V") > 0))
     )
     return loglog_fit(pts, "N", "V", n_alias="n_points")
+
+
+def vocab_coverage(
+    target: DataFrame,
+    vocab_source: DataFrame,
+    group_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-transfer coverage — per ``group_col`` OOV rate of a
+    TARGET corpus against a vocabulary built from a DIFFERENT source
+    corpus (the reference's corpus-driven S1 vocabulary,
+    /root/reference/utils.py:9-20 semantics: RAW whitespace tokens,
+    no lowercasing): ``(group, n_tokens, n_oov, oov_micro)`` with
+    oov_micro = floor(1e6 * n_oov / n_tokens). The tokenizer-transfer
+    diagnostic a pipeline runs before reusing a vocabulary on a new
+    domain — a rising OOV rate is the signal to retrain BPE/WordPiece
+    or extend the vocab.
+
+    Scale shape: the vocabulary is ONE distinct projection of the
+    source (the token dimension); target tokens join it on the
+    uniform token key with a left join folded into one group-keyed
+    integer aggregate. Nothing holds more than (group, counters)
+    state.
+    """
+    vocab = (
+        vocab_source.select(
+            F.explode(tokens_col(F.col(text_col))).alias("token")
+        )
+        .where(F.col("token") != "")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    toks = target.select(
+        F.col(group_col).alias("grp"),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isNotNull() & (F.col("token") != ""))
+    return (
+        toks.join(vocab, "token", "left")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("known").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            # exact integer division (group exists => n_tokens >= 1)
+            F.expr("(1000000 * n_oov) div n_tokens").alias("oov_micro"),
+        )
+    )

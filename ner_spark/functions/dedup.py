@@ -1275,3 +1275,104 @@ def split_leakage(
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "jaccard", "split_a", "split_b")
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    size: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-granularity exact dedup — the chunk member of the
+    dedup-granularity family (document `dedup_exact`, conversation
+    `conv_dedup`, span `dup_span_removal`): NON-overlapping ``size``-
+    token windows (stride = size, so no position is double-counted),
+    a window flagged when its exact lowercased text occurs at >= 2
+    chunk positions anywhere in the corpus (RefinedWeb-style passage
+    dedup: boilerplate blocks repeat across pages whose documents
+    never match whole). Output ``(doc_id, chunk_idx, n_occurrences)``
+    for flagged chunks.
+
+    Scale shape: chunking is the zero-exchange row-local generator
+    (functions/pack.py:chunk_windows); the chunk text is hashed
+    row-local to a 60-bit key, so the ONE population-count exchange
+    carries (doc_id, idx, int64) — chunk strings never shuffle; the
+    flag join rides the uniform hash key.
+    """
+    from ner_spark.functions.pack import chunk_windows
+    from ner_spark.operators.linking import md5_hash60_col
+
+    ch = chunk_windows(
+        df, size=size, stride=size, id_col=id_col, text_col=text_col
+    ).select(
+        "doc_id", "chunk_idx", md5_hash60_col(F.col("chunk_text")).alias("h")
+    )
+    pop = ch.groupBy("h").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        ch.join(pop, "h")
+        .where(F.col("n_occurrences") >= 2)
+        .select("doc_id", "chunk_idx", "n_occurrences")
+    )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    sample_max_id: int = 500,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recall of the MinHash-LSH banding against brute-force pair
+    ground truth — the dedup counterpart of ann_recall_eval: ground
+    truth is EVERY pair with exact shingle Jaccard >= threshold over
+    a bounded id sample (``doc_id < sample_max_id``); the candidate
+    arm is the production ``minhash_lsh_pairs`` on the same sample.
+    Because the production path verifies exact Jaccard after banding,
+    its pairs are a SUBSET of the truth — precision is 1.0 by
+    construction and the number that matters is the banding's recall
+    (truth pairs whose signatures never collide in any band). One
+    summary row ``(n_truth, n_candidates, recall)``.
+
+    Scale shape: the quadratic arm is confined to the explicit sample
+    (the standard eval protocol: ground truth over a sampled slice,
+    never the corpus); the candidate arm is the blocked production
+    operator unchanged.
+    """
+    sample = df.where(F.col(id_col) < sample_max_id)
+    sh = sample.select(
+        F.col(id_col).alias("sid"),
+        word_shingles_col(F.col(text_col), k=k).alias("sh"),
+    )
+    from ner_spark.operators.linking import jaccard_col
+
+    a = sh.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6)
+            >= F.lit(threshold)
+        )
+        .select("id_a", "id_b")
+    )
+    cand = minhash_lsh_pairs(
+        sample, id_col=id_col, text_col=text_col, threshold=threshold, k=k
+    ).select("id_a", "id_b")
+    scored = truth.join(
+        cand.withColumn("hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_candidates"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        F.round(
+            F.try_divide(
+                F.col("n_candidates").cast("double"),
+                F.col("n_truth").cast("double"),
+            ),
+            6,
+        ).alias("recall"),
+    )

@@ -1013,3 +1013,121 @@ def ann_recall_eval(
             ).alias("recall"),
         )
     )
+
+
+MMR_LAMBDA = 0.5
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity rerank (Carbonell &
+    Goldstein 1998) of each query's brute-force shortlist: greedily
+    select ``k`` of ``shortlist`` candidates maximizing ``λ·rel −
+    (1−λ)·max_sim_to_selected`` (λ = MMR_LAMBDA; the empty-selection
+    max-sim is 0, so step 1 is argmax rel) — the rerank a RAG stack
+    runs so the retrieved context isn't five near-copies of the same
+    passage. Output ``(query_id, neighbor_id, rank int, mmr_score)``;
+    ties break (score desc, neighbor_id asc), scores rounded to the
+    6-decimal spec.
+
+    This is the engine's showcase of the cogroup + applyInPandas path
+    for genuinely iterative per-group logic Spark's relational algebra
+    can't express: relevance AND all candidate-candidate similarities
+    are computed JVM-side first (the same rounded-cosine expressions
+    the green ANN operators use, so both engines see bit-identical
+    inputs), and the Python stage receives two slim per-query frames
+    — (candidate, rel) and (pair, sim), both bounded by the shortlist
+    constant — to run the k-step greedy scan. Nothing in the Arrow
+    exchange scales with the corpus.
+    """
+    import pandas as pd
+
+    short = brute_force_topk(
+        emb, queries, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    vecs = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    # disjoint column names on the two shortlist copies: a bare
+    # self-join on query_id is ambiguous to the analyzer
+    ca = short.select(
+        F.col("query_id").alias("qa"), F.col("neighbor_id").alias("na")
+    ).join(
+        vecs.select(F.col("neighbor_id").alias("na"), F.col("v").alias("va")),
+        "na",
+    )
+    cb = short.select(
+        F.col("query_id").alias("qb"), F.col("neighbor_id").alias("nb")
+    ).join(
+        vecs.select(F.col("neighbor_id").alias("nb"), F.col("v").alias("vb")),
+        "nb",
+    )
+    pairs = (
+        ca.join(
+            cb, (F.col("qa") == F.col("qb")) & (F.col("na") < F.col("nb"))
+        )
+        .select(
+            F.col("qa").alias("query_id"),
+            "na",
+            "nb",
+            cosine_col(F.col("va"), F.col("vb")).alias("sim"),
+        )
+    )
+
+    lam = MMR_LAMBDA
+
+    def greedy(cand_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "rank", "mmr_score"]
+            )
+        qid = cand_pdf["query_id"].iloc[0]
+        rel = dict(zip(cand_pdf["neighbor_id"], cand_pdf["rel"]))
+        sim: dict[tuple, float] = {}
+        for na, nb, s in zip(pair_pdf["na"], pair_pdf["nb"], pair_pdf["sim"]):
+            sim[(na, nb)] = s
+            sim[(nb, na)] = s
+        selected: list = []
+        out = []
+        remaining = set(rel)
+        for r in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for c in remaining:
+                maxsim = max((sim[(c, s)] for s in selected), default=0.0)
+                score = lam * rel[c] - (1.0 - lam) * maxsim
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            _, pick, score = best
+            selected.append(pick)
+            remaining.remove(pick)
+            # RAW score out — rounding happens JVM-side below so the
+            # half-up contract matches the oracle (Python's round() is
+            # banker's and flips last-digit ties)
+            out.append((qid, pick, r, score))
+        return pd.DataFrame(
+            out, columns=["query_id", "neighbor_id", "rank", "mmr_score"]
+        )
+
+    ranked = (
+        short.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            lambda c, p: greedy(c, p),
+            schema="query_id long, neighbor_id long, rank int, mmr_score double",
+        )
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

@@ -537,3 +537,85 @@ def test_rank_agreement_tau_one_when_scores_monotone(spark):
     assert row["n_common"] == 5
     assert row["discordant"] == 0
     assert row["tau"] == 1.0
+
+
+def test_chunk_dedup_flags_repeated_passages(spark):
+    """Docs sharing a 32-token block flag those chunk positions; the
+    unique remainder chunks don't. An intra-doc repeat also counts."""
+    from ner_spark.functions.dedup import chunk_dedup
+
+    block = " ".join(f"b{i}" for i in range(32))
+    uniq1 = " ".join(f"u{i}" for i in range(32))
+    uniq2 = " ".join(f"v{i}" for i in range(32))
+    docs = [
+        (0, block + " " + uniq1),          # chunk0 = block, chunk1 = uniq1
+        (1, block + " " + uniq2),          # chunk0 = block
+        (2, block + " " + block),          # intra-doc repeat: both chunks
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_occurrences"])
+        for r in chunk_dedup(df, size=32).collect()
+    )
+    assert out == [(0, 0, 4), (1, 0, 4), (2, 0, 4), (2, 1, 4)]
+
+
+def test_vocab_coverage_counts(spark):
+    from ner_spark.functions.corpus import vocab_coverage
+
+    source = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [
+            ("user", "alpha delta"),        # 1 of 2 OOV
+            ("user", "beta gamma"),         # 0 of 2
+            ("tool", "zeta eta theta"),     # 3 of 3
+        ],
+        "role string, text string",
+    )
+    out = {
+        r["role"]: (r["n_tokens"], r["n_oov"], r["oov_micro"])
+        for r in vocab_coverage(target, source).collect()
+    }
+    assert out == {"user": (4, 1, 250000), "tool": (3, 3, 1000000)}
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Candidates: A and B near-identical (both high relevance), C
+    orthogonal with lower relevance. Top-2 by relevance is {A, B};
+    MMR's second pick must be C (B's similarity to the already-picked
+    A erases its head start)."""
+    from ner_spark.functions.similarity import mmr_rerank
+
+    q = [1.0, 0.0, 0.0, 0.1]
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.99, 0.01, 0.0, 0.0]
+    c = [0.3, 1.0, 0.0, 0.0]   # mild relevance keeps C in the shortlist
+    rows = [(0, q, 0), (1, a, 0), (2, b, 0), (3, c, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in mmr_rerank(
+            df, df.where(F.col("vec_id") == 0), k=2, shortlist=3
+        ).collect()
+    )
+    assert out[0] == (1, 1)   # rank 1 = argmax relevance (A)
+    assert out[1] == (2, 3)   # rank 2 = diverse C, not near-copy B
+
+
+def test_lsh_recall_eval_exact_dups_fully_recalled(spark):
+    """Identical docs share identical signatures, so every truth pair
+    collides in every band: recall must be exactly 1.0."""
+    from ner_spark.functions.dedup import lsh_recall_eval
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(0, base), (1, base), (2, base),
+            (3, "entirely different other words body text here now")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    row = lsh_recall_eval(df, sample_max_id=10).first()
+    assert row["n_truth"] == 3       # the 3 pairs among {0,1,2}
+    assert row["n_candidates"] == 3
+    assert row["recall"] == 1.0

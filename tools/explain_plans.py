@@ -1252,6 +1252,49 @@ CHECKS = {
             "work is exactly the two production scorers."
         ),
     ),
+    "chunk_dedup": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Passage dedup: the zero-exchange chunk generator feeds a "
+            "row-local 60-bit hash, so the one population-count "
+            "exchange and the flag join carry (doc_id, idx, int64) — "
+            "chunk strings never shuffle."
+        ),
+    ),
+    "oov_rate": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Vocabulary-transfer coverage: one distinct projection of "
+            "the source builds the vocab (token dimension), target "
+            "tokens left-join it on the uniform token key, and one "
+            "group-keyed integer aggregate folds the OOV counters."
+        ),
+    ),
+    "lsh_recall_eval": dict(
+        requires=["HashAggregate"],
+        forbids=[],
+        note=(
+            "Banding-recall eval: the quadratic ground-truth arm is "
+            "confined to the explicit 500-id sample (the standard eval "
+            "protocol — truth over a sampled slice, never the corpus); "
+            "the candidate arm is the unmodified blocked production "
+            "operator; the overlay is one slim pair join + count fold."
+        ),
+    ),
+    "mmr_rerank": dict(
+        requires=["FlatMapCoGroupsInPandas"],
+        forbids=["CartesianProduct"],
+        note=(
+            "MMR diversity rerank: the one place iterative per-group "
+            "logic earns the Python path — relevance and candidate-"
+            "candidate sims are JVM-side rounded cosines (shortlist-"
+            "bounded), and the cogrouped Arrow exchange ships two slim "
+            "per-query frames to the k-step greedy scan; nothing in "
+            "the Python boundary scales with the corpus."
+        ),
+    ),
     "kg_transitive_closure": dict(
         builder="closure_round",
         requires=["HashAggregate"],
