@@ -382,6 +382,8 @@ def main() -> None:
         "oov_rate",
         "lsh_recall_eval",
         "mmr_rerank",
+        "pmi_collocations",
+        "session_funnel",
     ):
         run(
             qname,

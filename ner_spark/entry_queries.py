@@ -6555,6 +6555,89 @@ def q_mmr_rerank(spark, sf_dir):
     return mmr_rerank(e, e.where(F.col("vec_id") < 8), k=5, shortlist=20)
 
 
+@query(
+    "pmi_collocations",
+    """
+    WITH base AS (
+      SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM base),
+    u AS (SELECT w, count(*) AS u FROM uni GROUP BY w),
+    nu AS (SELECT CAST(sum(u) AS BIGINT) AS n_uni FROM u),
+    bi0 AS (SELECT unnest(list_transform(range(1, len(t)),
+                     i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+            FROM base WHERE len(t) >= 2),
+    b AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair
+          FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5),
+    nb AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi
+           FROM base),
+    scored AS (SELECT b.w1, b.w2, b.n_pair,
+        CAST(floor(1e6 * ln(b.n_pair::DOUBLE)) AS BIGINT)
+        - CAST(floor(1e6 * ln(nb.n_bi::DOUBLE)) AS BIGINT)
+        - CAST(floor(1e6 * ln(u1.u::DOUBLE)) AS BIGINT)
+        - CAST(floor(1e6 * ln(u2.u::DOUBLE)) AS BIGINT)
+        + 2 * CAST(floor(1e6 * ln(nu.n_uni::DOUBLE)) AS BIGINT) AS pmi_micro
+      FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w, nu, nb)
+    SELECT w1, w2, n_pair, pmi_micro
+    FROM scored ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 adjacent-word collocations by quantized PMI (functions/
+    corpus.py:pmi_collocations, Church & Hanks 1990) — the corpus
+    collocation census for tokenizer vocab seeding and boilerplate
+    diagnostics. PMI is a SUM OF FLOORED logs (each term exact int64
+    at any corpus size); bigrams enumerate row-locally, two hash
+    aggregates + two dimension joins, top-k via
+    TakeOrderedAndProject."""
+    from ner_spark.functions.corpus import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5, k=20)
+
+
+@query(
+    "session_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type AS etype,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+    t AS (SELECT user_id, etype, ep,
+                 lag(ep) OVER (PARTITION BY user_id ORDER BY ep, etype) AS prev
+          FROM e),
+    s AS (SELECT user_id, etype, ep,
+                 sum(CASE WHEN prev IS NULL OR ep - prev > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ep, etype
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM t),
+    s1 AS (SELECT user_id, session_id, min(ep) AS t FROM s
+           WHERE etype = 'view' GROUP BY 1, 2),
+    s2 AS (SELECT s.user_id, s.session_id, min(ep) AS t
+           FROM s JOIN s1 USING (user_id, session_id)
+           WHERE etype = 'click' AND ep > s1.t GROUP BY 1, 2),
+    s3 AS (SELECT s.user_id, s.session_id, min(ep) AS t
+           FROM s JOIN s2 USING (user_id, session_id)
+           WHERE etype = 'purchase' AND ep > s2.t GROUP BY 1, 2)
+    SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+           (SELECT count(*) FROM s1) AS n_sessions
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def q_session_funnel(spark, sf_dir):
+    """Session-granularity ordered funnel (functions/events.py:
+    session_funnel): conversions completed within ONE 30-min-
+    inactivity session — the in-one-sitting companion of
+    event_funnel. Session ids via the q_sessionize lag+cumsum device,
+    then the per-step min-agg + join chain keyed on (user,
+    session)."""
+    from ner_spark.functions.events import session_funnel
+
+    return session_funnel(_t(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
 def _rank_agreement_oracle() -> str:
     b_sql = _bm25_oracle(_BM25_TERMS)
     l_sql = _lm_oracle(_BM25_TERMS)
@@ -6632,7 +6715,7 @@ _DRIVER_ORDER = [
     # into slots 1-5 (plus any r04-red rows) before adding new queries.
     "heaps_fit", "kg_subject_completeness", "split_leakage",
     "event_anomaly_days", "rank_agreement", "chunk_dedup", "oov_rate",
-    "lsh_recall_eval", "mmr_rerank",
+    "lsh_recall_eval", "mmr_rerank", "pmi_collocations", "session_funnel",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -970,3 +970,91 @@ def vocab_coverage(
             F.expr("(1000000 * n_oov) div n_tokens").alias("oov_micro"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — ``(w1, w2, n_pair, pmi_micro)``: the corpus-level
+    collocation census (Church & Hanks 1990) that surfaces multi-word
+    units ("new york", "machine learning") for tokenizer vocab
+    seeding, stopword-phrase filters, and boilerplate diagnostics.
+
+    Quantization spec (two-engine exact): pmi_micro is the SUM OF
+    FLOORED logs — floor(1e6·ln B) − floor(1e6·ln N_bi) −
+    floor(1e6·ln U₁) − floor(1e6·ln U₂) + 2·floor(1e6·ln N_uni) —
+    each term ≤ 44e6 on the grid, so the combination is exact int64 at
+    any corpus size (a single-ln form would need the product ratio,
+    which overflows at web scale); the result is within 5 micro of
+    true PMI, and BOTH engines evaluate the identical floored terms.
+    Ties rank (pmi desc, w1 asc, w2 asc).
+
+    Plan shape: bigrams enumerate row-locally (transform over the
+    token array), ONE pair-keyed and ONE token-keyed hash aggregate,
+    the two scalar totals broadcast via 1-row crossJoins, two hash
+    joins from the (min-count-filtered) bigram fact to the unigram
+    dimension, and the top-k is TakeOrderedAndProject.
+    """
+
+    def fln(col):
+        return F.floor(F.lit(1e6) * F.log(col.cast("double"))).cast("long")
+
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(
+        F.filter(toks, lambda t: t != F.lit("")).alias("t")
+    )
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("t"), i).alias("w1"),
+                            F.element_at(F.col("t"), i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("u").alias("n_uni"))
+    n_bi = (
+        base.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("nb"))
+        .agg(F.sum("nb").alias("n_bi"))
+    )
+    scored = (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("u", "u1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("u", "u2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                fln(F.col("n_pair"))
+                - fln(F.col("n_bi"))
+                - fln(F.col("u1"))
+                - fln(F.col("u2"))
+                + F.lit(2) * fln(F.col("n_uni"))
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(k)

@@ -151,3 +151,71 @@ def event_anomaly_days(
             "n_days",
         )
     )
+
+
+SESSION_GAP_S = 1800
+
+
+def session_funnel(
+    events: DataFrame, steps: tuple[str, ...]
+) -> DataFrame:
+    """Ordered funnel at SESSION granularity — ``(step_idx int, step,
+    n_sessions bigint)``: within each 30-min-inactivity session, count
+    sessions completing ``steps[0..i]`` in strict timestamp order
+    (funnel_counts' semantics with the key widened from user to
+    (user, session)). The user-level funnel says WHO converts;
+    this one says whether conversion happens in one sitting — the
+    product-analytics pair every event pipeline ships together.
+
+    Scale shape: session ids come from the q_sessionize device (lag +
+    running count over a user-keyed window — one exchange, spill-safe
+    ordered state); each funnel step is then a (user, session)-keyed
+    min-agg + join exactly like funnel_counts, frames shrinking down
+    the funnel.
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    e = _ep_events(events)
+    # deterministic session assignment: order by (ep, etype) — session
+    # BOUNDARIES depend only on the epoch gap, and reordering equal-ep
+    # rows cannot flip a gap comparison (gap is 0 either way), so the
+    # per-row session id is order-independent where the sort key ties
+    w = Window.partitionBy("user_id").orderBy("ep", "etype")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    s = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("user_id", "session_id", "etype", "ep")
+    keys = ["user_id", "session_id"]
+    per_step = []
+    cur = (
+        s.where(F.col("etype") == steps[0])
+        .groupBy(*keys)
+        .agg(F.min("ep").alias("t"))
+    )
+    per_step.append(cur)
+    for st in steps[1:]:
+        cur = (
+            s.where(F.col("etype") == st)
+            .join(cur, keys)
+            .where(F.col("ep") > F.col("t"))
+            .groupBy(*keys)
+            .agg(F.min("ep").alias("t"))
+        )
+        per_step.append(cur)
+    rows = [
+        df.agg(
+            F.lit(i + 1).cast("int").alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        for i, df in enumerate(per_step)
+    ]
+    return _reduce(DataFrame.unionByName, rows)

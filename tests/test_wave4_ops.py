@@ -619,3 +619,52 @@ def test_lsh_recall_eval_exact_dups_fully_recalled(spark):
     assert row["n_truth"] == 3       # the 3 pairs among {0,1,2}
     assert row["n_candidates"] == 3
     assert row["recall"] == 1.0
+
+
+def test_pmi_collocations_prefers_exclusive_pairs(spark):
+    """'aa bb' always co-occur exclusively (PMI high); 'cc dd' co-occur
+    but cc/dd also appear alone (PMI lower). Floored-log spec pinned
+    against plain python."""
+    from ner_spark.functions.corpus import pmi_collocations
+
+    docs = (
+        [(i, "aa bb") for i in range(6)]
+        + [(10 + i, "cc dd") for i in range(6)]
+        + [(20 + i, "cc xx dd yy") for i in range(6)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi_micro"])
+        for r in pmi_collocations(df, min_count=5, k=20).collect()
+    }
+    assert ("aa", "bb") in out and ("cc", "dd") in out
+    # plain-python floored-log reference for (aa, bb):
+    n_pair, n_bi = 6, 6 + 6 + 18  # per-doc bigrams: 1, 1, 3
+    u_aa = u_bb = 6
+    n_uni = 12 + 12 + 24
+    ref = (
+        math.floor(1e6 * math.log(n_pair))
+        - math.floor(1e6 * math.log(n_bi))
+        - math.floor(1e6 * math.log(u_aa))
+        - math.floor(1e6 * math.log(u_bb))
+        + 2 * math.floor(1e6 * math.log(n_uni))
+    )
+    assert out[("aa", "bb")] == (6, ref)
+    assert out[("aa", "bb")][1] > out[("cc", "dd")][1]
+
+
+def test_session_funnel_counts_sittings_not_users(spark):
+    """One user, two sessions: full conversion in session 1, view-only
+    in session 2 — and a cross-session click that must NOT convert."""
+    from ner_spark.functions.events import session_funnel
+
+    rows = [
+        (1, "view", 0), (1, "click", 60), (1, "purchase", 120),  # session 1
+        (1, "view", 10_000),                                     # session 2
+        (2, "view", 0), (2, "click", 10_000),  # u2: click in LATER session
+    ]
+    out = {
+        r["step"]: r["n_sessions"]
+        for r in session_funnel(_ev(spark, rows), ("view", "click", "purchase")).collect()
+    }
+    assert out == {"view": 3, "click": 1, "purchase": 1}

@@ -1295,6 +1295,28 @@ CHECKS = {
             "the Python boundary scales with the corpus."
         ),
     ),
+    "pmi_collocations": dict(
+        requires=["TakeOrderedAndProject", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "PMI collocations: bigrams enumerate row-locally, one "
+            "pair-keyed + one token-keyed map-side-combined aggregate, "
+            "scalar totals broadcast as 1-row dims, unigram dimension "
+            "joins broadcast onto the min-count-filtered bigram fact, "
+            "and the top-k is TakeOrderedAndProject."
+        ),
+    ),
+    "session_funnel": dict(
+        requires=["HashAggregate", "Window"],
+        forbids=["Python", "CartesianProduct"],
+        note=(
+            "Session funnel: ONE user-keyed window (lag + running sum, "
+            "spill-safe ordered state) assigns session ids, then each "
+            "step is a (user, session)-keyed min-agg + equi-join with "
+            "frames shrinking down the funnel — the q_sessionize device "
+            "composed with the funnel_counts chain."
+        ),
+    ),
     "kg_transitive_closure": dict(
         builder="closure_round",
         requires=["HashAggregate"],
