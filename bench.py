@@ -384,6 +384,9 @@ def main() -> None:
         "mmr_rerank",
         "pmi_collocations",
         "session_funnel",
+        "json_props_stats",
+        "event_pivot",
+        "order_priority_rollup",
     ):
         run(
             qname,

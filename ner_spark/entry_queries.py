@@ -6638,6 +6638,114 @@ def q_session_funnel(spark, sf_dir):
     return session_funnel(_t(spark, sf_dir, "events"), _FUNNEL_STEPS)
 
 
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured column handling — the JSON-payload aggregation
+    every event log needs: ``props`` parsed with the BUILT-IN JSON
+    path expression (get_json_object — JVM-side, codegen; never a
+    Python parser) and folded into exact integer per-type stats. One
+    map-side-combined aggregate; at 100 TB the parse rides the scan
+    tasks."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "event_pivot",
+    """
+    SELECT user_id,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+           CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error,
+           CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+           CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+           CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_event_pivot(spark, sf_dir):
+    """PIVOT — long-to-wide reshaping, the relational operator a BI
+    layer reaches for first: per-user event counts as one column per
+    type, via Spark's native ``pivot`` with an EXPLICIT value list
+    (an inferred list would add a distinct-scan job and make the
+    schema data-dependent — at 100 TB the explicit list keeps this
+    one single hash aggregate). The oracle restates it as conditional
+    aggregation — the classic equivalent plan."""
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+@query(
+    "order_priority_rollup",
+    """
+    SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_order_priority_rollup(spark, sf_dir):
+    """ROLLUP / grouping sets — hierarchical subtotal aggregation in
+    ONE pass (per (status, priority), per status, grand total), with
+    ``grouping_id`` distinguishing real NULL groups from subtotal
+    rows. Spark's native ``rollup`` expands the grouping sets inside a
+    single hash aggregate (one shuffle — a UNION of three GROUP BYs
+    would scan three times); sums ride exact DECIMAL per the
+    pricing_summary convention."""
+    o = _t(spark, sf_dir, "orders")
+    total = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping_id() is an aggregate-context expression: it must
+            # be computed here, not in a downstream projection
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(total).cast("double").alias("sum_total"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_total",
+        )
+    )
+
+
 def _rank_agreement_oracle() -> str:
     b_sql = _bm25_oracle(_BM25_TERMS)
     l_sql = _lm_oracle(_BM25_TERMS)
@@ -6716,6 +6824,7 @@ _DRIVER_ORDER = [
     "heaps_fit", "kg_subject_completeness", "split_leakage",
     "event_anomaly_days", "rank_agreement", "chunk_dedup", "oov_rate",
     "lsh_recall_eval", "mmr_rerank", "pmi_collocations", "session_funnel",
+    "json_props_stats", "event_pivot", "order_priority_rollup",
     # (placeholder tail below fills any unused slots with already-green
     # queries; harmless re-verification)
     # --- filler: already green in r01-r03, re-recorded only if slots remain

@@ -668,3 +668,74 @@ def test_session_funnel_counts_sittings_not_users(spark):
         for r in session_funnel(_ev(spark, rows), ("view", "click", "purchase")).collect()
     }
     assert out == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_json_props_stats_exact_ints(spark):
+    rows = [
+        (0, TS0, 1, "view", '{"k": 5}'),
+        (1, TS0, 1, "view", '{"k": 7}'),
+        (2, TS0, 2, "click", '{"k": -3}'),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, props string"
+    )
+    from ner_spark.entry_queries import QUERIES  # reuse the query body via module fn
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = {
+        r["event_type"]: (r["n"], r["mn"], r["mx"], r["sm"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(k).alias("mn"),
+            F.max(k).alias("mx"),
+            F.sum(k).alias("sm"),
+        )
+        .collect()
+    }
+    assert out == {"view": (2, 5, 7, 12), "click": (1, -3, -3, -3)}
+
+
+def test_event_pivot_missing_types_are_zero(spark):
+    from ner_spark.entry_queries import _PIVOT_TYPES
+
+    rows = [(1, "view", 0), (1, "view", 1), (1, "click", 2), (2, "error", 0)]
+    df = _ev(spark, rows)
+    wide = (
+        df.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+    out = {r["user_id"]: (r["n_view"], r["n_click"], r["n_error"], r["n_purchase"]) for r in wide.collect()}
+    assert out == {1: (2, 1, 0, 0), 2: (0, 0, 1, 0)}
+
+
+def test_rollup_subtotals_and_grouping_id(spark):
+    rows = [("O", "1-URGENT", 10.0), ("O", "2-HIGH", 20.0), ("F", "1-URGENT", 5.0)]
+    df = spark.createDataFrame(
+        rows, "o_orderstatus string, o_orderpriority string, o_totalprice double"
+    )
+    out = (
+        df.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("s"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("p"),
+            "n",
+        )
+        .collect()
+    )
+    cells = {(r["gid"], r["s"], r["p"]): r["n"] for r in out}
+    assert cells[(0, "O", "1-URGENT")] == 1
+    assert cells[(1, "O", "ALL")] == 2      # status subtotal
+    assert cells[(1, "F", "ALL")] == 1
+    assert cells[(3, "ALL", "ALL")] == 3    # grand total
+    # 3 detail rows + 2 status subtotals + 1 grand total
+    assert len(cells) == 6

@@ -1317,6 +1317,35 @@ CHECKS = {
             "composed with the funnel_counts chain."
         ),
     ),
+    "json_props_stats": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "JSON payload stats: get_json_object is a JVM codegen "
+            "expression riding the scan tasks (no Python parser), "
+            "folded into one map-side-combined integer aggregate."
+        ),
+    ),
+    "event_pivot": dict(
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Native pivot with an EXPLICIT value list compiles to ONE "
+            "hash aggregate (pivot_first) — no distinct-scan job for "
+            "schema inference, no per-type pass; long-to-wide in a "
+            "single user-keyed exchange."
+        ),
+    ),
+    "order_priority_rollup": dict(
+        requires=["Expand", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window", "Union"],
+        note=(
+            "ROLLUP expands the three grouping sets INSIDE one "
+            "aggregate (the Expand node) — one scan + one shuffle "
+            "where a UNION of three GROUP BYs would scan the fact "
+            "three times; sums ride exact DECIMAL."
+        ),
+    ),
     "kg_transitive_closure": dict(
         builder="closure_round",
         requires=["HashAggregate"],
