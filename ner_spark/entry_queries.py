@@ -3553,13 +3553,22 @@ def q_kg_prf(spark, sf_dir):
     )
 
 
-@query("kg_stream_triples")  # no oracle: streaming op, rows-only check
+@query(
+    "kg_stream_triples",
+    f"""
+    SELECT conv_id, turn_idx, subj, pred, obj
+    FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "reference_triples.parquet")}')
+    """,
+)
 def q_kg_stream_triples(spark, sf_dir):
     """Structured Streaming ingest surface: drain the fixture transcripts
     through the exactly-once file-source stream (Trigger.AvailableNow)
-    and return the materialized triples. Non-SQL-expressible (stateful
-    sink + checkpoint), so the driver records the weaker rows-only check;
-    pytest asserts full batch parity (tests/test_streaming.py)."""
+    and return the materialized triples. The sink/checkpoint mechanics are
+    non-SQL-expressible, but the DRAINED OUTPUT is pytest-pinned equal to
+    the batch pipeline's triples (tests/test_streaming.py), so the batch
+    golden (`reference_triples.parquet`, same device as `kg_triples`)
+    serves as a full value-hash oracle — upgrading this row from the
+    rows-only check it carried in r02."""
     import shutil
     import tempfile
 
@@ -3582,7 +3591,9 @@ def q_kg_stream_triples(spark, sf_dir):
     )
     out = os.path.join(root, "out")
     run_triples_stream(spark, in_dir, out, os.path.join(root, "ckpt"))
-    return spark.read.parquet(out)
+    return spark.read.parquet(out).select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
 
 
 @query(
@@ -6785,49 +6796,29 @@ def q_rank_agreement(spark, sf_dir):
 # Driver-facing registration order
 # ===========================================================================
 # The external correctness driver evaluates queries() in registration
-# order and records at most the FIRST 50 (rounds 1-3 each recorded
+# order and records at most the FIRST 50 (rounds 1-4 each recorded
 # exactly 50). Rotate the order each round so the UNION of driver
-# records covers every query. Round-4 rotation: the 14 session-5
-# queries that have never had any driver row, plus kg_entity_cards
-# (the one hash-red r03 row — locally cell-exact, kept in the window
-# until a green row lands), occupy the FIRST 15 slots. New round-4
-# queries fill the slots after them, keeping total window occupancy
-# <= 50 so nothing new is born below the cap again. Union of
-# CORRECTNESS_r01/r02/r03 = 111 distinct recorded queries (50+50+50
-# minus the 39-query r01/r02 overlap); a green r04 window closes the
-# remaining 14 + entity_cards.
+# records covers every query. Round-5 rotation (CORRECTNESS_r04 was
+# 50/50 green, so there are no red rows to carry): the 14 queries that
+# have never had any driver row (the r04 wave-3 pool) take slots 1-14,
+# and kg_stream_triples — the one rows-only r02 row, now carrying a
+# full value-hash oracle via its pytest-pinned batch-parity golden —
+# takes slot 15. New round-5 queries land at 16+; the remainder of the
+# window is filler re-verification of already-green rows. Union of
+# CORRECTNESS_r01..r04 = 160 distinct recorded queries; a green r05
+# window closes the remaining 14 + upgrades kg_stream_triples.
 _DRIVER_ORDER = [
-    # --- slots 1-15: the never-recorded session-5 pool + the one red row
-    "dup_span_fraction", "unigram_logprob", "distinct_sketch",
-    "embedding_outliers", "hybrid_rrf_topk",
-    "conv_near_dup", "source_overlap", "pq_codes",
-    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
-    "bpe_segments", "weighted_sample",
-    "kg_entity_cards",
-    # --- slots 16+: new round-4 queries land HERE as they are added
-    "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
-    "sft_packed", "semantic_dedup", "chunk_windows",
-    "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
-    "session_windows", "containment_pairs", "kg_cloze_questions",
-    "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
-    "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
-    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk", "conv_summary",
-    # --- wave 2 (slots 42-50): exactly fills the window to 50
-    "event_funnel", "event_retention", "gopher_rules", "text_normalize",
-    "zipf_fit", "dup_cluster_stats", "dialog_acts", "ann_recall_eval",
-    "kg_transitive_closure",
-    # ------------------------- 50-slot boundary -------------------------
-    # --- wave 3 (positions 51-55): the ROUND-5 WINDOW POOL. These are
-    # mirror-green but cannot receive a round-4 driver row (the window
-    # above is exactly full); round 5's FIRST commit must rotate them
-    # into slots 1-5 (plus any r04-red rows) before adding new queries.
+    # --- slots 1-14: the never-recorded round-5 pool (mirror-green r04)
     "heaps_fit", "kg_subject_completeness", "split_leakage",
     "event_anomaly_days", "rank_agreement", "chunk_dedup", "oov_rate",
     "lsh_recall_eval", "mmr_rerank", "pmi_collocations", "session_funnel",
     "json_props_stats", "event_pivot", "order_priority_rollup",
-    # (placeholder tail below fills any unused slots with already-green
-    # queries; harmless re-verification)
-    # --- filler: already green in r01-r03, re-recorded only if slots remain
+    # --- slot 15: rows-only r02 row, upgraded to a value-hash oracle
+    "kg_stream_triples",
+    # --- slots 16+: NEW round-5 queries land HERE as they are added.
+    # Keep total window occupancy <= 50; rotate mid-round if it fills.
+    # --- filler: already green in r01-r04, re-recorded only if slots
+    # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",
     "kg_topic_segments", "tool_transitions",
     "mixture_weights", "filter_report", "turn_latency",
@@ -6845,8 +6836,24 @@ _DRIVER_ORDER = [
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
     # -------- position > 50: NOT recorded by the external driver -------
     # Everything below holds a green driver row in the
-    # CORRECTNESS_r01/r02/r03 union (111 distinct queries) and stays
-    # covered by the local mirror gate (tools/check_entry.py runs all).
+    # CORRECTNESS_r01..r04 union and stays covered by the local mirror
+    # gate (tools/check_entry.py runs all of it).
+    "dup_span_fraction", "unigram_logprob", "distinct_sketch",
+    "embedding_outliers", "hybrid_rrf_topk",
+    "conv_near_dup", "source_overlap", "pq_codes",
+    "sft_pairs", "kg_edge_decay", "kg_linkpred_eval", "bpe_merges",
+    "bpe_segments", "weighted_sample",
+    "kg_entity_cards",
+    "kg_linkpred_probe", "dup_span_removal", "bigram_logprob",
+    "sft_packed", "semantic_dedup", "chunk_windows",
+    "hard_negatives", "dsir_weights", "kg_verbalize", "ann_pq_topk",
+    "session_windows", "containment_pairs", "kg_cloze_questions",
+    "dedup_incremental", "retry_runs", "kg_supergraph", "kg_node_features",
+    "curriculum_schedule", "perplexity_buckets", "kg_entity_salience", "kg_motif_census",
+    "kg_fact_confidence", "novelty_scores", "kg_entity_bursts", "lm_topk", "conv_summary",
+    "event_funnel", "event_retention", "gopher_rules", "text_normalize",
+    "zipf_fit", "dup_cluster_stats", "dialog_acts", "ann_recall_eval",
+    "kg_transitive_closure",
     "kg_pred_profile", "kg_functional_violations",
     "kg_current_facts", "kg_paths_2hop", "kg_communities",
     "kg_mention_contexts", "kg_edge_diff", "kg_edge_provenance",
@@ -6861,7 +6868,6 @@ _DRIVER_ORDER = [
     "kg_canonical_map", "kg_graph_nodes", "kg_graph_edges",
     "kg_canonical_triples", "kg_noisy_triples",
     "kg_span_to_bio", "kg_turn_stats", "kg_prf", "kg_bioes_pairs",
-    "kg_stream_triples",
     # Everything below was value-hash-green in CORRECTNESS_r01/r02 and
     # stays covered by the local mirror gate (tools/check_entry.py, all
     # of it): the r02-green encode/scan family, the semantically-
