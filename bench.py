@@ -662,6 +662,22 @@ def main() -> None:
 
     print(json.dumps(out))
 
+    # Persist the COMPLETE per-query record to a file so round-over-round
+    # per-query regressions are machine-diffable (the driver tail keeps
+    # only the compact summary below; VERDICT r04 directive 3). The file
+    # is committed per round as BENCH_full_r{N}.json.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full.json"),
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+
     # The driver captures only the TAIL of bench output (~2 KB) and
     # parses the last JSON object it finds. At 60+ headline queries the
     # full line above outgrew that window (BENCH_r03 recorded

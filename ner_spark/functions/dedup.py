@@ -849,7 +849,10 @@ def conv_dedup(transcripts: DataFrame) -> DataFrame:
 
 
 def conv_shingle_rows(
-    transcripts: DataFrame, k: int = 3, include_tiny: bool = True
+    transcripts: DataFrame,
+    k: int = 3,
+    include_tiny: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """DISTINCT conversation-level word-shingle hashes as ROWS —
     ``(conv_id, h)`` with ``h`` the 60-bit md5 of each k-gram over the
@@ -860,67 +863,101 @@ def conv_shingle_rows(
     contribute one shingle — their tokens re-joined by spaces, which
     for a single-space join IS the flattened text.
 
-    This is the scale-safe replacement for materializing a
-    conversation's text/shingle-set in one buffer: tokens are exploded
-    to rows (the corpus's own cardinality), k-grams come from
-    ``lead()`` over a spill-safe (turn_idx, tok_idx) window — O(1)
-    state per row after the sort — and "distinct shingles per conv"
-    lives as rows, never as a conv-sized array.
+    Scale shape (round-5 constant-factor cut, same shingle universe as
+    the round-4 token-window form — verified hash-identical by the
+    ``conv_near_dup`` oracle row): shingles derive PER TURN, row-locally,
+    from the turn's own token array via higher-order expressions; the
+    only window runs over TURN rows (one per transcript row, ~12× fewer
+    than exploded tokens at k=3) and carries just the (k-1)-token
+    boundary context from the next (k-1) turns (each turn contributes
+    ≥1 token — ``split`` never returns an empty array — so k-1 leads
+    always cover a k-gram straddling the boundary).  Per-row state is
+    bounded by a TURN's token count, i.e. by the width of an input row
+    the executor already holds — never by a conversation.  "Distinct
+    shingles per conv" still lives as rows, never as a conv-sized array.
     """
     from pyspark.sql import Window
 
     from ner_spark.operators.linking import md5_hash60_col
 
-    toks = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        F.posexplode(F.split(F.col("text"), " ")).alias("tok_idx", "tok"),
+    turns = transcripts.select(
+        "conv_id", "turn_idx", F.split(F.col("text"), " ").alias("tk")
     )
-    w = Window.partitionBy("conv_id").orderBy("turn_idx", "tok_idx")
-    leads = [F.lead("tok", i).over(w).alias(f"l{i}") for i in range(1, k)]
-    g = toks.select("conv_id", "tok", *leads)
-    gram = F.concat_ws(" ", "tok", *[f"l{i}" for i in range(1, k)])
-    grams = g.where(F.col(f"l{k-1}").isNotNull()).select(
-        "conv_id", gram.alias("shingle")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # first (k-1) tokens of the FOLLOWING turns: enough to complete any
+    # k-gram that starts inside this turn (k-1 leads suffice — see
+    # docstring). coalesce handles the tail of the conversation.
+    carry = F.slice(
+        F.concat(
+            *[
+                F.coalesce(
+                    F.lead("tk", i).over(w),
+                    F.array().cast("array<string>"),
+                )
+                for i in range(1, k)
+            ]
+        ),
+        1,
+        k - 1,
+    )
+    ext = turns.select(
+        "conv_id", F.concat(F.col("tk"), carry).alias("xtk"), F.size("tk").alias("n")
+    )
+    # every k-gram of the conversation's token stream starts inside
+    # exactly one turn: start positions 1..n, kept only when the gram
+    # fits inside this turn + its carry (near the conv end it doesn't)
+    grams = ext.select(
+        "conv_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n")),
+                    lambda p: F.when(
+                        p + F.lit(k - 1) <= F.size("xtk"),
+                        F.array_join(F.slice(F.col("xtk"), p, k), " "),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("shingle"),
     )
     if not include_tiny:
         # plan-audit hook: the pure gram path (the 100-TB shape) without
         # the <k-token fallback union
-        return grams.select(
+        out = grams.select(
             "conv_id", md5_hash60_col(F.col("shingle")).alias("h")
-        ).dropDuplicates(["conv_id", "h"])
+        )
+        return out.dropDuplicates(["conv_id", "h"]) if distinct else out
     # conversations with < k tokens produce no full gram: their single
     # shingle is the whole flattened text. Membership comes from a
-    # map-side-combinable token count (no second window pass), and the
-    # collect_list buffer is bounded by construction — only convs with
-    # < k token rows pass the semi-join, so each buffer holds at most
-    # k-1 short structs.
+    # map-side-combinable token-count sum (no window pass), and the
+    # collect_list buffer is bounded by construction — every turn holds
+    # ≥1 token, so a conv with < k tokens has < k turn structs.
     tiny_ids = (
-        toks.groupBy("conv_id")
-        .agg(F.count(F.lit(1)).alias("n_toks"))
+        turns.groupBy("conv_id")
+        .agg(F.sum(F.size("tk")).alias("n_toks"))
         .where(F.col("n_toks") < k)
         .select("conv_id")
     )
     tiny = (
-        toks.join(tiny_ids, "conv_id", "left_semi")
+        transcripts.join(tiny_ids, "conv_id", "left_semi")
         .groupBy("conv_id")
         .agg(
             F.concat_ws(
                 " ",
                 F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("turn_idx", "tok_idx", "tok"))
-                    ),
-                    lambda st: st["tok"],
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda st: st["text"],
                 ),
             ).alias("shingle")
         )
     )
-    return (
-        grams.unionByName(tiny)
-        .select("conv_id", md5_hash60_col(F.col("shingle")).alias("h"))
-        .dropDuplicates(["conv_id", "h"])
+    out = grams.unionByName(tiny).select(
+        "conv_id", md5_hash60_col(F.col("shingle")).alias("h")
     )
+    # distinct=False skips the corpus-wide dedup exchange for consumers
+    # whose aggregates are duplicate-insensitive (minhash minima)
+    return out.dropDuplicates(["conv_id", "h"]) if distinct else out
 
 
 def conv_near_dup_pairs(
@@ -955,7 +992,15 @@ def conv_near_dup_pairs(
     """
     from ner_spark.operators.linking import H31_MASK, MERSENNE61, MINHASH_A, MINHASH_B
 
-    sh = register_persist(conv_shingle_rows(_ensure_parallel(transcripts), k))
+    # RAW gram stream — no corpus-wide dropDuplicates: the minhash minima
+    # below are duplicate-insensitive, so the global distinct exchange
+    # (the single biggest constant in the r04 profile) is pure waste for
+    # the signature pass. The distinct view is derived later, confined
+    # to CANDIDATE conversations only (at production scale a tiny
+    # fraction of the corpus; banding exists precisely to make it so).
+    sh = register_persist(
+        conv_shingle_rows(_ensure_parallel(transcripts), k, distinct=False)
+    )
 
     def perm(i: int):
         h31 = F.col("h").bitwiseAND(F.lit(H31_MASK))
@@ -988,7 +1033,11 @@ def conv_near_dup_pairs(
     ids = cand.select(F.col("id_a").alias("conv_id")).unionByName(
         cand.select(F.col("id_b").alias("conv_id"))
     ).distinct()
-    sh_c = sh.join(ids, "conv_id", "left_semi")
+    # distinct shingles ONLY for candidate convs: semi-join first, then
+    # dedup — persisted because sizes and inter both consume it
+    sh_c = register_persist(
+        sh.join(ids, "conv_id", "left_semi").dropDuplicates(["conv_id", "h"])
+    )
     sizes = sh_c.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         cand.join(

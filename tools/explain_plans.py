@@ -814,16 +814,23 @@ CHECKS = {
     "conv_near_dup_sig": dict(
         builder="conv_near_dup_sig",
         requires=["HashAggregate"],
-        forbids=["Python", "collect_list", "sort_array"],
+        forbids=["Python", "collect_list", "sort_array", "PosExplode"],
         note=(
-            "Conversation near-dup signature stage: shingles live as "
-            "(conv_id, h60) ROWS — tokens explode, k-grams come from "
-            "lead() over a spill-safe per-conv window, and the 12 "
-            "signature minima are plain min aggregates (map-side "
-            "combinable, O(n_hashes) state). No conversation-sized "
-            "flatten buffer anywhere (collect_list/sort_array asserted "
-            "absent; the <k-token fallback's bounded collect is behind "
-            "a semi-join that never fires on this fixture)."
+            "Conversation near-dup signature stage (r5 constant-factor "
+            "cut, hash-identical output): shingles live as (conv_id, "
+            "h60) ROWS derived PER TURN — each turn's k-grams come "
+            "row-locally from its own token array via higher-order "
+            "transform/slice; the only window runs over TURN rows "
+            "(~12x fewer than exploded tokens; PosExplode asserted "
+            "absent) carrying just the (k-1)-token boundary from the "
+            "next turns. The raw gram stream feeds the minima directly "
+            "— duplicate-insensitive, so the corpus-wide distinct "
+            "exchange is skipped — and the 12 signature minima are "
+            "plain min aggregates (map-side combinable, O(n_hashes) "
+            "state). No conversation-sized flatten buffer anywhere "
+            "(collect_list/sort_array asserted absent; the <k-token "
+            "fallback's bounded collect is behind a semi-join that "
+            "never fires on this fixture)."
         ),
     ),
     "weighted_sample": dict(
@@ -1631,7 +1638,7 @@ def main() -> None:
             )
 
             t = spark.read.parquet(os.path.join(_FXN, "transcripts.parquet"))
-            sh = conv_shingle_rows(t, include_tiny=False)
+            sh = conv_shingle_rows(t, include_tiny=False, distinct=False)
 
             def _perm(i):
                 h31 = F.col("h").bitwiseAND(F.lit(H31_MASK))
@@ -1773,9 +1780,28 @@ def main() -> None:
             f"PLANS.md written; {len(CHECKS)} plans, {len(failures)} failures"
         )
     else:
+        # splice the regenerated sections into PLANS.md in place so a
+        # single-operator regen keeps the committed evidence current
+        path = os.path.join(REPO, "PLANS.md")
+        spliced = 0
+        if os.path.exists(path) and sections:
+            with open(path) as f:
+                doc = f.read()
+            for sec in sections:
+                name = sec.split("\n", 1)[0][3:].rsplit(" ", 1)[0]
+                import re as _re
+
+                pat = _re.compile(
+                    r"^## " + _re.escape(name) + r" [^\n]*\n.*?(?=^## |\Z)",
+                    _re.M | _re.S,
+                )
+                doc, n = pat.subn(sec.rstrip() + "\n\n", doc, count=1)
+                spliced += n
+            with open(path, "w") as f:
+                f.write(doc)
         print(
-            f"checked {len(only)} plans (PLANS.md untouched); "
-            f"{len(failures)} failures"
+            f"checked {len(only)} plans ({spliced} sections spliced into "
+            f"PLANS.md); {len(failures)} failures"
         )
     for f_ in failures:
         print("FAIL", f_)
