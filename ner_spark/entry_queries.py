@@ -6717,6 +6717,90 @@ def q_event_pivot(spark, sf_dir):
 
 
 @query(
+    "json_payload_mentions",
+    f"""
+    SELECT n.type AS mtype,
+           count(*) AS n_mentions,
+           CAST(sum(len(n.index)) AS BIGINT) AS sum_span_len,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+    FROM (
+      SELECT conv_id, unnest(ner) AS n
+      FROM read_json('{os.path.join(FIXTURES_SQL_ROOT, "corpus.jsonl")}',
+                     format='newline_delimited',
+                     columns={{'conv_id': 'VARCHAR', 'turn_idx': 'INTEGER',
+                               'sentence': 'VARCHAR[]',
+                               'ner': 'STRUCT(index INTEGER[], type VARCHAR)[]'}}))
+    GROUP BY 1
+    """,
+)
+def q_json_payload_mentions(spark, sf_dir):
+    """``from_json`` over a raw JSON-STRING column — the semi-structured
+    device an event log with struct/array payloads needs (the scalar
+    ``get_json_object`` path of json_props_stats can't reach inside
+    ``ner[].index``, the int-array-in-struct shape of
+    /root/reference/data_process.ipynb cell-3). The file is read as
+    TEXT lines (the string column stands in for any JSON payload
+    column), parsed with an EXPLICIT nested schema — schema inference
+    would add a full extra scan and make the plan data-dependent —
+    then the mention array explodes to rows and folds into per-type
+    stats. Parse + explode are row-local (ride the scan tasks); the
+    only exchange is the final small per-type aggregate."""
+    fx = _fx(sf_dir)
+    schema = (
+        "conv_id string, turn_idx int, sentence array<string>, "
+        "ner array<struct<index: array<int>, type: string>>"
+    )
+    lines = spark.read.text(os.path.join(fx, "corpus.jsonl"))
+    parsed = lines.select(F.from_json("value", schema).alias("j"))
+    m = parsed.select(
+        F.col("j.conv_id").alias("conv_id"), F.explode("j.ner").alias("n")
+    )
+    return m.groupBy(F.col("n.type").alias("mtype")).agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum(F.size("n.index")).alias("sum_span_len"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+
+
+@query(
+    "event_unpivot",
+    """
+    SELECT u.user_id, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                       ('view')) t(event_type)
+    LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2) c
+      ON u.user_id = c.user_id AND t.event_type = c.event_type
+    """,
+)
+def q_event_unpivot(spark, sf_dir):
+    """UNPIVOT — wide-to-long reshaping, the exact inverse of
+    event_pivot: the per-user count matrix melts back to (user_id,
+    event_type, n) rows with explicit zeros, via Spark's native
+    ``unpivot`` (the ``stack`` expression under the hood — row-local
+    expansion, NO exchange beyond the upstream pivot aggregate). The
+    oracle restates the dense matrix as users x types with a left
+    join; zeros are kept because a dense reshape is the point — a
+    filter would reduce this to a plain GROUP BY."""
+    e = _t(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                for t in _PIVOT_TYPES
+            ],
+        )
+    )
+    return wide.unpivot("user_id", _PIVOT_TYPES, "event_type", "n")
+
+
+@query(
     "order_priority_rollup",
     """
     SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
@@ -6817,6 +6901,7 @@ _DRIVER_ORDER = [
     "kg_stream_triples",
     # --- slots 16+: NEW round-5 queries land HERE as they are added.
     # Keep total window occupancy <= 50; rotate mid-round if it fills.
+    "json_payload_mentions", "event_unpivot",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

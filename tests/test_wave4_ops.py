@@ -621,6 +621,23 @@ def test_lsh_recall_eval_exact_dups_fully_recalled(spark):
     assert row["recall"] == 1.0
 
 
+def test_lsh_recall_eval_banding_floor_on_corpus(spark):
+    """FLOOR GATE on the measured banding recall over the real corpus:
+    every hash gate would stay green if a banding change (band count,
+    rows-per-band, signature length) silently gutted dedup coverage —
+    the oracle restates whatever the banding produces. Pin the
+    deterministic sf0.001 measurement (recall 25/28 = 0.892857) so a
+    coverage regression fails CI: n_truth pins the ground-truth arm
+    (shingle/threshold semantics), the floor pins the banding's recall
+    with no slack needed — the input and hashes are deterministic."""
+    from ner_spark.functions.dedup import lsh_recall_eval
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = lsh_recall_eval(d).first()
+    assert row["n_truth"] == 28
+    assert row["recall"] >= 0.89
+
+
 def test_pmi_collocations_prefers_exclusive_pairs(spark):
     """'aa bb' always co-occur exclusively (PMI high); 'cc dd' co-occur
     but cc/dd also appear alone (PMI lower). Floored-log spec pinned
