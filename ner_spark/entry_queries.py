@@ -6801,6 +6801,99 @@ def q_event_unpivot(spark, sf_dir):
 
 
 @query(
+    "event_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           round(avg(n) OVER (PARTITION BY event_type ORDER BY day
+                              RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+                                        AND CURRENT ROW), 6) AS avg_7d,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY day)
+             AS delta_1d
+    FROM daily
+    """,
+)
+def q_event_daily_trend(spark, sf_dir):
+    """Time-interval moving aggregate — the trend window every metrics
+    dashboard needs: per-type daily counts with a calendar-true 7-day
+    moving average (RANGE frame over days, so gaps in the calendar
+    shrink the window rather than reaching back too far) and the
+    day-over-day delta (lag). Scale shape: the corpus-sized work is ONE
+    map-side-combinable (type, day) aggregate; both windows then ride
+    the aggregated frame, which is bounded by |types| x |days| — the
+    per-type window partition is tiny by construction, never a skew
+    risk."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # RANGE frame keyed on days-since-epoch: calendar semantics,
+    # timezone-free (datediff of DATEs), identical to the oracle's
+    # INTERVAL 6 DAYS PRECEDING
+    dnum = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w_range = (
+        Window.partitionBy("event_type").orderBy(dnum).rangeBetween(-6, 0)
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.avg("n").over(w_range), 6).alias("avg_7d"),
+        (F.col("n") - F.lag("n").over(w_lag)).alias("delta_1d"),
+    )
+
+
+@query(
+    "idle_customers",
+    """
+    WITH ab AS (SELECT round(avg(c_acctbal), 6) AS ab
+                FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey AS nationkey,
+           count(*) AS numcust,
+           CAST(round(sum(c_acctbal), 4) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (anti-join + scalar-subquery threshold), recast
+    as churn: wealthy customers (balance above the positive-balance
+    mean) with NO order since the cutoff, totalled per nation. The
+    scalar mean is a one-row broadcast (no second scan pattern per
+    customer); NOT EXISTS compiles to a LEFT ANTI join on the order
+    custkey — one equi-key exchange against an orders side that is
+    date-filtered AT THE SCAN (pushed predicate + single-column
+    ReadSchema); the final per-nation aggregate is map-side combined
+    over <=25 keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ab = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 6).alias("ab"))
+    )
+    cand = c.join(F.broadcast(ab)).where(F.col("c_acctbal") > F.col("ab"))
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = cand.join(
+        recent, cand["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return idle.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).cast("double").alias("totacctbal"),
+    )
+
+
+@query(
     "order_priority_rollup",
     """
     SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
@@ -6902,6 +6995,7 @@ _DRIVER_ORDER = [
     # --- slots 16+: NEW round-5 queries land HERE as they are added.
     # Keep total window occupancy <= 50; rotate mid-round if it fills.
     "json_payload_mentions", "event_unpivot",
+    "event_daily_trend", "idle_customers",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

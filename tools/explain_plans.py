@@ -1343,6 +1343,60 @@ CHECKS = {
             "single user-keyed exchange."
         ),
     ),
+    "json_payload_mentions": dict(
+        requires=["from_json", "Generate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=2,
+        note=(
+            "from_json over a raw JSON-string column with an EXPLICIT "
+            "nested schema (struct/array ner[].index payload): parse + "
+            "mention explode are row-local JVM expressions riding the "
+            "scan tasks (no Python parser, no inference scan); the "
+            "only exchanges are the two-phase distinct-count aggregate "
+            "over the tiny per-type key space (cap asserted)."
+        ),
+    ),
+    "event_unpivot": dict(
+        requires=["Expand", "HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=2,
+        note=(
+            "Native unpivot (melt) is a row-local Expand over the wide "
+            "pivot result — the inverse reshape adds ZERO exchanges of "
+            "its own; the 2 asserted exchanges are the upstream pivot's "
+            "standard double aggregate ((user,type) pre-count, then the "
+            "user-keyed pivot_first), both map-side combined."
+        ),
+    ),
+    "event_daily_trend": dict(
+        requires=["Window", "HashAggregate"],
+        forbids=["Python", "CartesianProduct"],
+        max_tree_exchanges=2,
+        note=(
+            "Calendar-true 7-day moving average: the corpus-sized work "
+            "is ONE map-side-combinable (type, day) aggregate; the "
+            "RANGE-frame window and the lag ride the aggregated frame "
+            "(bounded by |types| x |days|) behind a single type-keyed "
+            "exchange — 2 Exchanges total (cap asserted), neither "
+            "carrying raw events into a window sort."
+        ),
+    ),
+    "idle_customers": dict(
+        requires=[
+            "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual",
+            "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz>",
+            "LeftAnti",
+        ],
+        forbids=["Python"],
+        note=(
+            "TPC-H Q22 churn shape: the NOT EXISTS compiles to a LEFT "
+            "ANTI equi-join whose orders side is date-filtered AT THE "
+            "SCAN (pushed predicate asserted) and pruned to the join "
+            "key + date (ReadSchema asserted); the scalar mean is a "
+            "one-row broadcast, and the per-nation aggregate is "
+            "map-side combined over <=25 keys."
+        ),
+    ),
     "order_priority_rollup": dict(
         requires=["Expand", "HashAggregate"],
         forbids=["Python", "CartesianProduct", "Window", "Union"],
@@ -1796,7 +1850,9 @@ def main() -> None:
                     _re.M | _re.S,
                 )
                 doc, n = pat.subn(sec.rstrip() + "\n\n", doc, count=1)
-                spliced += n
+                if not n:  # brand-new plan: append as a new section
+                    doc = doc.rstrip() + "\n\n" + sec.rstrip() + "\n"
+                spliced += 1
             with open(path, "w") as f:
                 f.write(doc)
         print(
