@@ -387,6 +387,11 @@ def main() -> None:
         "json_props_stats",
         "event_pivot",
         "order_priority_rollup",
+        # round-5 additions
+        "json_payload_mentions",
+        "event_unpivot",
+        "event_daily_trend",
+        "idle_customers",
     ):
         run(
             qname,
