@@ -392,6 +392,11 @@ def main() -> None:
         "event_unpivot",
         "event_daily_trend",
         "idle_customers",
+        "kg_pred_algebra",
+        "kg_rule_confidence",
+        "kg_fact_history",
+        "small_quantity_revenue",
+        "event_cube",
     ):
         run(
             qname,

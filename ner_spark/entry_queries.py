@@ -6969,6 +6969,227 @@ def q_rank_agreement(spark, sf_dir):
     return rank_agreement(_t(spark, sf_dir, "documents"), _BM25_TERMS, k=10)
 
 
+@query(
+    "kg_pred_algebra",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT subj, pred, obj
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+      WHERE subj <> obj),
+    support AS (SELECT pred, count(*) AS support FROM t GROUP BY 1),
+    ov AS (
+      SELECT t1.pred AS pred_a, t2.pred AS pred_b, count(*) AS overlap
+      FROM t t1 JOIN t t2 ON t1.subj = t2.obj AND t1.obj = t2.subj
+      GROUP BY 1, 2),
+    sym AS (SELECT pred_a AS pred, overlap AS sym_overlap
+            FROM ov WHERE pred_a = pred_b),
+    inv AS (
+      SELECT pred_a AS pred, pred_b AS inv_pred, overlap AS inv_overlap
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY pred_a
+              ORDER BY overlap DESC, pred_b DESC) AS rn
+            FROM ov WHERE pred_a <> pred_b)
+      WHERE rn = 1)
+    SELECT support.pred, support.support,
+           coalesce(sym_overlap, 0) AS sym_overlap,
+           round(coalesce(sym_overlap, 0) / support.support, 6)
+             AS sym_confidence,
+           inv_pred, coalesce(inv_overlap, 0) AS inv_overlap
+    FROM support
+    LEFT JOIN sym USING (pred)
+    LEFT JOIN inv USING (pred)
+    """,
+)
+def q_kg_pred_algebra(spark, sf_dir):
+    """Relation-algebra census (operators/graph.py:pred_algebra) — one
+    row per predicate: reversed-pair symmetry score plus the best
+    inverse candidate, over the distinct triple set. The reversed-pair
+    join keys on the full (subj, obj) entity pair, so fan-out is
+    schema-bounded (|preds-on-pair|²), never entity-degree-bounded."""
+    from ner_spark.operators.graph import pred_algebra
+
+    return pred_algebra(_canonical_triples(spark, sf_dir))
+
+
+@query(
+    "kg_rule_confidence",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT subj, pred, obj
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}')
+      WHERE subj <> obj),
+    ind AS (SELECT obj AS mid, count(*) AS ind FROM e GROUP BY 1),
+    outd AS (SELECT subj AS mid, count(*) AS outd FROM e GROUP BY 1),
+    ok AS (SELECT mid FROM ind JOIN outd USING (mid)
+           WHERE ind * outd <= 4096),
+    body AS (
+      SELECT DISTINCT e1.pred AS body_pred1, e2.pred AS body_pred2,
+             e1.subj AS a, e2.obj AS c
+      FROM e e1
+      JOIN ok ON e1.obj = ok.mid
+      JOIN e e2 ON e2.subj = e1.obj
+      WHERE e1.subj <> e2.obj),
+    nb AS (SELECT body_pred1, body_pred2, count(*) AS n_body
+           FROM body GROUP BY 1, 2),
+    nh AS (
+      SELECT body_pred1, body_pred2, e.pred AS head_pred,
+             count(*) AS n_hits
+      FROM body JOIN e ON e.subj = body.a AND e.obj = body.c
+      GROUP BY 1, 2, 3)
+    SELECT nh.body_pred1, nh.body_pred2, nh.head_pred, nb.n_body,
+           nh.n_hits, round(nh.n_hits / nb.n_body, 6) AS confidence
+    FROM nh JOIN nb USING (body_pred1, body_pred2)
+    WHERE nh.n_hits >= 2 AND nh.n_hits / nb.n_body >= 0.05
+    """,
+)
+def q_kg_rule_confidence(spark, sf_dir):
+    """AMIE-style length-2 composition-rule mining (operators/graph.py:
+    rule_confidence): p(a,b) ∧ q(b,c) ⇒ r(a,c) with distinct-(a,c)
+    body support and head-closure confidence — the schema-level rule
+    table that KG completion and extraction QA consume. Path
+    enumeration reuses the paths_2hop wedge cap so no hub midpoint
+    concentrates a quadratic task."""
+    from ner_spark.operators.graph import rule_confidence
+
+    return rule_confidence(_canonical_triples(spark, sf_dir))
+
+
+@query(
+    "kg_fact_history",
+    f"""
+    WITH t AS (
+      SELECT ct.pred, ct.subj AS src_entity, ct.obj,
+             CAST(floor(epoch(tr.ts)) AS BIGINT) AS ep,
+             ct.conv_id, ct.turn_idx
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")}') ct
+      JOIN read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")}') tr
+        USING (conv_id, turn_idx)),
+    per AS (
+      SELECT pred, src_entity, count(DISTINCT obj) AS n_objects
+      FROM t GROUP BY 1, 2),
+    census AS (
+      SELECT pred,
+             sum(CASE WHEN n_objects = 1 THEN 1 ELSE 0 END) AS single,
+             sum(CASE WHEN n_objects > 1 THEN 1 ELSE 0 END) AS multi
+      FROM per GROUP BY pred),
+    func AS (SELECT pred FROM census WHERE single > multi),
+    ordered AS (
+      SELECT t.*,
+             lag(obj) OVER (PARTITION BY t.pred, src_entity
+                            ORDER BY ep, conv_id, turn_idx, obj) AS prev_obj
+      FROM t JOIN func USING (pred)),
+    changes AS (
+      SELECT * FROM ordered WHERE prev_obj IS NULL OR obj <> prev_obj)
+    SELECT pred, src_entity, obj, ep AS valid_from,
+           lead(ep) OVER w AS valid_to,
+           CAST(row_number() OVER w AS INTEGER) AS version
+    FROM changes
+    WINDOW w AS (PARTITION BY pred, src_entity
+                 ORDER BY ep, conv_id, turn_idx, obj)
+    """,
+)
+def q_kg_fact_history(spark, sf_dir):
+    """SCD-2 fact timeline (operators/graph.py:fact_history): every
+    value change of a functional (pred, subject) fact as a half-open
+    validity interval with a version number — the temporal-KGQA / audit
+    companion of kg_current_facts. One exchange on (pred, src_entity)
+    feeds both the change-collapse lag and the interval lead."""
+    from ner_spark.operators.graph import fact_history
+
+    t = spark.read.parquet(os.path.join(_fx(sf_dir), "transcripts.parquet"))
+    return fact_history(_canonical_triples(spark, sf_dir), t)
+
+
+@query(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS thr
+      FROM lineitem GROUP BY 1)
+    SELECT p_brand,
+           CAST(round(sum(l_extendedprice) / 7.0, 4) AS DOUBLE)
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN pa USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < thr
+    GROUP BY 1
+    """,
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (correlated scalar aggregate, decorrelated):
+    revenue locked in small orders — lineitems below 20% of their
+    part's mean quantity, totalled per brand. The per-part mean is a
+    self-aggregate joined back on l_partkey (both sides shuffle on the
+    SAME key, so AQE co-locates the probe with the build — the classic
+    decorrelation Catalyst applies to the subquery form); the part
+    dim broadcasts; the final per-brand aggregate is map-side combined
+    over the tiny brand dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(pa, "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "event_cube",
+    """
+    WITH d AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow, value
+      FROM events)
+    SELECT CAST(GROUPING(event_type, dow) AS INTEGER) AS gid,
+           coalesce(event_type, 'ALL') AS etype,
+           CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+           count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM d GROUP BY CUBE (event_type, dow)
+    """,
+)
+def q_event_cube(spark, sf_dir):
+    """Native CUBE grouping sets over (event_type, day-of-week): all
+    four marginal aggregates in ONE pass (a single expand + hash
+    aggregate, map-side combinable — not four scans UNIONed). The
+    day-of-week key is epoch-day mod 7, computed identically on both
+    engines (timezone- and locale-free, unlike dayofweek())."""
+    e = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")), 7
+    ).alias("dow")
+    d = e.select("event_type", dow, "value")
+    return (
+        d.cube("event_type", "dow")
+        .agg(
+            # grouping_id() is an aggregate-context expression: it must
+            # be computed here, not in a downstream projection
+            F.grouping_id().cast("integer").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            "gid",
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("dow"), F.lit(-1)).cast("long").alias("dow"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -6996,6 +7217,8 @@ _DRIVER_ORDER = [
     # Keep total window occupancy <= 50; rotate mid-round if it fills.
     "json_payload_mentions", "event_unpivot",
     "event_daily_trend", "idle_customers",
+    "kg_pred_algebra", "kg_rule_confidence", "kg_fact_history",
+    "small_quantity_revenue", "event_cube",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

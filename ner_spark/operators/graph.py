@@ -2402,3 +2402,241 @@ def subject_completeness(
         .join(present, ["entity_id", "pred"], "left_anti")
         .select("entity_id", "entity_type", "pred")
     )
+
+
+def pred_algebra(canonical_triples: DataFrame) -> DataFrame:
+    """Relation-algebra census: ONE ROW PER PREDICATE scoring how
+    SYMMETRIC it is (``p(a,b) ∧ p(b,a)`` reversed-pair overlap) and
+    naming its best INVERSE candidate (the ``q ≠ p`` maximizing
+    ``p(a,b) ∧ q(b,a)``) — ``(pred, support, sym_overlap,
+    sym_confidence, inv_pred, inv_overlap)``. An ontology layer a KG
+    built from free conversation needs before reasoning: symmetric
+    preds can be stored once per unordered pair, inverse pairs
+    ("works_at" / "employs") collapse into one canonical direction,
+    and a mid-range score is an extraction-inconsistency audit queue.
+    Confidence is overlap / support(p), AMIE's confidence restricted
+    to the reversed-pair rule family. Emitted as a census (LEFT join,
+    zero/NULL when no reversal exists) rather than a hit list, so an
+    extractor that never produces reversed assertions still gets its
+    per-pred report instead of an empty table.
+
+    The evidence base is the DISTINCT triple set — the reference's
+    pair-set semantics (``pairs = set()``, /root/reference/
+    utils.py:551) lifted to triples — so repeated assertions of one
+    fact don't inflate overlap. Self-loops are excluded: ``p(a,a)``
+    trivially matches its own reverse and would report every
+    self-looping pred as symmetric.
+
+    Scale shape: the reversed-pair join keys on the FULL ``(subj,
+    obj)`` entity pair, not on either endpoint — a pair's multiplicity
+    is the number of distinct predicates asserted between exactly
+    those two entities (a schema-sized constant), so per-key fan-out
+    is bounded by |preds-on-pair|² regardless of entity degree; hub
+    entities never concentrate a task. Everything after the pair join
+    lives on the pred dimension: the support census and the
+    argmax-inverse aggregate are map-side-combinable, and the final
+    assembly broadcasts pred-sized sides.
+    """
+    t = (
+        canonical_triples.select("subj", "pred", "obj")
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    support = t.groupBy("pred").agg(F.count(F.lit(1)).alias("support"))
+    rev = t.select(
+        F.col("obj").alias("subj"),
+        F.col("pred").alias("pred_b"),
+        F.col("subj").alias("obj"),
+    )
+    overlap = (
+        t.join(rev, ["subj", "obj"])
+        .groupBy(F.col("pred").alias("pred_a"), "pred_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sym = overlap.where(F.col("pred_a") == F.col("pred_b")).select(
+        F.col("pred_a").alias("pred"), F.col("overlap").alias("sym_overlap")
+    )
+    # deterministic argmax: max overlap, pred name as the tiebreak
+    inv = (
+        overlap.where(F.col("pred_a") != F.col("pred_b"))
+        .groupBy(F.col("pred_a").alias("pred"))
+        .agg(F.max(F.struct("overlap", "pred_b")).alias("best"))
+        .select(
+            "pred",
+            F.col("best.pred_b").alias("inv_pred"),
+            F.col("best.overlap").alias("inv_overlap"),
+        )
+    )
+    return (
+        support.join(F.broadcast(sym), "pred", "left")
+        .join(F.broadcast(inv), "pred", "left")
+        .select(
+            "pred",
+            "support",
+            F.coalesce("sym_overlap", F.lit(0)).alias("sym_overlap"),
+            F.round(
+                F.coalesce("sym_overlap", F.lit(0)) / F.col("support"), 6
+            ).alias("sym_confidence"),
+            "inv_pred",
+            F.coalesce("inv_overlap", F.lit(0)).alias("inv_overlap"),
+        )
+    )
+
+
+def rule_confidence(
+    canonical_triples: DataFrame,
+    min_hits: int = 2,
+    min_confidence: float = 0.05,
+    max_mid_fanout: int = 4096,
+) -> DataFrame:
+    """Composition-rule mining (AMIE-style length-2 horn rules):
+    for every predicate triple where ``p(a,b) ∧ q(b,c)`` paths exist,
+    how often does a head edge ``r(a,c)`` close the path —
+    ``(body_pred1, body_pred2, head_pred, n_body, n_hits,
+    confidence)``. High-confidence rules drive KG completion (predict
+    the missing ``r(a,c)`` wherever the body holds but the head is
+    absent) and extraction QA (a confident rule that suddenly stops
+    firing flags a broken extractor); `kg_subject_completeness`
+    proposes per-entity gaps, this proposes the SCHEMA-level rules
+    that justify them.
+
+    ``n_body`` counts DISTINCT ``(a, c)`` entity pairs per body (the
+    standard support definition — path multiplicity through many
+    midpoints must not inflate support), ``n_hits`` counts body pairs
+    closed by ``r``, confidence = n_hits / n_body.
+
+    Scale shape: the path enumeration reuses `paths_2hop`'s wedge cap
+    — midpoints with in-degree × out-degree > ``max_mid_fanout`` are
+    excluded (at most a cap-bounded number of wedges per join key, no
+    quadratic hub task); the head probe joins the DISTINCT body-pair
+    set against the edge fact on the full ``(a, c)`` pair key, whose
+    multiplicity is again schema-bounded. Both aggregates are
+    map-side-combinable counts over pred-dimension keys.
+    """
+    e = (
+        canonical_triples.select("subj", "pred", "obj")
+        .where(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    ind = e.groupBy(F.col("obj").alias("mid")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    outd = e.groupBy(F.col("subj").alias("mid")).agg(
+        F.count(F.lit(1)).alias("outd")
+    )
+    ok = (
+        ind.join(outd, "mid")
+        .where(F.col("ind") * F.col("outd") <= max_mid_fanout)
+        .select("mid")
+    )
+    e1 = e.select(
+        F.col("subj").alias("a"),
+        F.col("pred").alias("body_pred1"),
+        F.col("obj").alias("mid"),
+    ).join(ok, "mid")
+    e2 = e.select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("body_pred2"),
+        F.col("obj").alias("c"),
+    )
+    body = (
+        e1.join(e2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .select("body_pred1", "body_pred2", "a", "c")
+        .distinct()
+    )
+    n_body = body.groupBy("body_pred1", "body_pred2").agg(
+        F.count(F.lit(1)).alias("n_body")
+    )
+    heads = e.select(
+        F.col("subj").alias("a"),
+        F.col("pred").alias("head_pred"),
+        F.col("obj").alias("c"),
+    )
+    n_hits = (
+        body.join(heads, ["a", "c"])
+        .groupBy("body_pred1", "body_pred2", "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_hits.join(F.broadcast(n_body), ["body_pred1", "body_pred2"])
+        .select(
+            "body_pred1",
+            "body_pred2",
+            "head_pred",
+            "n_body",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_body"), 6).alias("confidence"),
+        )
+        .where(
+            (F.col("n_hits") >= min_hits)
+            & (F.col("confidence") >= min_confidence)
+        )
+    )
+
+
+def fact_history(
+    canonical_triples: DataFrame, transcripts: DataFrame
+) -> DataFrame:
+    """SCD-2 fact timeline for functional predicates — every VALUE
+    CHANGE of a (pred, subject) fact as a half-open validity interval:
+    ``(pred, src_entity, obj, valid_from, valid_to, version)``,
+    ``valid_to`` NULL on the current version. `kg_current_facts`
+    answers "what does the KG believe NOW"; this is its full history
+    companion — the table a temporal-KGQA or audit consumer reads
+    ("where was the office BEFORE Austin?"), and the precise shape of
+    a slowly-changing-dimension type-2 load over conversational
+    assertions. Functional predicates are induced by the same
+    majority-single-valued census as `current_facts` (set-valued preds
+    like "makes" have no meaningful succession order).
+
+    Consecutive re-assertions of the SAME object collapse into one
+    version (a fact re-stated is not a change); ordering within a fact
+    is the deterministic lexicographic (epoch, conv_id, turn_idx, obj)
+    — identical across engines and partitionings.
+
+    Scale shape: ts rides the (conv_id, turn_idx) equi-join; then ONE
+    exchange on (pred, src_entity) feeds both windows — the
+    change-collapse lag and the interval lead/version run over the
+    same partition key, so Catalyst plans a single Exchange with two
+    in-partition sorts; a window partition is one fact's assertion
+    history (bounded by re-assertion rate, never by corpus size). The
+    functional census is a pred-dimension broadcast.
+    """
+    t = canonical_triples.join(
+        transcripts.select("conv_id", "turn_idx", "ts"),
+        ["conv_id", "turn_idx"],
+    ).select(
+        "pred",
+        F.col("subj").alias("src_entity"),
+        "obj",
+        F.unix_timestamp("ts").alias("ep"),
+        "conv_id",
+        "turn_idx",
+    )
+    per_subj = t.groupBy("pred", "src_entity").agg(
+        F.countDistinct("obj").alias("n_objects")
+    )
+    census = per_subj.groupBy("pred").agg(
+        F.sum(F.when(F.col("n_objects") == 1, 1).otherwise(0)).alias("single"),
+        F.sum(F.when(F.col("n_objects") > 1, 1).otherwise(0)).alias("multi"),
+    )
+    functional = census.where(F.col("single") > F.col("multi")).select("pred")
+    w = Window.partitionBy("pred", "src_entity").orderBy(
+        "ep", "conv_id", "turn_idx", "obj"
+    )
+    ordered = (
+        t.join(F.broadcast(functional), "pred")
+        .withColumn("prev_obj", F.lag("obj").over(w))
+    )
+    changes = ordered.where(
+        F.col("prev_obj").isNull() | (F.col("obj") != F.col("prev_obj"))
+    )
+    return changes.select(
+        "pred",
+        "src_entity",
+        "obj",
+        F.col("ep").alias("valid_from"),
+        F.lead("ep").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )

@@ -1,0 +1,155 @@
+"""Round-5 wave operators: relation-algebra census, composition-rule
+mining, SCD-2 fact history — hand-computable fixtures pinning the exact
+semantics the DuckDB oracles restate."""
+
+from __future__ import annotations
+
+import datetime
+
+TS0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+TRIPLE_SCHEMA = (
+    "conv_id string, turn_idx long, subj string, pred string, obj string"
+)
+
+
+def _triples(spark, rows):
+    """rows: (conv_id, turn_idx, subj, pred, obj)."""
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def test_pred_algebra_symmetry_and_inverse(spark):
+    """Symmetric overlap counts ordered reversed pairs; the inverse
+    argmax breaks ties by (overlap, pred name); preds with no reversal
+    report zeros and NULL inverse; self-loops are excluded."""
+    from ner_spark.operators.graph import pred_algebra
+
+    rows = [
+        # married_to: fully symmetric (both directions asserted)
+        ("c1", 0, "a", "married_to", "b"),
+        ("c1", 1, "b", "married_to", "a"),
+        ("c1", 2, "c", "married_to", "d"),
+        ("c1", 3, "d", "married_to", "c"),
+        # works_at / employs: inverses on (e, OrgX)
+        ("c2", 0, "e", "works_at", "OrgX"),
+        ("c2", 1, "OrgX", "employs", "e"),
+        # works_at also has an unreciprocated edge
+        ("c2", 2, "f", "works_at", "OrgY"),
+        # likes: no reversal at all
+        ("c3", 0, "g", "likes", "h"),
+        # self-loop must not count as symmetric
+        ("c3", 1, "i", "likes", "i"),
+        # duplicate assertion of an existing fact must not inflate
+        ("c3", 2, "a", "married_to", "b"),
+    ]
+    out = {
+        r["pred"]: r.asDict() for r in pred_algebra(_triples(spark, rows)).collect()
+    }
+    assert set(out) == {"married_to", "works_at", "employs", "likes"}
+    m = out["married_to"]
+    # 4 distinct non-loop edges, each reversed -> sym_overlap 4, conf 1.0
+    assert (m["support"], m["sym_overlap"], m["sym_confidence"]) == (4, 4, 1.0)
+    w = out["works_at"]
+    assert (w["support"], w["sym_overlap"]) == (2, 0)
+    assert (w["inv_pred"], w["inv_overlap"]) == ("employs", 1)
+    e = out["employs"]
+    assert (e["inv_pred"], e["inv_overlap"]) == ("works_at", 1)
+    lk = out["likes"]
+    assert (lk["support"], lk["sym_overlap"], lk["inv_pred"], lk["inv_overlap"]) == (
+        1, 0, None, 0,
+    )
+
+
+def test_rule_confidence_distinct_pair_support(spark):
+    """Body support counts DISTINCT (a, c) pairs (two midpoints for the
+    same endpoints count once); confidence = closed pairs / body pairs;
+    a==c paths are excluded."""
+    from ner_spark.operators.graph import rule_confidence
+
+    rows = [
+        # p(a,b1), q(b1,c) and p(a,b2), q(b2,c): ONE distinct (a,c) pair
+        ("c1", 0, "a", "p", "b1"),
+        ("c1", 1, "b1", "q", "c"),
+        ("c1", 2, "a", "p", "b2"),
+        ("c1", 3, "b2", "q", "c"),
+        # head closes it
+        ("c1", 4, "a", "r", "c"),
+        # second body pair (x, z), also closed by r
+        ("c2", 0, "x", "p", "y"),
+        ("c2", 1, "y", "q", "z"),
+        ("c2", 2, "x", "r", "z"),
+        # third body pair (u, v): NOT closed
+        ("c3", 0, "u", "p", "w"),
+        ("c3", 1, "w", "q", "v"),
+        # cyclic path p(m,n), q(n,m) -> a==c, excluded from the body
+        ("c4", 0, "m", "p", "n"),
+        ("c4", 1, "n", "q", "m"),
+    ]
+    out = rule_confidence(
+        _triples(spark, rows), min_hits=1, min_confidence=0.0
+    ).collect()
+    got = {
+        (r["body_pred1"], r["body_pred2"], r["head_pred"]): (
+            r["n_body"], r["n_hits"], r["confidence"],
+        )
+        for r in out
+    }
+    assert got[("p", "q", "r")] == (3, 2, round(2 / 3, 6))
+
+
+def test_fact_history_versions_and_intervals(spark):
+    """Runs of the same object collapse; versions are ordered by
+    (epoch, conv, turn); valid_to chains to the next change's epoch and
+    is NULL on the current version; the last version agrees with
+    current_facts; non-functional preds are excluded."""
+    from pyspark.sql import functions as F
+
+    from ner_spark.operators.graph import current_facts, fact_history
+
+    def ts(s):
+        return TS0 + datetime.timedelta(seconds=s)
+
+    # transcripts give each (conv, turn) its timestamp
+    tr = spark.createDataFrame(
+        [
+            ("c1", 0, ts(0)), ("c1", 1, ts(10)), ("c1", 2, ts(20)),
+            ("c2", 0, ts(30)), ("c2", 1, ts(40)),
+        ],
+        "conv_id string, turn_idx long, ts timestamp",
+    )
+    rows = [
+        # office location: A (t0), A again (t10, collapses), B (t20),
+        # A again (t30 in c2 -> new version, not merged with v1)
+        ("c1", 0, "org", "located_in", "A"),
+        ("c1", 1, "org", "located_in", "A"),
+        ("c1", 2, "org", "located_in", "B"),
+        ("c2", 0, "org", "located_in", "A"),
+        # two single-valued subjects so the census calls located_in
+        # functional (majority-single) despite org's changes
+        ("c2", 1, "org2", "located_in", "C"),
+        ("c2", 1, "org3", "located_in", "D"),
+        # set-valued pred: two objects for one subject, majority-multi
+        ("c2", 0, "org", "makes", "X"),
+        ("c2", 1, "org", "makes", "Y"),
+    ]
+    hist = fact_history(_triples(spark, rows), tr).collect()
+    assert all(r["pred"] == "located_in" for r in hist)
+    org = [r for r in hist if r["src_entity"] == "org"]
+    others = [r for r in hist if r["src_entity"] != "org"]
+    assert {(r["src_entity"], r["version"], r["valid_to"]) for r in others} == {
+        ("org2", 1, None), ("org3", 1, None),
+    }
+    by_v = {r["version"]: r for r in sorted(org, key=lambda r: r["version"])}
+    ep0 = int(TS0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # local-session timezone may shift the absolute epoch; compare deltas
+    base = by_v[1]["valid_from"]
+    assert [by_v[v]["obj"] for v in (1, 2, 3)] == ["A", "B", "A"]
+    assert by_v[1]["valid_to"] - base == 20
+    assert by_v[2]["valid_from"] - base == 20
+    assert by_v[2]["valid_to"] - base == 30
+    assert by_v[3]["valid_to"] is None
+    # consistency: last version == current_facts' current_obj
+    cur = current_facts(_triples(spark, rows), tr).collect()
+    cur_obj = {(r["pred"], r["src_entity"]): r["current_obj"] for r in cur}
+    assert cur_obj[("located_in", "org")] == by_v[3]["obj"]
+    assert ep0 is not None  # silence lints; absolute epoch not asserted
