@@ -59,6 +59,8 @@ _PLAIN = [
     "events_asof_view",
     "chunk_windows",
     "weighted_sample",
+    "small_quantity_revenue",
+    "event_cube",
 ]
 
 
@@ -129,3 +131,35 @@ def test_plan_pin_degree_stats(spark, fixtures_small):
     assert _n_exchanges(plan) == 1
     assert "Union" in plan
     assert "Python" not in plan
+
+
+def test_plan_pin_fact_history(spark, fixtures_small):
+    """SCD-2 fact timeline: ONE Exchange on (pred, src_entity) feeds
+    BOTH windows (change-collapse lag + interval lead/version); the
+    functional census joins back as a broadcast."""
+    from ner_spark.operators.graph import fact_history
+
+    ct = spark.read.parquet(
+        os.path.join(fixtures_small, "canonical_triples.parquet")
+    )
+    t = spark.read.parquet(os.path.join(fixtures_small, "transcripts.parquet"))
+    _assert_spec(
+        "kg_fact_history",
+        formatted(fact_history(ct, t)),
+        CHECKS["kg_fact_history"],
+    )
+
+
+def test_plan_pin_pred_algebra(spark, fixtures_small):
+    """Relation-algebra census: reversed-pair join on the full
+    (subj, obj) key; argmax-inverse is a struct max — no Window."""
+    from ner_spark.operators.graph import pred_algebra
+
+    ct = spark.read.parquet(
+        os.path.join(fixtures_small, "canonical_triples.parquet")
+    )
+    _assert_spec(
+        "kg_pred_algebra",
+        formatted(pred_algebra(ct)),
+        CHECKS["kg_pred_algebra"],
+    )

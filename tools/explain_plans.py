@@ -1420,6 +1420,73 @@ CHECKS = {
             "columns."
         ),
     ),
+    "kg_pred_algebra": dict(
+        builder="pred_algebra",
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "Relation-algebra census: the reversed-pair join keys on "
+            "the FULL (subj, obj) entity pair — per-key fan-out is the "
+            "pred count on that exact pair (schema-bounded), never "
+            "entity degree. Everything after it rides the pred "
+            "dimension: argmax-inverse is a struct max (no Window, "
+            "asserted), the census assembly broadcasts pred-sized "
+            "sides (asserted)."
+        ),
+    ),
+    "kg_rule_confidence": dict(
+        builder="rule_confidence",
+        requires=["HashAggregate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "AMIE-style length-2 rules: path enumeration reuses the "
+            "paths_2hop wedge cap (midpoints with ind×outd over the cap "
+            "are excluded before the join), body support is a "
+            "distinct-(a,c) aggregate, the head probe joins on the "
+            "(a, c) pair key — schema-bounded multiplicity again. All "
+            "aggregates are map-side-combinable counts; no per-key "
+            "sort anywhere (asserted)."
+        ),
+    ),
+    "kg_fact_history": dict(
+        builder="fact_history",
+        requires=["Window"],
+        forbids=["Python", "CartesianProduct"],
+        max_tree_exchanges=4,
+        note=(
+            "SCD-2 fact timeline: ONE Exchange on (pred, src_entity) "
+            "feeds BOTH windows — the change-collapse lag and the "
+            "interval lead/version run over the same partitioning, so "
+            "the second window adds no exchange (cap asserts 4: the "
+            "window exchange + the 3-stage functional-census aggregate "
+            "chain, which is pred-dimension-sized and joins back as a "
+            "broadcast). A window partition is one fact's assertion "
+            "history — bounded by re-assertion rate, not corpus size."
+        ),
+    ),
+    "small_quantity_revenue": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        note=(
+            "TPC-H Q17 shape: the per-part mean is a self-aggregate "
+            "joined back on l_partkey — the same key both sides, so the "
+            "probe co-locates with the build (AQE broadcasts it at toy "
+            "scale, shuffle-joins co-partitioned at 100 TB); the part "
+            "dim is an explicit broadcast (asserted); the final "
+            "aggregate rides the tiny brand dimension."
+        ),
+    ),
+    "event_cube": dict(
+        requires=["Expand"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=1,
+        note=(
+            "Native CUBE: one Expand (asserted) feeding ONE hash "
+            "aggregate with map-side partial combine — all four "
+            "marginal groupings in a single shuffle (cap asserted at "
+            "1), not a UNION of four scans."
+        ),
+    ),
 }
 
 
@@ -1523,6 +1590,36 @@ def main() -> None:
         )
         return current_facts(ct, t)
 
+    def _pred_algebra_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import pred_algebra
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        return pred_algebra(ct)
+
+    def _rule_confidence_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import rule_confidence
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        return rule_confidence(ct)
+
+    def _fact_history_over_goldens():
+        from ner_spark.entry_queries import FIXTURES_SQL_ROOT
+        from ner_spark.operators.graph import fact_history
+
+        ct = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "canonical_triples.parquet")
+        )
+        t = spark.read.parquet(
+            os.path.join(FIXTURES_SQL_ROOT, "transcripts.parquet")
+        )
+        return fact_history(ct, t)
+
     def _lpa_round_over_goldens():
         from pyspark.sql import functions as F
 
@@ -1595,6 +1692,12 @@ def main() -> None:
             df = _decay_over_goldens()
         elif spec.get("builder") == "current_facts":
             df = _current_facts_over_goldens()
+        elif spec.get("builder") == "pred_algebra":
+            df = _pred_algebra_over_goldens()
+        elif spec.get("builder") == "rule_confidence":
+            df = _rule_confidence_over_goldens()
+        elif spec.get("builder") == "fact_history":
+            df = _fact_history_over_goldens()
         elif spec.get("builder") == "lpa_round":
             df = _lpa_round_over_goldens()
         elif spec.get("builder") == "mention_ctx":
