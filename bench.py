@@ -397,6 +397,9 @@ def main() -> None:
         "kg_fact_history",
         "small_quantity_revenue",
         "event_cube",
+        "tokenizer_fertility",
+        "keyphrases",
+        "sq_codes",
     ):
         run(
             qname,

@@ -7190,6 +7190,124 @@ def q_event_cube(spark, sf_dir):
     )
 
 
+def _fertility_oracle() -> str:
+    from ner_spark.functions.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql(n_merges=24, min_count=2, fertility=True)
+
+
+@query("tokenizer_fertility", _fertility_oracle())
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility distribution (functions/bpe.py:
+    bpe_fertility): occurrence-weighted pieces-per-word histogram of
+    the 24-merge BPE state, with the per-bucket chars-per-piece
+    compression ratio in exact integer micros. Rides the SAME final
+    symbol state as bpe_segments (no extra merge-chain pass); the
+    fertility aggregate reduces the distinct-word table onto the tiny
+    n_pieces dimension, map-side combined."""
+    from ner_spark.functions.bpe import bpe_fertility
+
+    return bpe_fertility(spark, _t(spark, sf_dir, "documents"), n_merges=24)
+
+
+_RAKE_STOP_SQL = (
+    "'a','an','the','and','or','of','to','in','is','are',"
+    "'was','for','on','with','as','by','at','it','this','that'"
+)
+
+
+@query(
+    "keyphrases",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+      FROM documents),
+    tok AS (
+      SELECT doc_id, pos, arr[pos] AS word
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr))) AS pos
+            FROM raw)
+      WHERE arr[pos] <> ''),
+    marked AS (
+      SELECT doc_id, pos, word,
+             sum(CASE WHEN word IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS run_id,
+             word IN ({_RAKE_STOP_SQL}) AS is_stop
+      FROM tok),
+    members AS (
+      SELECT *, count(*) OVER (PARTITION BY doc_id, run_id) AS plen
+      FROM marked WHERE NOT is_stop),
+    mem AS (SELECT * FROM members WHERE plen <= 4),
+    ws AS (SELECT word, count(*) AS freq, sum(plen) AS degree
+           FROM mem GROUP BY 1),
+    scored AS (
+      SELECT doc_id, run_id,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             CAST(sum(CAST(floor(1000000.0 * degree / freq) AS BIGINT))
+                  AS BIGINT) AS score_micro
+      FROM mem JOIN ws USING (word)
+      GROUP BY 1, 2)
+    SELECT phrase, count(*) AS n_occurrences, max(score_micro) AS score_micro
+    FROM scored GROUP BY 1
+    ORDER BY score_micro DESC, phrase ASC LIMIT 20
+    """,
+)
+def q_keyphrases(spark, sf_dir):
+    """RAKE keyphrase census (functions/text.py:rake_keyphrases) — the
+    multiword-term companion of tfidf_terms: maximal stopword-free
+    token runs scored by summed degree/frequency, per-word ratio
+    quantized to integer micros BEFORE the phrase sum so both engines
+    agree exactly; top-20 is a TakeOrderedAndProject."""
+    from ner_spark.functions.text import rake_keyphrases
+
+    return rake_keyphrases(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "sq_codes",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    d AS (
+      SELECT i, min(qv[i]) AS lo, max(qv[i]) AS hi
+      FROM q, (SELECT unnest(range(1, 65)) AS i) ii
+      GROUP BY i),
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+          FROM d),
+    c AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> CASE WHEN his[i] > los[i]
+               THEN CAST(floor(CAST((qv[i] - los[i]) * 255 AS DOUBLE)
+                               / (his[i] - los[i])) AS BIGINT)
+               ELSE 0 END) AS codes,
+             list_transform(range(1, 65), i -> CASE WHEN his[i] > los[i]
+               THEN (qv[i] - los[i]) * 255
+                    - CAST(floor(CAST((qv[i] - los[i]) * 255 AS DOUBLE)
+                                 / (his[i] - los[i])) AS BIGINT)
+                      * (his[i] - los[i])
+               ELSE 0 END) AS rems
+      FROM q, b)
+    SELECT vec_id,
+           array_to_string(codes, ',') AS codes,
+           CAST(list_sum(rems) AS BIGINT) AS rem_q
+    FROM c
+    """,
+)
+def q_sq_codes(spark, sf_dir):
+    """Scalar int8 quantization (functions/similarity.py:sq_codes) —
+    the cheap-accurate compression tier next to pq_codes: per-dim
+    corpus-global min/max census (one posexplode + 64-key aggregate,
+    folded to a 1-row broadcast), then row-local encoding with the
+    exact integer truncation remainder as the distortion proxy."""
+    from ner_spark.functions.similarity import sq_codes
+
+    return sq_codes(_t(spark, sf_dir, "embeddings"))
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -7219,6 +7337,7 @@ _DRIVER_ORDER = [
     "event_daily_trend", "idle_customers",
     "kg_pred_algebra", "kg_rule_confidence", "kg_fact_history",
     "small_quantity_revenue", "event_cube",
+    "tokenizer_fertility", "keyphrases", "sq_codes",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

@@ -283,11 +283,59 @@ def bpe_segments(
     )
 
 
+def bpe_fertility(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_count: int = 2,
+    text_col: str = "text",
+    checkpoint_every: int = 6,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
+    """Tokenizer FERTILITY distribution: how many pieces the learned
+    merges leave per word, occurrence-weighted — ``(n_pieces, n_words,
+    n_occurrences, chars_per_piece_micro)``.  The diagnostic a
+    tokenizer owner reads before shipping: a long tail of
+    high-``n_pieces`` rows means the merge budget is too small for the
+    corpus (compute cost per token explodes downstream), and
+    ``chars_per_piece_micro`` (total chars / total pieces over the
+    bucket's occurrences, integer-micro so both engines agree exactly)
+    is the compression ratio per bucket.  Rides the SAME final symbol
+    state as ``bpe_segments`` — no extra pass over the merge chain;
+    the fertility aggregate is a |distinct words|-sized
+    map-side-combinable groupBy on the tiny n_pieces dimension.
+    """
+    _merges, seg = bpe_learn(
+        word_histogram(docs, text_col),
+        n_merges,
+        min_count,
+        checkpoint_every,
+        driver_threshold,
+        return_state=True,
+    )
+    chars = F.sum(F.col("wcount") * F.length("word"))
+    pieces = F.sum(F.col("wcount") * F.col("n_pieces"))
+    return (
+        seg.select(
+            "word", "wcount", F.size("syms").cast("int").alias("n_pieces")
+        )
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wcount").alias("n_occurrences"),
+            F.floor(F.lit(1e6) * chars / pieces)
+            .cast("long")
+            .alias("chars_per_piece_micro"),
+        )
+    )
+
+
 def bpe_oracle_sql(
     n_merges: int = 24,
     min_count: int = 2,
     table: str = "documents",
     segments: bool = False,
+    fertility: bool = False,
 ) -> str:
     """Unrolled DuckDB restatement: ``n_merges`` explicit merge blocks
     (the same second-engine device as the unrolled PageRank/k-core
@@ -332,7 +380,18 @@ def bpe_oracle_sql(
                  ELSE acc || chr(31) || x END), chr(31)) END AS syms
       FROM w{p} LEFT JOIN m{i} m ON TRUE)"""
         )
-    if segments:
+    if fertility:
+        parts.append(
+            f"""
+    SELECT CAST(len(syms) AS INTEGER) AS n_pieces,
+           count(*) AS n_words,
+           CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+           CAST(floor(1000000.0 * sum(wcount * length(word))
+                      / sum(wcount * len(syms))) AS BIGINT)
+             AS chars_per_piece_micro
+    FROM w{n_merges} GROUP BY 1"""
+        )
+    elif segments:
         parts.append(
             f"""
     SELECT word, CAST(wcount AS BIGINT) AS wcount,

@@ -1131,3 +1131,89 @@ def mmr_rerank(
         "rank",
         F.round("mmr_score", 6).alias("mmr_score"),
     )
+
+
+def sq_codes(
+    embeddings: DataFrame,
+    dim: int = 64,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Scalar (int8) quantization — ``(vec_id, codes, rem_q)``: each
+    dimension is linearly mapped to ``[0, levels]`` against the
+    CORPUS-GLOBAL per-dimension min/max, the compression baseline every
+    vector store ships before PQ (4 bytes/dim → 1; `pq_codes` is the
+    aggressive tier, this is the cheap accurate one). ``codes`` is the
+    comma-joined per-dim code, ``rem_q`` the summed truncation
+    remainder on the 1e-6 integer grid — the exact precision lost to
+    the code grid, an integer (engine-exact) distortion proxy.
+
+    Determinism: values quantize to the 1e-6 grid first, so min/max,
+    codes (floor of an integer-valued product over an integer range —
+    the double intermediate is exact below 2^53) and remainders are
+    all integer arithmetic.
+
+    Plan shape: the per-dim min/max census is ONE posexplode +
+    dim-keyed aggregate (64·|corpus| slim rows, map-side combined to
+    64 rows), folded to a single bounds row and broadcast back onto
+    the corpus (the repo's 1-row crossJoin scalar device) — encoding
+    itself is row-local; nothing corpus-sized shuffles.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * grid + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    ranges = q.select(F.posexplode("qv").alias("i", "x")).groupBy("i").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    bounds = ranges.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))),
+            lambda s: s["lo"],
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "hi"))),
+            lambda s: s["hi"],
+        ).alias("his"),
+    )
+
+    def _lo(i):
+        return F.get("los", i)
+
+    def _hi(i):
+        return F.get("his", i)
+
+    def _code(x, i):
+        span = _hi(i) - _lo(i)
+        return F.when(
+            span > 0,
+            F.floor(
+                ((x - _lo(i)) * F.lit(levels)).cast("double") / span
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _rem(x, i):
+        span = _hi(i) - _lo(i)
+        return F.when(
+            span > 0, (x - _lo(i)) * F.lit(levels) - _code(x, i) * span
+        ).otherwise(F.lit(0).cast("long"))
+
+    return q.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        F.concat_ws(
+            ",",
+            F.transform("qv", lambda x, i: _code(x, i).cast("string")),
+        ).alias("codes"),
+        F.aggregate(
+            F.transform("qv", _rem),
+            F.lit(0).cast("long"),
+            lambda acc, r: acc + r,
+        ).alias("rem_q"),
+    )

@@ -733,3 +733,91 @@ def rank_agreement(
             6,
         ).alias("tau"),
     )
+
+
+RAKE_STOPWORDS = (
+    "a", "an", "the", "and", "or", "of", "to", "in", "is", "are",
+    "was", "for", "on", "with", "as", "by", "at", "it", "this", "that",
+)
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+    max_phrase_len: int = 4,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), integer-exact:
+    candidate phrases are maximal stopword-free token runs (capped at
+    ``max_phrase_len``), each scored by the sum of its words'
+    degree/frequency ratios — ``(phrase, n_occurrences, score_micro)``,
+    top-``k`` by (score, phrase). The corpus-level keyphrase census a
+    curation pipeline reads next to tfidf_terms: RAKE rewards words
+    that appear in LONG phrases (degree counts co-members), so it
+    surfaces multiword domain terms single-word tf-idf misses.
+
+    Determinism: the per-word ratio is quantized to integer micros
+    BEFORE the per-phrase sum (``floor(1e6·degree/freq)`` — one IEEE
+    multiply + divide, identical on both engines), so phrase scores
+    are exact integer sums in any order; ranking ties break on the
+    phrase string.
+
+    Scale shape: tokenization and run-splitting are row-local (the
+    run id is a per-doc cumulative stopword count — a window bounded
+    by document length, riding one doc-keyed exchange); word stats are
+    ONE map-side-combinable vocabulary-sized aggregate; the phrase
+    re-aggregation keys on the phrase string; the final top-k is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    stop = F.array(*[F.lit(s) for s in stopwords])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.array_contains(stop, F.col("word")), 1).otherwise(0)
+        ).over(w_doc),
+    ).where(~F.array_contains(stop, F.col("word")))
+    w_run = Window.partitionBy("doc_id", "run_id")
+    members = marked.withColumn("plen", F.count(F.lit(1)).over(w_run)).where(
+        F.col("plen") <= max_phrase_len
+    )
+    wordstats = members.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    scored = members.join(wordstats, "word").groupBy(
+        "doc_id", "run_id"
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.sum(
+            F.floor(
+                F.lit(1e6) * F.col("degree").cast("double") / F.col("freq")
+            ).cast("long")
+        ).alias("score_micro"),
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(k)
+    )

@@ -153,3 +153,61 @@ def test_fact_history_versions_and_intervals(spark):
     cur_obj = {(r["pred"], r["src_entity"]): r["current_obj"] for r in cur}
     assert cur_obj[("located_in", "org")] == by_v[3]["obj"]
     assert ep0 is not None  # silence lints; absolute epoch not asserted
+
+
+def test_rake_keyphrases_hand_computed(spark):
+    """Runs split at stopwords; degree counts phrase co-members; the
+    per-word micro ratio quantizes BEFORE the phrase sum."""
+    from ner_spark.functions.text import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "deep learning of the deep learning model")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["phrase"]: (r["n_occurrences"], r["score_micro"])
+        for r in rake_keyphrases(docs).collect()
+    }
+    # freq: deep 2, learning 2, model 1; degree: deep 5, learning 5,
+    # model 3 -> word micros 2.5e6, 2.5e6, 3e6
+    assert rows == {
+        "deep learning": (1, 5_000_000),
+        "deep learning model": (1, 8_000_000),
+    }
+
+
+def test_bpe_fertility_buckets(spark):
+    """One merge on 'ab' leaves ab->1 piece, cd->2; buckets carry
+    occurrence weights and exact micro chars-per-piece."""
+    from ner_spark.functions.bpe import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd")], "doc_id long, text string"
+    )
+    rows = {
+        r["n_pieces"]: (
+            r["n_words"], r["n_occurrences"], r["chars_per_piece_micro"],
+        )
+        for r in bpe_fertility(spark, docs, n_merges=1, min_count=2).collect()
+    }
+    assert rows == {1: (1, 2, 2_000_000), 2: (1, 1, 1_000_000)}
+
+
+def test_sq_codes_bounds_and_remainder(spark):
+    """Corpus-global per-dim min/max; zero-span dims code to 0 with no
+    remainder; the remainder is the exact integer truncation loss."""
+    from ner_spark.functions.similarity import sq_codes
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [0.5, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["vec_id"]: (r["codes"], r["rem_q"])
+        for r in sq_codes(emb, dim=2).collect()
+    }
+    assert rows == {
+        1: ("0,0", 0),
+        2: ("255,0", 0),
+        3: ("127,0", 500_000),
+    }
