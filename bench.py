@@ -400,6 +400,7 @@ def main() -> None:
         "tokenizer_fertility",
         "keyphrases",
         "sq_codes",
+        "ann_sq_topk",
     ):
         run(
             qname,

@@ -7308,6 +7308,55 @@ def q_sq_codes(spark, sf_dir):
     return sq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+@query(
+    "ann_sq_topk",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1000000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings),
+    d AS (
+      SELECT i, min(qv[i]) AS lo, max(qv[i]) AS hi
+      FROM q, (SELECT unnest(range(1, 65)) AS i) ii
+      GROUP BY i),
+    b AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+          FROM d),
+    c AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> CASE WHEN his[i] > los[i]
+               THEN CAST(floor(CAST((qv[i] - los[i]) * 255 AS DOUBLE)
+                               / (his[i] - los[i])) AS BIGINT)
+               ELSE 0 END) AS codes
+      FROM q, b),
+    qs AS (SELECT vec_id AS query_id, codes AS qc FROM c
+           WHERE vec_id < 50),
+    pairs AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> (qc[i] - codes[i]) * (qc[i] - codes[i]))) AS BIGINT)
+               AS sdc_q
+      FROM qs, c WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, sdc_q, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY sdc_q ASC, neighbor_id ASC)
+        AS INTEGER) AS rank
+      FROM pairs) x
+    WHERE rank <= 5
+    """,
+)
+def q_ann_sq_topk(spark, sf_dir):
+    """Flat-SQ symmetric-distance search (functions/similarity.py:
+    sq_sdc_topk) — the search half of sq_codes, mirroring the
+    pq_codes/ann_pq_topk memory/search pair at the cheap-accurate
+    tier: queries quantize against the corpus bounds, distances are
+    small exact integers over the int8 code grid, per-query top-5."""
+    from ner_spark.functions.similarity import sq_sdc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sq_sdc_topk(e, e.where(F.col("vec_id") < 50), k=5)
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -7337,7 +7386,7 @@ _DRIVER_ORDER = [
     "event_daily_trend", "idle_customers",
     "kg_pred_algebra", "kg_rule_confidence", "kg_fact_history",
     "small_quantity_revenue", "event_cube",
-    "tokenizer_fertility", "keyphrases", "sq_codes",
+    "tokenizer_fertility", "keyphrases", "sq_codes", "ann_sq_topk",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

@@ -1217,3 +1217,102 @@ def sq_codes(
             lambda acc, r: acc + r,
         ).alias("rem_q"),
     )
+
+
+def _sq_quant(df: DataFrame, id_col: str, vec_col: str, grid: int, out_id: str):
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * grid + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+
+
+def _sq_code_array(levels: int):
+    """codes column builder over (qv, los, his) — shared by sq_codes'
+    string output and the SDC search's integer arrays."""
+
+    def _code(x, i):
+        lo, hi = F.get("los", i), F.get("his", i)
+        return F.when(
+            hi - lo > 0,
+            F.floor(((x - lo) * F.lit(levels)).cast("double") / (hi - lo)).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return F.transform("qv", _code)
+
+
+def sq_sdc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    levels: int = 255,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Flat-SQ symmetric-distance top-k — ``(query_id, neighbor_id,
+    sdc_q, rank)``: the SEARCH half of ``sq_codes``, ranking by the
+    squared distance between int8 CODE vectors (SDC, Jégou et al.
+    2011's symmetric variant) — the distance a flat scalar-quantized
+    index computes from 64 bytes per vector without touching floats.
+    Queries quantize against the CORPUS bounds (a production query
+    arrives after the index is built), so both sides live on the same
+    code grid and every distance is a small exact integer (≤ 255²·64 —
+    no overflow, engine-identical).
+
+    Scale shape: the per-dim bounds census is the same 1-row broadcast
+    as ``sq_codes``; encoding is row-local; the bounded query-set code
+    table broadcasts onto the corpus stream (the ann_topk brute-force
+    convention — the IVF cell blocking of `ann_ivf_topk` composes in
+    front of this ranking unchanged when the query set is
+    corpus-sized); per-query top-k is a rank window over the bounded
+    query dimension.
+    """
+    qe = _sq_quant(emb, id_col, vec_col, grid, "neighbor_id")
+    ranges = qe.select(F.posexplode("qv").alias("i", "x")).groupBy("i").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    bounds = ranges.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))),
+            lambda s: s["lo"],
+        ).alias("los"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "hi"))),
+            lambda s: s["hi"],
+        ).alias("his"),
+    )
+    corpus = qe.crossJoin(F.broadcast(bounds)).select(
+        "neighbor_id", _sq_code_array(levels).alias("ncodes")
+    )
+    qcodes = (
+        _sq_quant(queries, id_col, vec_col, grid, "query_id")
+        .crossJoin(F.broadcast(bounds))
+        .select("query_id", _sq_code_array(levels).alias("qcodes"))
+    )
+    pairs = corpus.join(
+        F.broadcast(qcodes),
+        F.col("neighbor_id") != F.col("query_id"),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("qcodes", "ncodes", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sdc_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sdc_q").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sdc_q", "rank")
+    )

@@ -211,3 +211,24 @@ def test_sq_codes_bounds_and_remainder(spark):
         2: ("255,0", 0),
         3: ("127,0", 500_000),
     }
+
+
+def test_sq_sdc_topk_ranks_by_code_distance(spark):
+    """Queries quantize against CORPUS bounds; SDC ranks by integer
+    code distance with neighbor-id tie-break; self excluded."""
+    from ner_spark.functions.similarity import sq_sdc_topk
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.0]),
+            (3, [0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = sq_sdc_topk(emb, emb.where("vec_id = 0"), k=2).collect()
+    got = [(r["neighbor_id"], r["sdc_q"], r["rank"]) for r in
+           sorted(out, key=lambda r: r["rank"])]
+    # codes dim0: 0->0, 1->255, 0.9->229, 0.1->25; dim1 span 0 -> 0
+    assert got == [(3, 25 * 25, 1), (2, 229 * 229, 2)]
