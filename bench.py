@@ -401,6 +401,7 @@ def main() -> None:
         "keyphrases",
         "sq_codes",
         "ann_sq_topk",
+        "late_order_suppliers",
     ):
         run(
             qname,

@@ -7357,6 +7357,70 @@ def q_ann_sq_topk(spark, sf_dir):
     return sq_sdc_topk(e, e.where(F.col("vec_id") < 50), k=5)
 
 
+@query(
+    "late_order_suppliers",
+    """
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_order AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END)
+               AS n_late_supps,
+             max(CASE WHEN late THEN l_suppkey END) AS blame
+      FROM f GROUP BY 1)
+    SELECT s.s_name, count(*) AS numwait
+    FROM per_order
+    JOIN supplier s ON s.s_suppkey = blame
+    WHERE n_supps > 1 AND n_late_supps = 1
+    GROUP BY 1
+    """,
+)
+def q_late_order_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (waiting-supplier blame): suppliers who were the
+    ONLY late shipper in a finished multi-supplier order. Q21's
+    correlated EXISTS (another supplier in the order) + NOT EXISTS
+    (another LATE supplier) both collapse into ONE order-keyed
+    aggregate — count distinct suppliers, count distinct late
+    suppliers, arg of the single late one — which is the decorrelated
+    plan a 100-TB engine must run (one equi-join exchange + one
+    map-side-combinable aggregate; a correlated re-scan per lineitem
+    would read the fact table three times). Supplier dim broadcasts
+    onto the per-order census."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    f = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    per_order = f.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("blame"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.where(
+            (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("blame"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -7368,10 +7432,14 @@ def q_ann_sq_topk(spark, sf_dir):
 # have never had any driver row (the r04 wave-3 pool) take slots 1-14,
 # and kg_stream_triples — the one rows-only r02 row, now carrying a
 # full value-hash oracle via its pytest-pinned batch-parity golden —
-# takes slot 15. New round-5 queries land at 16+; the remainder of the
-# window is filler re-verification of already-green rows. Union of
+# takes slot 15. New round-5 queries occupy slots 16-28 (the
+# from_json/UNPIVOT/trend/churn wave at 16-19, the KG-ontology wave at
+# 20-24, the tokenizer/quantization wave at 25-29); the remainder of
+# the window is filler re-verification of already-green rows. Union of
 # CORRECTNESS_r01..r04 = 160 distinct recorded queries; a green r05
-# window closes the remaining 14 + upgrades kg_stream_triples.
+# window closes the remaining 14, upgrades kg_stream_triples, and
+# records all 14 round-5 additions — covering the whole 188-query
+# surface. Window occupancy: 29 new + 21 filler = 50.
 _DRIVER_ORDER = [
     # --- slots 1-14: the never-recorded round-5 pool (mirror-green r04)
     "heaps_fit", "kg_subject_completeness", "split_leakage",
@@ -7387,6 +7455,7 @@ _DRIVER_ORDER = [
     "kg_pred_algebra", "kg_rule_confidence", "kg_fact_history",
     "small_quantity_revenue", "event_cube",
     "tokenizer_fertility", "keyphrases", "sq_codes", "ann_sq_topk",
+    "late_order_suppliers",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",
