@@ -402,6 +402,11 @@ def main() -> None:
         "sq_codes",
         "ann_sq_topk",
         "late_order_suppliers",
+        "customer_order_distribution",
+        "nation_market_share",
+        "nation_year_profit",
+        "cheapest_supplier_per_part",
+        "promo_revenue_share",
     ):
         run(
             qname,

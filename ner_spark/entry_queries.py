@@ -7421,6 +7421,323 @@ def q_late_order_suppliers(spark, sf_dir):
     )
 
 
+@query(
+    "customer_order_distribution",
+    """
+    WITH co AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1)
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (count-of-counts distribution): how many
+    customers placed 0, 1, 2, ... orders. The LEFT join keeps
+    zero-order customers (count(o_orderkey) counts only matched rows);
+    the first aggregate shuffles on c_custkey — the SAME key the join
+    shuffled on, so Catalyst reuses the exchange — and the second
+    aggregate rides the tiny c_count dimension (map-side combined to
+    a few dozen rows). At 100 TB the only real exchange is the
+    customer⋈orders hash join; the distribution itself is free."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    co = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             l_extendedprice * (1 - l_discount) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = cn.n_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey),
+    agg AS (
+      SELECT yr,
+             CAST(round(sum(CASE WHEN supp_nation = 'NATION_7'
+                                 THEN vol ELSE 0 END), 4) AS DOUBLE)
+               AS nation_rev,
+             CAST(round(sum(vol), 4) AS DOUBLE) AS total_rev
+      FROM rev GROUP BY 1)
+    SELECT yr, nation_rev, total_rev,
+           CAST(round(nation_rev / total_rev, 6) AS DOUBLE) AS share
+    FROM agg
+    """,
+)
+def q_nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (market share): NATION_7's share of ASIA-customer
+    revenue per order year. One fact-fact exchange (lineitem⋈orders on
+    orderkey); customer, both nation copies, region, and supplier are
+    broadcast dims, so the region filter prunes BEFORE the big join's
+    probe side is built. The share is a conditional aggregate over the
+    same rows — one pass, not two scans UNIONed; numerator and
+    denominator are rounded FIRST so the ratio is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            vol.alias("vol"),
+            "supp_nation",
+        )
+    )
+    agg = rev.groupBy("yr").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_7", F.col("vol")
+                ).otherwise(F.lit(0.0))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("nation_rev"),
+        F.round(F.sum("vol"), 4).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        "yr",
+        "nation_rev",
+        "total_rev",
+        F.round(F.col("nation_rev") / F.col("total_rev"), 6)
+        .cast("double")
+        .alias("share"),
+    )
+
+
+@query(
+    "nation_year_profit",
+    """
+    SELECT sn.n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)
+                          - 0.1 * l_quantity * p_retailprice), 4)
+                AS DOUBLE) AS sum_profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+    """,
+)
+def q_nation_year_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit by supplier nation and year): revenue
+    minus a supply-cost proxy (10% of the part's retail price per
+    unit — the fixture has no partsupp table). The plan a 100-TB
+    engine needs: ONE fact-fact exchange (lineitem⋈orders on
+    orderkey); supplier→nation and part broadcast onto the probe; the
+    (25 nations × 7 years) aggregate is map-side combined down to
+    ~175 rows before any exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    "n_nationkey", F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    profit = F.col("l_extendedprice") * (
+        F.lit(1) - F.col("l_discount")
+    ) - F.lit(0.1) * F.col("l_quantity") * F.col("p_retailprice")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(profit), 4).cast("double").alias("sum_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    """
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor(l_extendedprice / l_quantity * 1000000 + 0.5)
+                  AS BIGINT) AS up_q
+      FROM lineitem WHERE l_quantity > 0),
+    best AS (
+      SELECT l_partkey, l_suppkey, up_q, row_number() OVER (
+        PARTITION BY l_partkey ORDER BY up_q ASC, l_suppkey ASC) AS rk
+      FROM (SELECT l_partkey, l_suppkey, min(up_q) AS up_q
+            FROM up GROUP BY 1, 2) x)
+    SELECT b.l_partkey AS p_partkey, b.l_suppkey AS best_suppkey,
+           b.up_q AS best_price_q, s.s_name
+    FROM best b JOIN supplier s ON s_suppkey = b.l_suppkey
+    WHERE rk = 1
+    """,
+)
+def q_cheapest_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape (groupwise minimum): the cheapest supplier ever
+    observed per part, by unit price. Q2's correlated MIN subquery
+    decorrelates into ONE aggregate: per-row unit prices are quantized
+    to integer micros FIRST (exact, engine-stable), the per-(part,
+    supplier) MIN map-side combines, and the per-part argmin is
+    min(struct(price, suppkey)) — an aggregate, not a window, so no
+    per-part sort materializes at scale; ties break on suppkey by the
+    struct's lexicographic order. Supplier dim broadcasts for the
+    name."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    up = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("up_q"),
+    )
+    per_pair = up.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("up_q").alias("up_q")
+    )
+    best = (
+        per_pair.groupBy("l_partkey")
+        .agg(F.min(F.struct("up_q", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.l_suppkey").alias("best_suppkey"),
+            F.col("b.up_q").alias("best_price_q"),
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(
+        F.broadcast(s), F.col("s_suppkey") == F.col("best_suppkey")
+    ).select("p_partkey", "best_suppkey", "best_price_q", "s_name")
+
+
+@query(
+    "promo_revenue_share",
+    """
+    WITH rev AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(month(l_shipdate) AS BIGINT) AS mon,
+             l_extendedprice * (1 - l_discount) AS vol,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    agg AS (
+      SELECT yr, mon,
+             CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN vol ELSE 0 END), 4) AS DOUBLE)
+               AS promo_rev,
+             CAST(round(sum(vol), 4) AS DOUBLE) AS total_rev
+      FROM rev GROUP BY 1, 2)
+    SELECT yr, mon, promo_rev, total_rev,
+           CAST(round(100 * promo_rev / total_rev, 6) AS DOUBLE)
+             AS promo_share
+    FROM agg
+    """,
+)
+def q_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect, per ship month): percentage
+    of revenue from PROMO-type parts. Part dim broadcasts onto the
+    lineitem scan — the ONLY exchange is the (year, month) aggregate,
+    already map-side combined to ~80 rows; the share is a conditional
+    aggregate in the same pass, numerator and denominator rounded
+    before the ratio so both engines agree bit-exactly."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.month("l_shipdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("promo_rev"),
+            F.round(F.sum(vol), 4).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        "yr",
+        "mon",
+        "promo_rev",
+        "total_rev",
+        F.round(F.lit(100) * F.col("promo_rev") / F.col("total_rev"), 6)
+        .cast("double")
+        .alias("promo_share"),
+    )
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -7456,6 +7773,9 @@ _DRIVER_ORDER = [
     "small_quantity_revenue", "event_cube",
     "tokenizer_fertility", "keyphrases", "sq_codes", "ann_sq_topk",
     "late_order_suppliers",
+    "customer_order_distribution", "nation_market_share",
+    "nation_year_profit", "cheapest_supplier_per_part",
+    "promo_revenue_share",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",
