@@ -407,6 +407,13 @@ def main() -> None:
         "nation_year_profit",
         "cheapest_supplier_per_part",
         "promo_revenue_share",
+        "top_customer_returns",
+        "nation_pair_trade",
+        "returnflag_priority_counts",
+        "disjunctive_part_revenue",
+        "large_order_customers",
+        "top_supplier_revenue",
+        "part_supplier_variety",
     ):
         run(
             qname,

@@ -7738,6 +7738,380 @@ def q_promo_revenue_share(spark, sf_dir):
     )
 
 
+@query(
+    "top_customer_returns",
+    """
+    WITH rev AS (
+      SELECT c_custkey, c_name, n_name AS nation,
+             l_extendedprice * (1 - l_discount) AS vol
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE l_returnflag = 'R')
+    SELECT c_custkey, c_name, nation,
+           CAST(round(sum(vol), 4) AS DOUBLE) AS revenue
+    FROM rev GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_top_customer_returns(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): the 20 customers who
+    returned the most revenue. The returnflag filter is pushed into the
+    lineitem scan; customer and nation broadcast onto the probe side of
+    the one fact-fact join; the per-customer aggregate map-side
+    combines; the final 20 is a TakeOrderedAndProject (heap per
+    partition + driver merge of 20-row heads), never a global sort.
+    Revenue is rounded to 4 decimals BEFORE the ordering so the
+    DESC + custkey tie-break is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    cn = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_name", "nation")
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(F.round(F.sum(vol), 4).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "nation_pair_trade",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS yr,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)
+                AS DOUBLE) AS volume,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_nation_pair_trade(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations, both
+    directions, by ship year). The nation filter lands on the two
+    broadcast dim chains (customer→nation, supplier→nation), so both
+    sides of the disjunction prune their fact probes to ~1/25 of rows
+    before the single lineitem⋈orders exchange; the OR over the two
+    (supp, cust) orientations is evaluated on the joined slim row.
+    At 100 TB the exchange is the only data movement — the aggregate
+    is (2 orientations × 7 years) rows after map-side combine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    cn = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                n.where(F.col("n_name").isin(*pair)).select(
+                    "n_nationkey", F.col("n_name").alias("cust_nation")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                n.where(F.col("n_name").isin(*pair)).select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.round(F.sum(vol), 4).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "returnflag_priority_counts",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def q_returnflag_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape (priority split per line category): for lines
+    shipped in 1997, how many belong to urgent/high-priority orders vs
+    the rest, per return flag. The ship-date range is pushed into the
+    parquet scan (row-group min/max pruning at scale); the
+    lineitem⋈orders hash join is the only exchange; both conditional
+    counts come from the SAME joined pass — one CASE per branch, not
+    two scans — and map-side combine to 3 rows."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+    SELECT CAST(round(sum(l_extendedprice * (1 - l_discount)), 4)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_disjunctive_part_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (OR-of-ANDs across two tables): revenue from
+    three disjoint (brand, size-range, quantity-range) bands. The
+    interesting plan property: Catalyst factors the disjunction —
+    the l_quantity bounds common to all branches
+    (1 <= q <= 30) push into the lineitem scan and the p_size/brand
+    bounds into the part scan, so both scans prune BEFORE the
+    broadcast join; the full disjunction then evaluates on the joined
+    row. A single global aggregate returns one row."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(vol), 4).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_order_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 300, with their customer. Q18's IN-subquery
+    decorrelates to aggregate-then-join: the per-order quantity sum
+    map-side combines on the scan partitioning, the HAVING prunes to
+    ~0.2% of orders BEFORE any join, and the surviving slim
+    (orderkey, qty) set is small enough to broadcast as the PROBE
+    driver against orders — the 100-TB plan never joins the full
+    lineitem to orders. Quantity sums are exact (fixture quantities
+    are integers in doubles), so the >300 cut and the output values
+    are engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 10000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_q
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1),
+    m AS (SELECT max(rev_q) AS mx FROM rev)
+    SELECT s_suppkey, s_name, rev_q AS total_revenue_q
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey, m
+    WHERE rev_q = m.mx
+    """,
+)
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by revenue in a quarter), with
+    the view+max+equality decorrelated. Per-line volume is quantized
+    to an int64 at 1e-4 BEFORE the sum (the single float product is
+    IEEE-identical across engines; summing integers makes the total
+    exact), so ``rev_q = max`` is an exact integer comparison — the
+    classic Q15 trap (float total == float max) never arises. The max
+    is a full reduction to ONE row broadcast back over the per-supplier
+    aggregate; ties (multiple suppliers at the max) are all returned,
+    as in the spec."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    vol_q = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.select("l_suppkey", vol_q.alias("vq"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("vq").alias("rev_q"))
+    )
+    mx = rev.agg(F.max("rev_q").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_q") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("rev_q").alias("total_revenue_q")
+        )
+    )
+
+
+@query(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (supplier variety per part attribute): how many
+    distinct suppliers ship each surviving (brand, type, size) combo —
+    the fixture has no partsupp, so lineitem IS the part-supplier
+    relation. The brand/type/size predicates prune the broadcast part
+    dim before the join; count(DISTINCT) runs as Spark's two-phase
+    expand-aggregate: partial distinct on (attrs, suppkey) map-side,
+    then the count over the deduped pairs — no row ever carries a set,
+    so the plan holds when one part type has millions of lines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("long")
+            .alias("supplier_cnt")
+        )
+    )
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -7776,6 +8150,10 @@ _DRIVER_ORDER = [
     "customer_order_distribution", "nation_market_share",
     "nation_year_profit", "cheapest_supplier_per_part",
     "promo_revenue_share",
+    "top_customer_returns", "nation_pair_trade",
+    "returnflag_priority_counts", "disjunctive_part_revenue",
+    "large_order_customers", "top_supplier_revenue",
+    "part_supplier_variety",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",
