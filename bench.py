@@ -414,6 +414,9 @@ def main() -> None:
         "large_order_customers",
         "top_supplier_revenue",
         "part_supplier_variety",
+        "kg_ppr",
+        "kg_hits",
+        "kg_neighbor_jaccard",
     ):
         run(
             qname,

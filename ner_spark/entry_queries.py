@@ -8112,6 +8112,183 @@ def q_part_supplier_variety(spark, sf_dir):
     )
 
 
+
+def _kg_ppr_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank in pure DuckDB SQL over the
+    golden edge table (same device as _kg_pagerank_oracle). Seeds are
+    the md5-sampled node subset — the identical 60-bit hash predicate
+    the Spark side applies — and each iteration folds the dangling
+    scalar into the restart coefficient exactly as
+    operators/graph.py:personalized_pagerank does."""
+    base = repr(1.0 - damping)
+    edges = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    ctes = [
+        f"""e AS (
+      SELECT src_entity AS s, dst_entity AS d, CAST(n_turns AS DOUBLE) AS w
+      FROM read_parquet('{edges}'))""",
+        """outw AS (SELECT s, sum(w) AS w_out FROM e GROUP BY s)""",
+        """nodes AS (SELECT s AS x FROM e UNION SELECT d FROM e)""",
+        """trans AS (
+      SELECT e.s, e.d, e.w / o.w_out AS frac FROM e JOIN outw o ON e.s = o.s)""",
+        """seeds AS (
+      SELECT x FROM nodes
+      WHERE ('0x' || substring(md5('ppr|' || x), 1, 15))::BIGINT % 17 = 0)""",
+        """ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)""",
+        """pr0 AS (SELECT x, 1.0 / (SELECT n FROM ns) AS pr FROM seeds)""",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""dang{k} AS (
+      SELECT coalesce(sum(pr), 0) AS dm
+      FROM pr{k} WHERE x NOT IN (SELECT s FROM outw))"""
+        )
+        ctes.append(
+            f"""pr{k + 1} AS (
+      SELECT nodes.x,
+             (CAST({base} AS DOUBLE)
+              + CAST({damping!r} AS DOUBLE) * (SELECT dm FROM dang{k}))
+             * (CASE WHEN nodes.x IN (SELECT x FROM seeds)
+                     THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END)
+             + CAST({damping!r} AS DOUBLE)
+               * coalesce(c.c, CAST(0 AS DOUBLE)) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT t.d, sum(p.pr * t.frac) AS c
+        FROM trans t JOIN pr{k} p ON t.s = p.x GROUP BY t.d) c
+      ON nodes.x = c.d)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT x AS entity_id,
+           CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS ppr_micro
+    FROM pr{iters}
+    """
+
+
+@query("kg_ppr", _kg_ppr_oracle())
+def q_kg_ppr(spark, sf_dir):
+    """Personalized PageRank (3 iterations, restart + dangling mass to
+    an md5-sampled seed set) over the canonical KG on the 10^-6
+    integer grid — the "relevance around these entities" ranking a
+    KG-RAG retriever reads (operators/graph.py:personalized_pagerank)
+    vs an unrolled pure-SQL restatement in DuckDB."""
+    from ner_spark.functions.dedup import register_persist
+    from ner_spark.operators.graph import personalized_pagerank
+    from ner_spark.operators.linking import md5_hash60_col
+
+    edges = register_persist(_kg_edges(spark, sf_dir))
+    nodes = (
+        edges.select(F.col("src_entity").alias("x"))
+        .unionByName(edges.select(F.col("dst_entity").alias("x")))
+        .distinct()
+    )
+    seeds = nodes.where(
+        F.pmod(
+            md5_hash60_col(F.concat(F.lit("ppr|"), F.col("x"))), F.lit(17)
+        )
+        == 0
+    )
+    return personalized_pagerank(edges, seeds)
+
+
+def _kg_hits_oracle(iters: int = 3) -> str:
+    """Unrolled HITS (L1-normalized half-steps) in pure DuckDB SQL over
+    the distinct directed golden edge set — the second engine for the
+    two-score ranking (operators/graph.py:hits_scores)."""
+    edges = os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")
+    ctes = [
+        f"""e AS (
+      SELECT DISTINCT src_entity AS s, dst_entity AS d
+      FROM read_parquet('{edges}'))""",
+        """nodes AS (SELECT s AS x FROM e UNION SELECT d FROM e)""",
+        """n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)""",
+        """hub0 AS (SELECT x, 1.0 / (SELECT nn FROM n) AS score FROM nodes)""",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""araw{k} AS (
+      SELECT e.d, sum(h.score) AS raw
+      FROM e JOIN hub{k} h ON e.s = h.x GROUP BY e.d)"""
+        )
+        ctes.append(
+            f"""auth{k + 1} AS (
+      SELECT nodes.x,
+             coalesce(a.raw, CAST(0 AS DOUBLE))
+             / (SELECT coalesce(sum(raw), 1.0) FROM araw{k}) AS score
+      FROM nodes LEFT JOIN araw{k} a ON nodes.x = a.d)"""
+        )
+        ctes.append(
+            f"""hraw{k} AS (
+      SELECT e.s, sum(a.score) AS raw
+      FROM e JOIN auth{k + 1} a ON e.d = a.x GROUP BY e.s)"""
+        )
+        ctes.append(
+            f"""hub{k + 1} AS (
+      SELECT nodes.x,
+             coalesce(h.raw, CAST(0 AS DOUBLE))
+             / (SELECT coalesce(sum(raw), 1.0) FROM hraw{k}) AS score
+      FROM nodes LEFT JOIN hraw{k} h ON nodes.x = h.s)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT h.x AS entity_id,
+           CAST(floor(h.score * 1000000 + 0.5) AS BIGINT) AS hub_micro,
+           CAST(floor(a.score * 1000000 + 0.5) AS BIGINT) AS auth_micro
+    FROM hub{iters} h JOIN auth{iters} a ON h.x = a.x
+    """
+
+
+@query("kg_hits", _kg_hits_oracle())
+def q_kg_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 L1-normalized iterations) over the
+    distinct directed canonical edge set, on the 10^-6 integer grid —
+    authorities are the answer-entities facts point AT, hubs the
+    subject-entities facts radiate FROM (operators/graph.py:
+    hits_scores) vs an unrolled pure-SQL restatement."""
+    from ner_spark.operators.graph import hits_scores
+
+    return hits_scores(_kg_edges(spark, sf_dir))
+
+
+@query(
+    "kg_neighbor_jaccard",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT least(src_entity, dst_entity) AS a,
+             greatest(src_entity, dst_entity) AS b
+      FROM read_parquet('{os.path.join(FIXTURES_SQL_ROOT, "edges.parquet")}')
+      WHERE src_entity <> dst_entity),
+    adj AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+    deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+    mids AS (
+      SELECT adj.z, adj.n FROM adj JOIN deg ON adj.z = deg.z
+      WHERE deg.d BETWEEN 2 AND 65536),
+    pairs AS (
+      SELECT m1.n AS u, m2.n AS v, count(*) AS cn
+      FROM mids m1 JOIN mids m2 ON m1.z = m2.z AND m1.n < m2.n
+      GROUP BY 1, 2)
+    SELECT u AS node_u, v AS node_v,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           CAST(du.d + dv.d - cn AS BIGINT) AS union_size,
+           CAST((2000000 * cn + du.d + dv.d - cn)
+                // (2 * (du.d + dv.d - cn)) AS BIGINT) AS jacc_micro
+    FROM pairs JOIN deg du ON du.z = u JOIN deg dv ON dv.z = v
+    """,
+)
+def q_kg_neighbor_jaccard(spark, sf_dir):
+    """Structural node similarity (operators/graph.py:neighbor_jaccard):
+    every entity pair sharing >=1 neighbor, scored by exact neighbor-set
+    Jaccard on an all-integer 10^-6 grid — the alias-merge / role-twin
+    review signal. Exact up to the mirrored super-hub cut (a common
+    neighbor has degree >=2 by definition, so the mid band is lossless);
+    the wedge join is the salted skew-split self-join."""
+    from ner_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_edges(spark, sf_dir))
+
+
+
 # ===========================================================================
 # Driver-facing registration order
 # ===========================================================================
@@ -8123,14 +8300,17 @@ def q_part_supplier_variety(spark, sf_dir):
 # have never had any driver row (the r04 wave-3 pool) take slots 1-14,
 # and kg_stream_triples — the one rows-only r02 row, now carrying a
 # full value-hash oracle via its pytest-pinned batch-parity golden —
-# takes slot 15. New round-5 queries occupy slots 16-28 (the
+# takes slot 15. New round-5 queries occupy slots 16-44 (the
 # from_json/UNPIVOT/trend/churn wave at 16-19, the KG-ontology wave at
-# 20-24, the tokenizer/quantization wave at 25-29); the remainder of
-# the window is filler re-verification of already-green rows. Union of
-# CORRECTNESS_r01..r04 = 160 distinct recorded queries; a green r05
-# window closes the remaining 14, upgrades kg_stream_triples, and
-# records all 14 round-5 additions — covering the whole 188-query
-# surface. Window occupancy: 29 new + 21 filler = 50.
+# 20-24, the tokenizer/quantization wave at 25-29, the TPC-H-shape
+# relational wave at 30-41, the graph-similarity trio kg_ppr/kg_hits/
+# kg_neighbor_jaccard at 42-44); the remainder of the window is filler
+# re-verification of already-green rows. Union of CORRECTNESS_r01..r04
+# = 160 distinct recorded queries; a green r05 window closes the
+# remaining 14, upgrades kg_stream_triples, and records all 29 round-5
+# additions — covering the whole 203-query surface. Window occupancy:
+# 44 must-record + 6 filler = 50. The window is FULL: any further
+# round-5 query must displace a filler slot, never a must-record one.
 _DRIVER_ORDER = [
     # --- slots 1-14: the never-recorded round-5 pool (mirror-green r04)
     "heaps_fit", "kg_subject_completeness", "split_leakage",
@@ -8154,6 +8334,7 @@ _DRIVER_ORDER = [
     "returnflag_priority_counts", "disjunctive_part_revenue",
     "large_order_customers", "top_supplier_revenue",
     "part_supplier_variety",
+    "kg_ppr", "kg_hits", "kg_neighbor_jaccard",
     # --- filler: already green in r01-r04, re-recorded only if slots
     # remain after the round-5 additions above
     "kg_community_profiles", "kg_edge_split",

@@ -2640,3 +2640,262 @@ def fact_history(
         F.lead("ep").over(w).alias("valid_to"),
         F.row_number().over(w).alias("version"),
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src_entity",
+    dst: str = "dst_entity",
+    weight: str = "n_turns",
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart to a SEED set
+    instead of the uniform teleport — ``(entity_id, ppr_micro)`` with
+    ``ppr_micro = floor(ppr·10⁶ + 0.5)``. This is the KG's
+    "relevance around these entities" primitive: seed it with a
+    query's linked entities and the ranks order the neighborhood for
+    retrieval/expansion (the re-ranking signal a KG-RAG stack feeds
+    its retriever).
+
+    Restart mass is uniform over the seed set (1/|S| each); dangling
+    mass restarts to the seeds too (the standard PPR absorbing rule),
+    so each iteration folds the dangling scalar into the restart
+    coefficient: pr' = (1-α + α·dang)·r + α·contrib. Same
+    communication pattern as ``pagerank`` (one slim-vector hash join +
+    one aggregate + one scalar reduction per iteration, ranks
+    localCheckpointed so the plan never compounds); the integer micro
+    grid absorbs per-sum float noise exactly as there.
+    """
+    e = edges.select(
+        F.col(src).alias("s"),
+        F.col(dst).alias("d"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("s").agg(F.sum("w").alias("w_out"))
+    nodes = (
+        e.select(F.col("s").alias("x"))
+        .unionByName(e.select(F.col("d").alias("x")))
+        .distinct()
+        .persist()
+    )
+    trans = (
+        e.join(out_w, "s")
+        .select("s", "d", (F.col("w") / F.col("w_out")).alias("frac"))
+        .persist()
+    )
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("s").alias("x")), "x", "left_anti"
+    ).persist()
+    seed_ids = seeds.select(
+        F.col(seeds.columns[0]).alias("x")
+    ).distinct().persist()
+    n_seeds = seed_ids.count()
+    restart = nodes.join(seed_ids, "x", "left_semi").select(
+        "x", F.lit(1.0 / n_seeds).alias("r")
+    ).persist()
+
+    pr = restart.select("x", F.col("r").alias("pr")).localCheckpoint()
+    try:
+        for _ in range(iters):
+            dang_row = (
+                pr.join(dangling_nodes, "x").agg(F.sum("pr")).collect()[0][0]
+            )
+            dang = dang_row or 0.0
+            coef = (1.0 - damping) + damping * dang
+            contrib = (
+                trans.join(pr, trans.s == pr.x)
+                .groupBy("d")
+                .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
+            )
+            pr = (
+                nodes.join(contrib, nodes.x == contrib.d, "left")
+                .join(restart, "x", "left")
+                .select(
+                    "x",
+                    (
+                        F.lit(coef) * F.coalesce(F.col("r"), F.lit(0.0))
+                        + F.lit(damping)
+                        * F.coalesce(F.col("c"), F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        nodes.unpersist()
+        trans.unpersist()
+        dangling_nodes.unpersist()
+        seed_ids.unpersist()
+        restart.unpersist()
+    return pr.select(
+        F.col("x").alias("entity_id"),
+        F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)).alias("ppr_micro"),
+    )
+
+
+def hits_scores(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs-and-authorities over the DISTINCT directed canonical
+    edge set: ``(entity_id, hub_micro, auth_micro)`` on the 10⁻⁶
+    integer grid. In a conversational KG the authority rank surfaces
+    the entities facts point AT (the answer-entities worth
+    verbalizing into cards) and the hub rank the entities facts
+    radiate FROM (the subject-entities worth crawling next) — the
+    asymmetry PageRank's single score can't express.
+
+    L1 normalization each half-step (scores are non-negative, so the
+    L1 norm is one SUM — a scalar reduction per half-step, the same
+    driver-side single-row pattern as PageRank's dangling mass).
+    Per iteration: auth' = Σ_{s→x} hub(s) then normalize; hub' =
+    Σ_{s→x} auth'(x) then normalize. Each half-step is one hash join
+    of the slim score vector against the edge frame + one aggregate;
+    the vector is localCheckpointed per iteration so K iterations
+    never compound into one Catalyst tree. Nodes with no in-edges
+    (resp. out-edges) keep authority (resp. hub) 0 via the left join.
+    """
+    e = (
+        edges.select(
+            F.col("src_entity").alias("s"), F.col("dst_entity").alias("d")
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("s").alias("x"))
+        .unionByName(e.select(F.col("d").alias("x")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    hub = nodes.select(
+        "x", F.lit(1.0 / n_nodes).alias("score")
+    ).localCheckpoint()
+    auth = None
+    try:
+        for _ in range(iters):
+            a_raw = (
+                e.join(hub, e.s == hub.x)
+                .groupBy("d")
+                .agg(F.sum("score").alias("raw"))
+            )
+            a_tot = a_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+            auth = (
+                nodes.join(a_raw, nodes.x == a_raw.d, "left")
+                .select(
+                    "x",
+                    (
+                        F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(a_tot)
+                    ).alias("score"),
+                )
+                .localCheckpoint()
+            )
+            h_raw = (
+                e.join(auth, e.d == auth.x)
+                .groupBy("s")
+                .agg(F.sum("score").alias("raw"))
+            )
+            h_tot = h_raw.agg(F.sum("raw")).collect()[0][0] or 1.0
+            hub = (
+                nodes.join(h_raw, nodes.x == h_raw.s, "left")
+                .select(
+                    "x",
+                    (
+                        F.coalesce(F.col("raw"), F.lit(0.0)) / F.lit(h_tot)
+                    ).alias("score"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return (
+        hub.withColumnsRenamed({"score": "h"})
+        .join(auth.withColumnsRenamed({"score": "a"}), "x")
+        .select(
+            F.col("x").alias("entity_id"),
+            F.floor(F.col("h") * F.lit(1e6) + F.lit(0.5)).alias("hub_micro"),
+            F.floor(F.col("a") * F.lit(1e6) + F.lit(0.5)).alias("auth_micro"),
+        )
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    max_mid_degree: int = 65536,
+    min_common: int = 1,
+) -> DataFrame:
+    """Structural node similarity over the undirected canonical KG:
+    for every node pair sharing at least ``min_common`` neighbors,
+    ``(node_u, node_v, common_neighbors, union_size, jacc_micro)``
+    where jacc = |N(u)∩N(v)| / |N(u)∪N(v)| — the alias-merge /
+    role-twin signal ("these two entities connect to the same
+    things") that complements Adamic-Adar's missing-edge score.
+
+    EXACT up to the super-hub cut: a common neighbor has degree ≥ 2
+    by definition, so the deg ≥ 2 band on wedge mids is lossless;
+    mids with deg > ``max_mid_degree`` are excluded identically in
+    the SQL oracle (same celebrity-hub cut as ``adamic_adar`` — a
+    hub's wedge volume is quadratic while its similarity evidence is
+    generic). Union sizes come from FULL degrees (deg_u + deg_v −
+    common), and jacc_micro = (2·10⁶·common + union) div (2·union) —
+    all-integer rounding, bit-identical on any engine.
+
+    Scale shape: wedge enumeration rides the adaptive salted
+    skew-split self-join on the mid key (hot mids spread over s²
+    bounded cells); the pair aggregate map-side combines; degrees
+    join on near-unique node ids (broadcast under AQE when the node
+    dimension is small).
+    """
+    from ner_spark.functions.dedup import (
+        _salted_block_self_join,
+        register_persist,
+    )
+
+    und = register_persist(undirected_edges(edges))
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = register_persist(
+        adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    mids = (
+        adj.join(deg, "a")
+        .where((F.col("deg") >= 2) & (F.col("deg") <= max_mid_degree))
+        .select(F.col("a").alias("z"), F.col("b").alias("id"))
+    )
+
+    def _a(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_a"})
+
+    def _b(df: DataFrame) -> DataFrame:
+        return df.withColumnsRenamed({"id": "id_b"})
+
+    pairs = (
+        _salted_block_self_join(mids, _a, _b, key="z")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    deg_u = deg.select(F.col("a").alias("id_a"), F.col("deg").alias("deg_u"))
+    deg_v = deg.select(F.col("a").alias("id_b"), F.col("deg").alias("deg_v"))
+    out = (
+        pairs.join(deg_u, "id_a")
+        .join(deg_v, "id_b")
+        .select(
+            F.col("id_a").alias("node_u"),
+            F.col("id_b").alias("node_v"),
+            "common_neighbors",
+            (
+                F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors")
+            ).alias("union_size"),
+        )
+        .withColumn(
+            "jacc_micro",
+            F.expr(
+                "(2000000 * common_neighbors + union_size)"
+                " div (2 * union_size)"
+            ),
+        )
+    )
+    return out

@@ -232,3 +232,70 @@ def test_sq_sdc_topk_ranks_by_code_distance(spark):
            sorted(out, key=lambda r: r["rank"])]
     # codes dim0: 0->0, 1->255, 0.9->229, 0.1->25; dim1 span 0 -> 0
     assert got == [(3, 25 * 25, 1), (2, 229 * 229, 2)]
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """2 iterations on a 3-node line with a dangling sink: iteration 1
+    pushes all seed mass to B; iteration 2 recycles B's dangling mass
+    into the restart coefficient (0.15 + 0.85*0.85 = 0.8725), so A
+    (the only seed) ends at 872500 micro, B at 127500, C at 0."""
+    from ner_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("c", "a", 1)],
+        "src_entity string, dst_entity string, n_turns long",
+    )
+    seeds = spark.createDataFrame([("a",)], "x string")
+    got = {
+        r["entity_id"]: r["ppr_micro"]
+        for r in personalized_pagerank(edges, seeds, iters=2).collect()
+    }
+    assert got == {"a": 872500, "b": 127500, "c": 0}
+
+
+def test_hits_scores_hand_computed(spark):
+    """One iteration on A->C, B->C, C->D: auth = (0, 0, 2/3, 1/3),
+    hub = (0.4, 0.4, 0.2, 0) after the two L1-normalized half-steps;
+    duplicate directed edges collapse before scoring."""
+    from ner_spark.operators.graph import hits_scores
+
+    edges = spark.createDataFrame(
+        [("a", "c", 1), ("a", "c", 9), ("b", "c", 1), ("c", "d", 1)],
+        "src_entity string, dst_entity string, n_turns long",
+    )
+    got = {
+        r["entity_id"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits_scores(edges, iters=1).collect()
+    }
+    assert got == {
+        "a": (400000, 0),
+        "b": (400000, 0),
+        "c": (200000, 666667),
+        "d": (0, 333333),
+    }
+
+
+def test_neighbor_jaccard_hand_computed(spark):
+    """Triangle a-b-c plus pendant a-d: every 2-path mid emits its
+    neighbor pairs once; union sizes use FULL degrees and the pendant
+    never acts as a mid (deg 1 < 2) yet appears in pairs through mid
+    a. jacc_micro is the all-integer div rounding."""
+    from ner_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("d", "a", 1)],
+        "src_entity string, dst_entity string, n_turns long",
+    )
+    got = {
+        (r["node_u"], r["node_v"]): (
+            r["common_neighbors"], r["union_size"], r["jacc_micro"],
+        )
+        for r in neighbor_jaccard(edges).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 4, 250000),
+        ("a", "c"): (1, 4, 250000),
+        ("b", "c"): (1, 3, 333333),
+        ("b", "d"): (1, 2, 500000),
+        ("c", "d"): (1, 2, 500000),
+    }
