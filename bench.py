@@ -417,6 +417,12 @@ def main() -> None:
         "kg_ppr",
         "kg_hits",
         "kg_neighbor_jaccard",
+        "shipping_priority",
+        "late_shipment_priority",
+        "discount_band_revenue",
+        "monthly_record_orders",
+        "pareto_orders",
+        "event_attribution",
     ):
         run(
             qname,

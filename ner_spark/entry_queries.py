@@ -8288,6 +8288,246 @@ def q_kg_neighbor_jaccard(spark, sf_dir):
     return neighbor_jaccard(_kg_edges(spark, sf_dir))
 
 
+@query(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders — ordered before the cutoff, with line items still shipping
+    after it. Both date filters push to the parquet scans BEFORE the
+    fact-to-fact join, the aggregate shuffles on the same l_orderkey
+    key the join produced (exchange reuse), and the top-10 is a
+    TakeOrderedAndProject under a TOTAL order (revenue desc, date asc,
+    key asc) — never a global sort. Revenue sums in exact DECIMAL so
+    the cut line is partitioning-invariant."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@query(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_late_shipment_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders in one quarter
+    with at least one line item shipped more than 90 days after the
+    order date, counted per priority. The correlated EXISTS is a LEFT
+    SEMI join — equi on the order key with the date comparison as the
+    join residual — so each order is emitted at most once with no
+    distinct pass, and the only exchange is the semi-join hash
+    partitioning. The quarter filter prunes orders at the scan before
+    anything shuffles."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "discount_band_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.04 AND l_discount <= 0.06
+      AND l_quantity < 24
+    """,
+)
+def q_discount_band_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecast-revenue change): one scalar aggregate
+    under a fully scan-pushable conjunctive filter — the canonical
+    pushdown probe. Every predicate reaches PushedFilters, ReadSchema
+    carries only the four referenced columns, and the plan is a single
+    WholeStageCodegen span into a partial+final agg of ONE row (no
+    grouped exchange at all). Revenue in exact DECIMAL, cast once."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "monthly_record_orders",
+    """
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+             max(o_totalprice) AS mx
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderkey, o.o_totalprice,
+           strftime(o.o_orderdate, '%Y-%m') AS mon
+    FROM orders o
+    JOIN m ON m.mon = strftime(o.o_orderdate - INTERVAL 1 MONTH, '%Y-%m')
+    WHERE o.o_totalprice > m.mx
+    """,
+)
+def q_monthly_record_orders(spark, sf_dir):
+    """ALL-subquery decorrelation: orders whose price beats EVERY order
+    of the previous calendar month ("x > ALL (correlated subquery)").
+    A correlated re-scan per order reads the fact table twice per row;
+    the decorrelated plan aggregates once to a calendar-month dimension
+    (bounded: one row per month in the data), then broadcast-joins that
+    tiny dim back on the previous-month key — the month arithmetic is
+    row-local (add_months always lands in the prior calendar month,
+    even from month-end days, in both engines). Months with no
+    predecessor in the data yield no join match, exactly the SQL
+    NULL-comparison semantics of the correlated form."""
+    o = _t(spark, sf_dir, "orders")
+    mon = F.date_format("o_orderdate", "yyyy-MM")
+    m = o.groupBy(mon.alias("m_mon")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    prev = F.date_format(F.add_months("o_orderdate", -1), "yyyy-MM")
+    return (
+        o.select("o_orderkey", "o_totalprice", mon.alias("mon"), prev.alias("prev"))
+        .join(F.broadcast(m), F.col("prev") == F.col("m_mon"))
+        .where(F.col("o_totalprice") > F.col("mx"))
+        .select("o_orderkey", "o_totalprice", "mon")
+    )
+
+
+@query(
+    "pareto_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o1
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_totalprice >= o1.o_totalprice
+        AND o2.o_orderdate  >= o1.o_orderdate
+        AND (o2.o_totalprice > o1.o_totalprice
+             OR o2.o_orderdate > o1.o_orderdate))
+    """,
+)
+def q_pareto_orders(spark, sf_dir):
+    """2-D skyline: orders on the strict-dominance Pareto frontier of
+    (highest price, most recent date). The oracle states the quadratic
+    NOT EXISTS self-join; the engine runs functions/skyline.py — the
+    sort-free two-level prefix-max reduction (fixed-width price buckets
+    → per-bucket y-max + suffix max over the bounded bucket dimension →
+    exact strict-x window per bucket) so no task ever holds more than
+    one bucket's distinct-price list and nothing is quadratic."""
+    from ner_spark.functions.skyline import skyline_2d
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return skyline_2d(o, "o_totalprice", "o_orderdate")
+
+
+@query(
+    "event_attribution",
+    """
+    SELECT p.event_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks,
+           max(c.ts) AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def q_event_attribution(spark, sf_dir):
+    """Time-band attribution join: for every purchase, the count and
+    recency of the same user's clicks in the preceding 4 hours —
+    last-touch attribution, the bounded-interval sibling of the as-of
+    join (operators/asof.py takes the single latest row; this keeps
+    the whole window as an aggregate). The join is EQUI on user_id
+    with the time band as a residual filter, so it hash-partitions by
+    user exactly once and the band bounds per-pair fan-out; hot users
+    are AQE skew-split like any other equi join. LEFT join + count of
+    the click column keeps zero-click purchases with n_clicks = 0."""
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_uid") == F.col("c_uid"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 4 HOURS")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count("c_ts").alias("n_clicks"),
+            F.max("c_ts").alias("last_click_ts"),
+        )
+    )
+
+
 
 # ===========================================================================
 # Driver-facing registration order
@@ -8300,17 +8540,18 @@ def q_kg_neighbor_jaccard(spark, sf_dir):
 # have never had any driver row (the r04 wave-3 pool) take slots 1-14,
 # and kg_stream_triples — the one rows-only r02 row, now carrying a
 # full value-hash oracle via its pytest-pinned batch-parity golden —
-# takes slot 15. New round-5 queries occupy slots 16-44 (the
+# takes slot 15. New round-5 queries occupy slots 16-50 (the
 # from_json/UNPIVOT/trend/churn wave at 16-19, the KG-ontology wave at
 # 20-24, the tokenizer/quantization wave at 25-29, the TPC-H-shape
 # relational wave at 30-41, the graph-similarity trio kg_ppr/kg_hits/
-# kg_neighbor_jaccard at 42-44); the remainder of the window is filler
-# re-verification of already-green rows. Union of CORRECTNESS_r01..r04
-# = 160 distinct recorded queries; a green r05 window closes the
-# remaining 14, upgrades kg_stream_triples, and records all 29 round-5
-# additions — covering the whole 203-query surface. Window occupancy:
-# 44 must-record + 6 filler = 50. The window is FULL: any further
-# round-5 query must displace a filler slot, never a must-record one.
+# kg_neighbor_jaccard at 42-44, and the relational-shape wave —
+# Q3/Q4/Q6, ALL-decorrelation, skyline, attribution — at 45-50).
+# Union of CORRECTNESS_r01..r04 = 160 distinct recorded queries; a
+# green r05 window closes the remaining 14, upgrades
+# kg_stream_triples, and records all 35 round-5 additions — covering
+# the whole 209-query surface. Window occupancy: 50 must-record,
+# ZERO filler. The window is SATURATED: no further round-5 query can
+# be added without evicting a must-record slot — do not add any.
 _DRIVER_ORDER = [
     # --- slots 1-14: the never-recorded round-5 pool (mirror-green r04)
     "heaps_fit", "kg_subject_completeness", "split_leakage",
@@ -8335,8 +8576,16 @@ _DRIVER_ORDER = [
     "large_order_customers", "top_supplier_revenue",
     "part_supplier_variety",
     "kg_ppr", "kg_hits", "kg_neighbor_jaccard",
-    # --- filler: already green in r01-r04, re-recorded only if slots
-    # remain after the round-5 additions above
+    # --- slots 45-50: the relational-shape wave (Q3/Q4/Q6, the
+    # ALL-subquery decorrelation, 2-D skyline, time-band attribution).
+    # These displaced the six filler re-verification slots: every
+    # displaced filler already holds a green row in the r01-r04 union.
+    "shipping_priority", "late_shipment_priority", "discount_band_revenue",
+    "monthly_record_orders", "pareto_orders", "event_attribution",
+    # -------- position > 50: NOT recorded by the external driver -------
+    # filler re-verification (green in r01-r04), then everything else
+    # below also holds a green driver row in the CORRECTNESS_r01..r04
+    # union and stays covered by the local mirror gate.
     "kg_community_profiles", "kg_edge_split",
     "kg_topic_segments", "tool_transitions",
     "mixture_weights", "filter_report", "turn_latency",
@@ -8352,10 +8601,6 @@ _DRIVER_ORDER = [
     "kg_ego_edges", "kg_pred_cooccurrence",
     "kg_incremental_edges",
     "kg_entity_pmi", "kg_negative_samples", "kg_kcore",
-    # -------- position > 50: NOT recorded by the external driver -------
-    # Everything below holds a green driver row in the
-    # CORRECTNESS_r01..r04 union and stays covered by the local mirror
-    # gate (tools/check_entry.py runs all of it).
     "dup_span_fraction", "unigram_logprob", "distinct_sketch",
     "embedding_outliers", "hybrid_rrf_topk",
     "conv_near_dup", "source_overlap", "pq_codes",

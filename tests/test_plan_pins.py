@@ -61,6 +61,16 @@ _PLAIN = [
     "weighted_sample",
     "small_quantity_revenue",
     "event_cube",
+    # the round-5 relational-shape wave: pushdown probe (Q6), semi-join
+    # decorrelation (Q4), top-k heap (Q3), ALL-decorrelation broadcast,
+    # the skyline's checkpointed single-scan shape, and the band join's
+    # never-a-nested-loop guarantee
+    "shipping_priority",
+    "late_shipment_priority",
+    "discount_band_revenue",
+    "monthly_record_orders",
+    "pareto_orders",
+    "event_attribution",
 ]
 
 

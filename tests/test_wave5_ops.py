@@ -299,3 +299,70 @@ def test_neighbor_jaccard_hand_computed(spark):
         ("b", "d"): (1, 2, 500000),
         ("c", "d"): (1, 2, 500000),
     }
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """Strict-dominance Pareto frontier equals the quadratic definition
+    on a randomized grid with ties and exact duplicates; duplicates of
+    a frontier point all survive (neither strictly dominates the
+    other)."""
+    import random
+
+    from ner_spark.functions.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 50), rng.randint(0, 50)) for i in range(400)]
+    pts += [(1000, 50, 50), (1001, 50, 50), (1002, 0, 0)]
+
+    def brute(rows):
+        return sorted(
+            a
+            for a in rows
+            if not any(
+                b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+                for b in rows
+            )
+        )
+
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(tuple(r) for r in skyline_2d(df, "x", "y").collect())
+    assert got == brute(pts)
+    # the (50,50) duplicate pair both survive
+    assert {(1000, 50, 50), (1001, 50, 50)} <= set(got)
+
+
+def test_skyline_2d_timestamp_axis_and_degenerates(spark):
+    """Timestamp y-axis comparisons, a single-distinct-x input (pure
+    equal-x strict-y dominance), and the empty frame."""
+    import datetime
+    import random
+
+    from ner_spark.functions.skyline import skyline_2d
+
+    rng = random.Random(11)
+    t0 = datetime.datetime(2024, 1, 1)
+    pts = [
+        (i, rng.random() * 100, t0 + datetime.timedelta(seconds=rng.randint(0, 9999)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y timestamp")
+    got = sorted(tuple(r) for r in skyline_2d(df, "x", "y").collect())
+    exp = sorted(
+        a
+        for a in pts
+        if not any(
+            b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+            for b in pts
+        )
+    )
+    assert got == exp
+
+    one_x = spark.createDataFrame(
+        [(1, 5.0, 1.0), (2, 5.0, 3.0), (3, 5.0, 3.0)],
+        "id long, x double, y double",
+    )
+    assert sorted(tuple(r) for r in skyline_2d(one_x, "x", "y").collect()) == [
+        (2, 5.0, 3.0),
+        (3, 5.0, 3.0),
+    ]
+    assert skyline_2d(one_x.where("id < 0"), "x", "y").count() == 0

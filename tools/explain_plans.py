@@ -1487,6 +1487,82 @@ CHECKS = {
             "1), not a UNION of four scans."
         ),
     ),
+    "shipping_priority": dict(
+        requires=["TakeOrderedAndProject", "GreaterThan(l_shipdate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=1,
+        note=(
+            "TPC-H Q3 shape: both date predicates push to their scans "
+            "(asserted on the lineitem side), the aggregate reuses the "
+            "join's l_orderkey hash partitioning (cap: 1 Exchange), and "
+            "the top-10 is TakeOrderedAndProject (asserted) — per-"
+            "partition heaps merged on the driver, never a global sort."
+        ),
+    ),
+    "late_shipment_priority": dict(
+        requires=["LeftSemi", "GreaterThanOrEqual(o_orderdate"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=1,
+        note=(
+            "TPC-H Q4 shape: the correlated EXISTS compiles to ONE "
+            "LeftSemi hash join (asserted) with the +90-day comparison "
+            "as the join residual — each order emitted at most once, no "
+            "distinct pass, no re-scan per row. The quarter filter is "
+            "scan-pushed (asserted); the priority count is the only "
+            "Exchange."
+        ),
+    ),
+    "discount_band_revenue": dict(
+        requires=["GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"],
+        forbids=["Python", "CartesianProduct", "Window", "Join"],
+        max_tree_exchanges=1,
+        note=(
+            "TPC-H Q6 shape — the canonical pushdown probe: every one "
+            "of the five predicates reaches PushedFilters (date, "
+            "discount band, quantity all asserted), no join, no window, "
+            "and the only Exchange carries ONE partial-aggregate row "
+            "per task to the single final row."
+        ),
+    ),
+    "monthly_record_orders": dict(
+        requires=["BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "Window"],
+        max_tree_exchanges=1,
+        note=(
+            "ALL-subquery decorrelation: 'price > ALL(previous month)' "
+            "runs as one calendar-month aggregate (the only Exchange — "
+            "output is month-dimension-sized) broadcast back onto the "
+            "fact (asserted BroadcastHashJoin) with row-local month "
+            "arithmetic. No correlated re-scan, no window, no sort."
+        ),
+    ),
+    "pareto_orders": dict(
+        requires=["Scan ExistingRDD", "BroadcastHashJoin"],
+        forbids=["Python", "CartesianProduct", "SortMergeJoin"],
+        note=(
+            "2-D skyline via the two-level prefix-max device: the "
+            "level-1 (bucket, price) aggregate is localCheckpointed "
+            "(asserted Scan ExistingRDD) so both window branches read "
+            "the materialized aggregate — the fact table is scanned "
+            "once into the aggregate and once for the survivor join, "
+            "never three times. The suffix-max window rides the bounded "
+            "256-bucket dimension; the in-bucket window is partitioned "
+            "by bucket. Nothing quadratic, no sort-merge of fact rows."
+        ),
+    ),
+    "event_attribution": dict(
+        requires=["LeftOuter", "EqualTo(event_type,purchase)", "EqualTo(event_type,click)"],
+        forbids=["CartesianProduct", "Python", "Window", "BroadcastNestedLoopJoin"],
+        max_tree_exchanges=1,
+        note=(
+            "Time-band attribution: the 4-hour window join keeps its "
+            "user_id EQUI component (asserted: a hash join, never "
+            "BroadcastNestedLoopJoin) with the band as residual filter; "
+            "both event_type filters push to the scans. One exchange "
+            "for the per-purchase aggregate; hot users are ordinary "
+            "equi-join skew, AQE-splittable."
+        ),
+    ),
 }
 
 
