@@ -1386,21 +1386,48 @@ def lsh_recall_eval(
     Scale shape: the quadratic arm is confined to the explicit sample
     (the standard eval protocol: ground truth over a sampled slice,
     never the corpus); the candidate arm is the blocked production
-    operator unchanged.
+    operator unchanged. The exact-Jaccard truth is computed by an
+    equi-join on exploded shingle rows (|A∩B| as a per-pair count,
+    |A∪B| = |A|+|B|-|A∩B|) rather than O(sample²) array_intersect
+    calls — value-identical because shingles are distinct per doc
+    (word_shingles_col applies array_distinct) and any pair that
+    never shares a shingle has Jaccard 0 < threshold, so only
+    colliding pairs can reach the truth set. Requires threshold > 0.
     """
+    if threshold <= 0:
+        raise ValueError("lsh_recall_eval requires threshold > 0")
     sample = df.where(F.col(id_col) < sample_max_id)
-    sh = sample.select(
-        F.col(id_col).alias("sid"),
-        word_shingles_col(F.col(text_col), k=k).alias("sh"),
+    sh = register_persist(
+        sample.select(
+            F.col(id_col).alias("sid"),
+            word_shingles_col(F.col(text_col), k=k).alias("sh"),
+        )
     )
-    from ner_spark.operators.linking import jaccard_col
-
-    a = sh.select(F.col("sid").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("sid").alias("id_b"), F.col("sh").alias("sh_b"))
+    rows = sh.select("sid", F.explode("sh").alias("g"))
+    sizes = sh.select("sid", F.size("sh").alias("n"))
+    common = (
+        rows.select(F.col("sid").alias("id_a"), "g")
+        .join(
+            rows.select(F.col("sid").alias("id_b"), "g"),
+            ["g"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     truth = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        common.join(
+            F.broadcast(sizes.select(F.col("sid").alias("id_a"), F.col("n").alias("na"))),
+            ["id_a"],
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("sid").alias("id_b"), F.col("n").alias("nb"))),
+            ["id_b"],
+        )
         .where(
-            F.round(jaccard_col(F.col("sh_a"), F.col("sh_b")), 6)
+            F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 6
+            )
             >= F.lit(threshold)
         )
         .select("id_a", "id_b")
