@@ -2692,6 +2692,13 @@ def personalized_pagerank(
         F.col(seeds.columns[0]).alias("x")
     ).distinct().persist()
     n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        for p in (nodes, trans, dangling_nodes, seed_ids):
+            p.unpersist()
+        raise ValueError(
+            "personalized_pagerank requires a non-empty seed set "
+            "(restart mass is 1/|S| per seed)"
+        )
     restart = nodes.join(seed_ids, "x", "left_semi").select(
         "x", F.lit(1.0 / n_seeds).alias("r")
     ).persist()
@@ -2766,7 +2773,18 @@ def hits_scores(edges: DataFrame, iters: int = 3) -> DataFrame:
         .distinct()
         .persist()
     )
+    if iters < 1:
+        raise ValueError("hits_scores requires iters >= 1")
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        out = nodes.select(
+            F.col("x").alias("entity_id"),
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+        )
+        e.unpersist()
+        nodes.unpersist()
+        return out
     hub = nodes.select(
         "x", F.lit(1.0 / n_nodes).alias("score")
     ).localCheckpoint()

@@ -366,3 +366,60 @@ def test_skyline_2d_timestamp_axis_and_degenerates(spark):
         (3, 5.0, 3.0),
     ]
     assert skyline_2d(one_x.where("id < 0"), "x", "y").count() == 0
+
+
+def test_graph_trio_degenerate_inputs(spark):
+    """Degenerate graphs the fixtures never produce: the graph-similarity
+    trio must fail loudly (undefined restart mass) or return empty/exact
+    results rather than dying in a per-iteration division."""
+    import pytest
+
+    from ner_spark.operators.graph import (
+        hits_scores,
+        neighbor_jaccard,
+        personalized_pagerank,
+    )
+
+    edge_schema = "src_entity string, dst_entity string, n_turns long"
+    edges = spark.createDataFrame([("a", "b", 1), ("c", "a", 1)], edge_schema)
+    empty_edges = spark.createDataFrame([], edge_schema)
+
+    # ppr: an empty seed set has no defined restart distribution (1/|S|)
+    with pytest.raises(ValueError, match="seed set"):
+        personalized_pagerank(edges, spark.createDataFrame([], "x string"))
+    # ranks are over GRAPH nodes: an empty graph yields no rows even
+    # with a seed (the seed has no neighborhood to rank)
+    assert (
+        personalized_pagerank(
+            empty_edges, spark.createDataFrame([("a",)], "x string"), iters=1
+        ).count()
+        == 0
+    )
+
+    # hits: empty graph -> empty frame with the output schema; iters=0
+    # would return an undefined auth vector and is refused
+    out = hits_scores(empty_edges, iters=1)
+    assert out.count() == 0
+    assert out.columns == ["entity_id", "hub_micro", "auth_micro"]
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores(edges, iters=0)
+
+    # neighbor_jaccard on a star a-{b,c,d}: every leaf pair shares
+    # exactly {a} and nothing else -> jacc 1.0 on the micro grid
+    star = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("a", "d", 1)], edge_schema
+    )
+    got = sorted(
+        (r["node_u"], r["node_v"], r["common_neighbors"], r["union_size"], r["jacc_micro"])
+        for r in neighbor_jaccard(star).collect()
+    )
+    assert got == [
+        ("b", "c", 1, 1, 1000000),
+        ("b", "d", 1, 1, 1000000),
+        ("c", "d", 1, 1, 1000000),
+    ]
+    # the celebrity-hub cut excludes mid 'a' (undirected degree 3 > 2)
+    assert neighbor_jaccard(star, max_mid_degree=2).count() == 0
+    # min_common above any pair's overlap -> empty
+    assert neighbor_jaccard(star, min_common=2).count() == 0
+    assert neighbor_jaccard(empty_edges).count() == 0

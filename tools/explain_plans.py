@@ -1283,11 +1283,14 @@ CHECKS = {
         requires=["HashAggregate"],
         forbids=[],
         note=(
-            "Banding-recall eval: the quadratic ground-truth arm is "
-            "confined to the explicit 500-id sample (the standard eval "
-            "protocol — truth over a sampled slice, never the corpus); "
-            "the candidate arm is the unmodified blocked production "
-            "operator; the overlay is one slim pair join + count fold."
+            "Banding-recall eval: the ground-truth arm is confined to "
+            "the explicit 500-id sample (the standard eval protocol — "
+            "truth over a sampled slice, never the corpus) and computes "
+            "exact Jaccard via a shingle equi-join (|A∩B| per-pair "
+            "count, union by inclusion-exclusion) instead of sample² "
+            "array merges; the candidate arm is the unmodified blocked "
+            "production operator; the overlay is one slim pair join + "
+            "count fold."
         ),
     ),
     "mmr_rerank": dict(
