@@ -2034,10 +2034,9 @@ def q_kg_communities(spark, sf_dir):
     """Deterministic synchronous label propagation, 3 rounds
     (operators/graph.py:label_propagation) — weighted-majority label
     adoption with lexicographic tie-break; the oracle unrolls the same
-    rounds as materialized SQL steps."""
-    from ner_spark.operators.graph import label_propagation
-
-    return label_propagation(_kg_edges(spark, sf_dir), iters=3)
+    rounds as materialized SQL steps. Materialized once per session
+    (_kg_lpa_labels) and shared with the profile/supergraph rollups."""
+    return _kg_lpa_labels(spark, sf_dir)
 
 
 @query(
@@ -2329,7 +2328,10 @@ def q_kg_community_profiles(spark, sf_dir):
     Oracle = the unrolled-LPA chain + the same aggregations in SQL."""
     from ner_spark.operators.graph import community_profiles
 
-    return community_profiles(_kg_edges(spark, sf_dir))
+    return community_profiles(
+        _kg_edges(spark, sf_dir),
+        labels=_kg_lpa_labels(spark, sf_dir),
+    )
 
 
 @query(
@@ -5092,6 +5094,25 @@ def _kg_nodes(spark, sf_dir) -> DataFrame:
     return _NODES_CACHE[key]
 
 
+_LPA_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kg_lpa_labels(spark, sf_dir) -> DataFrame:
+    """3-round label-propagation community assignment over the
+    canonical edges, materialized ONCE per session via an eager
+    localCheckpoint — the published (entity_id, community) table that
+    kg_communities exposes and the profile/supergraph rollups read,
+    instead of re-running the iterative rounds per consumer."""
+    from ner_spark.operators.graph import label_propagation
+
+    key = (spark.sparkContext.applicationId, _fx(sf_dir))
+    if key not in _LPA_CACHE:
+        _LPA_CACHE[key] = label_propagation(
+            _kg_edges(spark, sf_dir), iters=3
+        ).localCheckpoint(eager=True)
+    return _LPA_CACHE[key]
+
+
 _CT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -5369,10 +5390,15 @@ def q_kg_supergraph(spark, sf_dir):
     label frame against the edge list, then everything collapses
     through one (pair, pred)-keyed map-side-combinable aggregate and a
     tiny per-pair arg-min. Oracle: the kg_communities unrolled-LPA SQL
-    extended with the same contraction."""
+    extended with the same contraction. Reads the session-materialized
+    LPA assignment (_kg_lpa_labels)."""
     from ner_spark.operators.graph import supergraph
 
-    return supergraph(_kg_edges(spark, sf_dir), iters=3)
+    return supergraph(
+        _kg_edges(spark, sf_dir),
+        iters=3,
+        labels=_kg_lpa_labels(spark, sf_dir),
+    )
 
 
 @query(

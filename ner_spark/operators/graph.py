@@ -1140,7 +1140,11 @@ def random_walks(
     return cur.select("walk_id", F.array_join("path", "->").alias("path"))
 
 
-def community_profiles(edges: DataFrame, iters: int = 3) -> DataFrame:
+def community_profiles(
+    edges: DataFrame,
+    iters: int = 3,
+    labels: DataFrame | None = None,
+) -> DataFrame:
     """Graph summarization over the label-propagation communities:
     ``(community, n_nodes, n_internal, n_boundary, top_pred,
     density_micro)`` — size, internal undirected edge count, boundary
@@ -1838,7 +1842,11 @@ def cloze_questions(triples: DataFrame) -> DataFrame:
     )
 
 
-def supergraph(edges: DataFrame, iters: int = 3) -> DataFrame:
+def supergraph(
+    edges: DataFrame,
+    iters: int = 3,
+    labels: DataFrame | None = None,
+) -> DataFrame:
     """Community-contracted rollup of the KG — the graph OF communities:
     ``(src_community, dst_community, n_edges, total_weight, top_pred)``
     with one row per ordered community pair that at least one directed
@@ -1868,7 +1876,10 @@ def supergraph(edges: DataFrame, iters: int = 3) -> DataFrame:
     """
     from ner_spark.functions.dedup import register_persist
 
-    labels = register_persist(label_propagation(edges, iters=iters))
+    # same published-table contract as community_profiles: pass the
+    # materialized assignment when one exists
+    if labels is None:
+        labels = register_persist(label_propagation(edges, iters=iters))
     ls = labels.select(
         F.col("entity_id").alias("src_entity"),
         F.col("community").alias("src_community"),
