@@ -48,6 +48,59 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _probe_scalar(_):
+    """Branchy integer loop — the JVM-ish, SIMD-free workload class."""
+    t0 = time.time()
+    x = 0
+    for i in range(12_000_000):
+        x = (x * 1103515245 + 12345 + i) & 0x7FFFFFFF
+    return time.time() - t0
+
+
+def _probe_vector(_):
+    """BLAS matmul + tanh — the tagger's AVX/memory-bandwidth class."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(600, 600)
+    t0 = time.time()
+    for _ in range(60):
+        a = np.tanh(a @ a / 600.0)
+    return time.time() - t0
+
+
+def _host_capacity_probe(n_lo: int, n_hi: int, n_rounds: int = 2) -> dict:
+    """Same-window HOST-capacity ceiling for the lo→hi pair: the
+    engine's measured efficiency cannot exceed what the box gives
+    4N concurrent workers relative to N, and on this shared VM that
+    ceiling moves (measured same-day, identical code: scalar ~0.8
+    while vector collapsed to ~0.3 as the vector-frequency/memory-
+    bandwidth budget saturated). Two workload classes bracket the
+    pipeline — a branchy scalar loop (no SIMD) and a numpy
+    matmul+tanh kernel (the tagger's BLAS class, which on ONE box
+    contends for a fixed memory subsystem that a real 4N-executor
+    cluster scales linearly). Recorded raw in the bench JSON so a
+    degraded-host window is visible next to the engine number it
+    explains, instead of reconstructed from prose afterwards."""
+    import multiprocessing as mp
+
+    out: dict = {}
+    for name, fn in (("scalar", _probe_scalar), ("vector", _probe_vector)):
+        rounds = []
+        for _ in range(n_rounds):
+            thr = {}
+            for k in (n_lo, n_hi):
+                with mp.Pool(k) as p:
+                    t0 = time.time()
+                    p.map(fn, range(k * 2))
+                    thr[k] = (k * 2) / (time.time() - t0)
+            rounds.append(
+                round((thr[n_hi] / thr[n_lo]) / (n_hi / n_lo), 3)
+            )
+        out[f"{name}_eff_rounds"] = rounds
+        out[f"{name}_eff"] = max(rounds)
+    return out
+
+
 def _kg_triples_count(spark, fx_dir: str) -> int:
     """The flagship job: transcripts → tag (mapInPandas Viterbi) →
     extract → per-turn dedup → triples. Returns the triple count."""
@@ -680,6 +733,13 @@ def main() -> None:
         scaling["efficiency_per_round"] = per_round
         scaling["efficiency_n_to_4n"] = round(max([eff_minima] + eligible), 3)
         scaling["input_turns"] = n_big_turns
+        # host-capacity ceiling sampled in the SAME window (see the
+        # probe docstring): scalar ≈ the box's best case, vector ≈ the
+        # memory/vector-frequency-bound worst case; the flagship's mix
+        # sits between them, so an engine reading below gate in a
+        # window whose vector ceiling collapsed is a host event, and
+        # the probe records it inside the same JSON.
+        scaling["host_capacity"] = _host_capacity_probe(n_lo, n_hi)
 
         # the SATURATED pair (8→32): local[32] schedules 64 runnable
         # threads (JVM tasks + Python workers) on 32 physical cores, so
@@ -764,6 +824,13 @@ def main() -> None:
             "efficiency_8_to_32": sc.get("saturated_pair", {}).get(
                 "efficiency_8_to_32"
             ),
+            # same-window host ceiling (scalar best case / vector
+            # memory-bound worst case) — the context an engine
+            # efficiency reading must be judged against on this VM
+            "host": {
+                "scalar": sc.get("host_capacity", {}).get("scalar_eff"),
+                "vector": sc.get("host_capacity", {}).get("vector_eff"),
+            },
         }
     line = json.dumps(compact)
     if len(line) >= 1500:  # belt: shrink rather than crash the record
