@@ -750,8 +750,13 @@ def main() -> None:
         # memory/vector-frequency-bound worst case; the flagship's mix
         # sits between them, so an engine reading below gate in a
         # window whose vector ceiling collapsed is a host event, and
-        # the probe records it inside the same JSON.
-        scaling["host_capacity"] = _host_capacity_probe(n_lo, n_hi)
+        # the probe records it inside the same JSON. Best-effort: a
+        # probe failure (fork limits, missing numpy BLAS) must never
+        # cost the bench record itself.
+        try:
+            scaling["host_capacity"] = _host_capacity_probe(n_lo, n_hi)
+        except Exception as exc:  # pragma: no cover - env-dependent
+            scaling["host_capacity"] = {"error": repr(exc)[:200]}
 
         # the SATURATED pair (8→32): local[32] schedules 64 runnable
         # threads (JVM tasks + Python workers) on 32 physical cores, so
