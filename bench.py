@@ -80,7 +80,15 @@ def _host_capacity_probe(n_lo: int, n_hi: int, n_rounds: int = 2) -> dict:
     contends for a fixed memory subsystem that a real 4N-executor
     cluster scales linearly). Recorded raw in the bench JSON so a
     degraded-host window is visible next to the engine number it
-    explains, instead of reconstructed from prose afterwards."""
+    explains, instead of reconstructed from prose afterwards.
+
+    Occupancy note: this numpy build is OpenBLAS MAX_THREADS=2, so
+    the vector probe's runnable-thread footprint is 2× the worker
+    count — lo 8 / hi 32 threads on the 32-core box, the SAME
+    footprint as the engine's local[4]→local[16] pair (k JVM task
+    threads + k Python workers). The probe is deliberately NOT pinned
+    to 1 BLAS thread: matching the engine's occupancy is what makes
+    it a ceiling for the engine's reading."""
     import multiprocessing as mp
 
     out: dict = {}
@@ -727,6 +735,15 @@ def main() -> None:
         # every matched round at 0.62-0.72 while probes 30 min either
         # side measured 0.86-0.91 on identical code) — more rounds =
         # more chances that at least one matched round is clean.
+        # host-capacity probe BEFORE the rounds (and again after):
+        # host drift on this box is minutes-scale, so one sample after
+        # a 10-12 min round block could miss a transient degradation
+        # that covered the rounds themselves — the pre/post pair
+        # brackets the measurement window instead.
+        try:
+            host_pre = _host_capacity_probe(n_lo, n_hi, n_rounds=1)
+        except Exception as exc:  # pragma: no cover - env-dependent
+            host_pre = {"error": repr(exc)[:200]}
         scaling = _level_pair((n_lo, n_hi), n_rounds=6)
         lo_runs = scaling[f"local{n_lo}"]["sec_runs"]
         hi_runs = scaling[f"local{n_hi}"]["sec_runs"]
@@ -745,18 +762,19 @@ def main() -> None:
         scaling["efficiency_per_round"] = per_round
         scaling["efficiency_n_to_4n"] = round(max([eff_minima] + eligible), 3)
         scaling["input_turns"] = n_big_turns
-        # host-capacity ceiling sampled in the SAME window (see the
-        # probe docstring): scalar ≈ the box's best case, vector ≈ the
+        # host-capacity ceiling bracketing the window (see the probe
+        # docstring): scalar ≈ the box's best case, vector ≈ the
         # memory/vector-frequency-bound worst case; the flagship's mix
         # sits between them, so an engine reading below gate in a
         # window whose vector ceiling collapsed is a host event, and
         # the probe records it inside the same JSON. Best-effort: a
-        # probe failure (fork limits, missing numpy BLAS) must never
-        # cost the bench record itself.
+        # probe failure (fork limits, BLAS quirks) must never cost the
+        # bench record itself.
         try:
-            scaling["host_capacity"] = _host_capacity_probe(n_lo, n_hi)
+            host_post = _host_capacity_probe(n_lo, n_hi, n_rounds=1)
         except Exception as exc:  # pragma: no cover - env-dependent
-            scaling["host_capacity"] = {"error": repr(exc)[:200]}
+            host_post = {"error": repr(exc)[:200]}
+        scaling["host_capacity"] = {"pre": host_pre, "post": host_post}
 
         # the SATURATED pair (8→32): local[32] schedules 64 runnable
         # threads (JVM tasks + Python workers) on 32 physical cores, so
@@ -841,12 +859,27 @@ def main() -> None:
             "efficiency_8_to_32": sc.get("saturated_pair", {}).get(
                 "efficiency_8_to_32"
             ),
-            # same-window host ceiling (scalar best case / vector
-            # memory-bound worst case) — the context an engine
-            # efficiency reading must be judged against on this VM
+            # window-bracketing host ceiling (scalar best case /
+            # vector memory-bound worst case), conservative side of
+            # the pre/post pair — the context an engine efficiency
+            # reading must be judged against on this VM
             "host": {
-                "scalar": sc.get("host_capacity", {}).get("scalar_eff"),
-                "vector": sc.get("host_capacity", {}).get("vector_eff"),
+                k: min(
+                    (
+                        v
+                        for v in (
+                            sc.get("host_capacity", {})
+                            .get("pre", {})
+                            .get(f"{k}_eff"),
+                            sc.get("host_capacity", {})
+                            .get("post", {})
+                            .get(f"{k}_eff"),
+                        )
+                        if v is not None
+                    ),
+                    default=None,
+                )
+                for k in ("scalar", "vector")
             },
         }
     line = json.dumps(compact)

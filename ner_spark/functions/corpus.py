@@ -650,7 +650,9 @@ def perplexity_buckets(
     """
     # a caller holding the materialized per-doc LM scores (the LM score
     # table is a published artifact in a curation stack) passes it via
-    # ``scores``; otherwise derive in-line
+    # ``scores``; otherwise derive in-line. When ``scores`` is passed,
+    # ``lam_micro``/``text_col`` are ignored — the scores are whatever
+    # the published table was built with.
     if scores is None:
         scores = bigram_logprob(
             df, lam_micro=lam_micro, id_col=id_col, text_col=text_col

@@ -205,7 +205,9 @@ def alias_clusters(
     # pin it once — otherwise the whole candidate join executes twice
     # (measured 14.3 s -> ~8 s on the sf0.1 bench graph). A caller that
     # already holds a materialized pair table (the production shape —
-    # the review queue is a published table) passes it via ``pairs``.
+    # the review queue is a published table) passes it via ``pairs``;
+    # name_col/block_col/max_dist are then ignored — the pairs are
+    # whatever the published table was generated with.
     if pairs is None:
         pairs = alias_pairs(
             names, id_col, name_col, block_col, max_dist

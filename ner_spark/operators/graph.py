@@ -1167,7 +1167,13 @@ def community_profiles(
 
     from ner_spark.functions.dedup import register_persist
 
-    labels = register_persist(label_propagation(edges, iters=iters))
+    # a caller holding the materialized community assignment (the
+    # production shape — LPA labels are a published table the profile
+    # job reads) passes it via ``labels``; otherwise derive in-line.
+    # When ``labels`` is passed, ``iters`` is ignored — the assignment
+    # is whatever the published table holds.
+    if labels is None:
+        labels = register_persist(label_propagation(edges, iters=iters))
     # und feeds only the e_lab derivation (itself persisted): no persist,
     # it would burn an LRU slot without a second consumer
     und = undirected_edges(edges)
@@ -2771,6 +2777,10 @@ def hits_scores(edges: DataFrame, iters: int = 3) -> DataFrame:
     never compound into one Catalyst tree. Nodes with no in-edges
     (resp. out-edges) keep authority (resp. hub) 0 via the left join.
     """
+    # cheap argument check FIRST — raising after the persists below
+    # would leak both cached frames in a driver that catches the error
+    if iters < 1:
+        raise ValueError("hits_scores requires iters >= 1")
     e = (
         edges.select(
             F.col("src_entity").alias("s"), F.col("dst_entity").alias("d")
@@ -2784,8 +2794,6 @@ def hits_scores(edges: DataFrame, iters: int = 3) -> DataFrame:
         .distinct()
         .persist()
     )
-    if iters < 1:
-        raise ValueError("hits_scores requires iters >= 1")
     n_nodes = nodes.count()
     if n_nodes == 0:
         out = nodes.select(
